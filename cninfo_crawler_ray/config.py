@@ -1,0 +1,51 @@
+"""Typed crawl configuration.
+
+Elevates the reference's scattered module constants and magic numbers
+(SURVEY.md §2.10, §4.2) into one config object. The politeness budget values
+are the reference's implied envelope: 1 listing page / 0.3 s per stream
+(cninfo_report_crawler.py:331), 10 concurrent validation probes (:479), 5
+concurrent fetches (report_info_collection.py:633).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- listing / pagination guards (cninfo_report_crawler.py) ---
+    page_size: int = 30            # :197
+    max_pages_limit: int = 500     # :263-267
+    overrun_pages: int = 3         # stop at totalpages + 3   (:249-252)
+    overrun_empty_stop: int = 2    # past totalpages + 2 consecutive empty (:254-257)
+    max_empty_pages: int = 3       # 3 consecutive zero-novelty pages      (:317-326)
+
+    # --- politeness budget (virtual ticks; 10 ticks == 1 s) ---
+    ticks_per_second: int = 10
+    listing_page_ticks: int = 3    # 0.3 s between listing pages (:331)
+    validate_concurrency: int = 10  # ThreadPoolExecutor(10) analog (:479)
+    fetch_concurrency: int = 5      # ThreadPoolExecutor(5) analog (report_info_collection.py:633)
+    #: token-bucket refill per host, requests per second (fetch stage).
+    host_rate: float = 1000.0
+    host_burst: int = 2000
+
+    # --- partitioning / state sharding ---
+    num_partitions: int = 16       # url-sha1 hash-range checkpoint partitions
+    seen_shards: int = 8           # seen-set actor shards
+    num_hosts: int = 8             # synthetic host universe (hot host 0)
+
+    # --- Ray Data stage sizing ---
+    listing_batch_size: int = 64       # seeds per listing task
+    probe_batch_size: int = 4096       # HEAD-analog probe rows per batch
+    fetch_batch_size: int = 512        # binary payload rows per batch (bytes are KB-MB each)
+    decode_batch_size: int = 256
+    fetch_actors: tuple[int, int] = (2, 8)
+    decode_actors: tuple[int, int] = (2, 8)
+
+    # --- report-type config (J2; cninfo_report_crawler.py:24-29) ---
+    report_type: str = "ndbg"
+    categories: tuple[str, ...] = field(default=("category_ndbg_szsh",))
+
+
+DEFAULT_CONFIG = CrawlConfig()

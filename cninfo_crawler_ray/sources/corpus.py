@@ -342,6 +342,19 @@ def ensure_fixtures(n_images: int, n_days: int = 4, use_ray: bool | None = None)
     # Sorted by image_id (generation order is already sorted); modest row
     # groups so the fetch stage's row-group index gives selective reads.
     pq.write_table(corpus, os.path.join(tmp, "corpus.parquet"), row_group_size=2048)
+    # HEAD sidecar — the "server's" cheap metadata index (store.py).
+    import pyarrow.compute as _pc
+
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": corpus["image_id"],
+                "fmt": corpus["fmt"],
+                "content_length": _pc.binary_length(corpus["bytes"]).cast(pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "corpus_head.parquet"),
+    )
 
     dates = default_dates(n_days)
     category = "category_ndbg_szsh"

@@ -1,0 +1,148 @@
+"""Corpus-backed fetch store — the sandbox stand-in for HTTP (T1).
+
+On a real cluster the fetch stage holds an HTTP client per actor
+(cninfo_report_crawler.py:414 shares one requests.Session across threads; we
+give each actor its own). Here the "remote server" is the corpus table itself:
+
+- ``head(urls)``  = the HEAD probe (cninfo_report_crawler.py:129-135): returns
+  per-URL (status, content_type, content_length) from *metadata columns only*
+  — no payload bytes move, like a real HEAD.
+- ``get(urls)``   = the GET fetch (report_info_collection.py:250-261): returns
+  payload bytes.
+
+Selective reads: the store builds a row-group index (min/max image_id per
+parquet row group) once per actor at ``__init__``, then serves each batch by
+reading only the row groups its keys fall in — the columnar analog of HTTP
+range requests. This keeps per-batch cost proportional to the batch, not the
+corpus, which is what makes the pattern hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def image_id_of_url(urls) -> list[str]:
+    """URL tail → image_id (layout per FIXTURES.md F1)."""
+    return [str(u).rsplit("/", 1)[-1].rsplit(".", 1)[0] for u in urls]
+
+
+def ext_of_url(urls) -> list[str]:
+    return [str(u).rsplit(".", 1)[-1] for u in urls]
+
+
+class CorpusStore:
+    """Open once per actor (__init__ of the fetch/probe stage classes)."""
+
+    def __init__(self, corpus_path: str):
+        import os
+
+        self.path = corpus_path
+        f = pq.ParquetFile(corpus_path)
+        self.num_row_groups = f.metadata.num_row_groups
+        mins, maxs = [], []
+        for rg in range(self.num_row_groups):
+            col = f.metadata.row_group(rg).column(0)  # image_id is column 0
+            st = col.statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        self._mins = mins
+        self._maxs = maxs
+        self._file = f
+        # HEAD index: (fmt, content_length) per id — the "server's" metadata.
+        # Loaded from the sidecar written at fixture-gen time; at real scale
+        # this would stay on disk and be row-group-pruned like the payloads.
+        sidecar = os.path.join(os.path.dirname(corpus_path), "corpus_head.parquet")
+        if os.path.exists(sidecar):
+            t = pq.read_table(sidecar)
+        else:
+            t = f.read(columns=["image_id", "fmt", "bytes"])
+            t = pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "fmt": t["fmt"],
+                    "content_length": pc.binary_length(t["bytes"]).cast(pa.int64()),
+                }
+            )
+        self._head_idx: dict[str, tuple[str, int]] = {
+            i: (fmt, n)
+            for i, fmt, n in zip(
+                t["image_id"].to_pylist(), t["fmt"].to_pylist(), t["content_length"].to_pylist()
+            )
+        }
+
+    def _row_groups_for(self, ids: list[str]) -> list[int]:
+        hit = set()
+        for i in set(ids):
+            # row groups hold disjoint sorted id ranges → at most one match
+            lo = bisect.bisect_left(self._maxs, i)
+            if lo < self.num_row_groups and self._mins[lo] <= i <= self._maxs[lo]:
+                hit.add(lo)
+        return sorted(hit)
+
+    def _read(self, ids: list[str], columns: list[str]) -> pa.Table:
+        groups = self._row_groups_for(ids)
+        if not groups:
+            return pa.table({c: [] for c in columns})
+        t = self._file.read_row_groups(groups, columns=columns)
+        return t.filter(pc.is_in(t["image_id"], value_set=pa.array(set(ids))))
+
+    def head(self, urls: list[str]) -> pa.Table:
+        """HEAD analog: (url, status, content_type, content_length). Missing
+        id → 404; zero-byte payload → 404 (dead link); content_type comes
+        from the fmt *column* (server metadata — may lie; the GET magic check
+        is the authoritative gate, like %PDF at cninfo_report_crawler.py:149)."""
+        ids = image_id_of_url(urls)
+        status, ctype, clen = [], [], []
+        for iid in ids:
+            fmt, n = self._head_idx.get(iid, ("", 0))
+            if n == 0:
+                status.append(404)
+                ctype.append("")
+                clen.append(0)
+            else:
+                status.append(200)
+                ctype.append("image/" + fmt)
+                clen.append(n)
+        return pa.table(
+            {
+                "url": pa.array([str(u) for u in urls], pa.string()),
+                "status": pa.array(status, pa.int32()),
+                "content_type": pa.array(ctype, pa.string()),
+                "content_length": pa.array(clen, pa.int64()),
+            }
+        )
+
+    def get(self, urls: list[str]) -> pa.Table:
+        """GET analog: (url, status, content_type, bytes)."""
+        ids = image_id_of_url(urls)
+        t = self._read(ids, ["image_id", "fmt", "bytes"])
+        by_id = {}
+        for iid, fmt, blob in zip(
+            t["image_id"].to_pylist(), t["fmt"].to_pylist(), t["bytes"].to_pylist()
+        ):
+            by_id[iid] = (fmt, blob)
+        status, ctype, blobs = [], [], []
+        for iid in ids:
+            fmt, blob = by_id.get(iid, ("", b""))
+            if not blob:
+                status.append(404)
+                ctype.append("")
+                blobs.append(b"")
+            else:
+                status.append(200)
+                ctype.append("image/" + fmt)
+                blobs.append(blob)
+        return pa.table(
+            {
+                "url": pa.array([str(u) for u in urls], pa.string()),
+                "status": pa.array(status, pa.int32()),
+                "content_type": pa.array(ctype, pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+            }
+        )

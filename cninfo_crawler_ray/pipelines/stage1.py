@@ -1,0 +1,162 @@
+"""Stage 1 — listing enumeration → validated, deduplicated frontier.
+
+Ray-Data shape (SURVEY.md §3.1 traced → §7.6):
+
+    seeds ──map_batches(ListingEnumerator actor pool)──▶ announcements
+          ──map_batches(vectorized normalize+filter+hash)──▶ candidates
+          ──map_batches(Prober actor pool)──▶ head-validated
+          ──groupby(股票代码).map_groups(A2+A3)──▶ one row per code
+          ──sort(order_key)──▶ frontier
+
+One shuffle total: A2 (3-col dedup) and A3 (keep-latest per code) share the
+股票代码 key, so they collapse into a single grouped reduction. Every other
+step is an embarrassingly-parallel batch transform. Crawl order is pinned by
+``order_key`` stamped at admission (SURVEY.md §3.4), so results are identical
+at any parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..config import CrawlConfig
+from ..functions import kernels, urls as U
+from ..schemas import FRONTIER_CSV_COLUMNS
+from ..stages.fetch import Prober
+from ..stages.listing import ListingEnumerator
+
+
+def _prepare_candidates(batch: pa.Table, years: list[int], num_partitions: int) -> pa.Table:
+    """Vectorized normalize/filter/hash (M1-M5 + url canon + sha1)."""
+    if batch.num_rows == 0:
+        return _empty_candidates()
+    keep = kernels.title_keep_mask(batch["announcementTitle"], years)
+    t = batch.filter(keep)
+    if t.num_rows == 0:
+        return _empty_candidates()
+    codes = kernels.normalize_sec_code(t["secCode"])
+    dates = kernels.decode_announcement_time(t["announcementTime"])
+    url_raw = pd.Series(["https://" + u for u in t["adjunctUrl"].to_pylist()])
+    url_canon = U.canonicalize(url_raw)
+    sha = U.sha1_hex(url_canon)
+    part = U.partition_of(sha, num_partitions)
+    host = U.host_of(url_canon)
+    # priority = disclosure-date recency × seed rank (north rule): more
+    # recent reports and earlier-ranked exchanges fetch first.
+    days = kernels.parse_report_date(dates)
+    days_np = np.array([d if d is not None else -1 for d in days.to_pylist()], dtype=np.float64)
+    erank = (t["order_key"].to_numpy() >> 37).astype(np.float64)  # top 3 bits
+    priority = days_np + (4.0 - erank) / 10.0
+    return pa.table(
+        {
+            "股票代码": codes,
+            "公司名称": t["secName"],
+            "财报名称": t["announcementTitle"],
+            "报告日期": dates,
+            "PDF链接": pa.array(url_canon.tolist(), pa.string()),
+            "url_sha1": pa.array(list(sha), pa.string()),
+            "host": pa.array(host.tolist(), pa.string()),
+            "priority": pa.array(priority, pa.float64()),
+            "order_key": t["order_key"],
+            "partition_id": pa.array(part, pa.int32()),
+        }
+    )
+
+
+def _empty_candidates() -> pa.Table:
+    return pa.table(
+        {
+            "股票代码": pa.array([], pa.string()),
+            "公司名称": pa.array([], pa.string()),
+            "财报名称": pa.array([], pa.string()),
+            "报告日期": pa.array([], pa.string()),
+            "PDF链接": pa.array([], pa.string()),
+            "url_sha1": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "priority": pa.array([], pa.float64()),
+            "order_key": pa.array([], pa.int64()),
+            "partition_id": pa.array([], pa.int32()),
+        }
+    )
+
+
+def _a2_a3_per_code(group: pd.DataFrame) -> pd.DataFrame:
+    """A2 (3-col dedup, keep first-in-canonical-order) + A3 (keep latest by
+    报告日期, ties → canonical order) inside one 股票代码 group
+    (cninfo_report_crawler.py:524-530)."""
+    g = group.sort_values("order_key", kind="stable")
+    g = g.drop_duplicates(subset=["公司名称", "财报名称"], keep="first")
+    d = pd.to_datetime(g["报告日期"], errors="coerce").fillna(pd.Timestamp.min)
+    idx = pd.DataFrame({"d": d, "ok": g["order_key"]}).sort_values(
+        ["d", "ok"], ascending=[False, True], kind="stable"
+    ).index[0]
+    return g.loc[[idx]]
+
+
+def target_years_for(fixture_dir: str) -> list[int]:
+    with open(os.path.join(fixture_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ds = [date.fromisoformat(d) for d in meta["dates"]]
+    return kernels.target_years(min(ds), max(ds))
+
+
+def build_frontier(
+    fixture_dir: str,
+    config: CrawlConfig | None = None,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Run stage 1 over a fixture directory; returns the frontier Dataset
+    sorted by canonical order. Does NOT call ray.init (driver owns the
+    session)."""
+    cfg = config or CrawlConfig()
+    years = target_years_for(fixture_dir)
+    ann_path = os.path.join(fixture_dir, "announcements.parquet")
+    corpus_path = os.path.join(fixture_dir, "corpus.parquet")
+
+    seeds = rd.read_parquet(os.path.join(fixture_dir, "seeds.parquet"))
+    anns = seeds.map_batches(
+        ListingEnumerator,
+        fn_constructor_args=(ann_path, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.listing_batch_size,
+        concurrency=concurrency or (1, 8),
+        num_cpus=1,
+    )
+    cands = anns.map_batches(
+        _prepare_candidates,
+        fn_kwargs={"years": years, "num_partitions": cfg.num_partitions},
+        batch_format="pyarrow",
+    )
+    probed = cands.map_batches(
+        Prober,
+        fn_constructor_args=(corpus_path,),
+        batch_format="pyarrow",
+        batch_size=cfg.probe_batch_size,
+        concurrency=concurrency or (1, 8),
+        num_cpus=1,
+    )
+    valid = probed.map_batches(
+        lambda t: t.filter(t["head_ok"]).drop_columns(
+            ["status", "content_type", "content_length", "head_ok"]
+        ),
+        batch_format="pyarrow",
+    )
+    frontier = valid.groupby("股票代码").map_groups(_a2_a3_per_code, batch_format="pandas")
+    return frontier.sort("order_key")
+
+
+def frontier_csv_view(frontier: rd.Dataset) -> pd.DataFrame:
+    """The reference's 5-column CSV artifact (cninfo_report_crawler.py:535),
+    in canonical order — for conformance goldens. Small (≤1 row per stock
+    code) → driver-side pandas is appropriate."""
+    df = frontier.to_pandas()
+    return df.sort_values("order_key", kind="stable")[FRONTIER_CSV_COLUMNS].reset_index(drop=True)

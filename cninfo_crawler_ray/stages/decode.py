@@ -1,0 +1,78 @@
+"""Decode + validate + extract actor-pool stage (T5 analog).
+
+Reference: pdfplumber opens each PDF in memory and walks pages/tables
+(report_info_collection.py:151-198). Here the Decoder decodes the image
+container, enforces the content gates, and runs the table-extraction kernels
+over the embedded pages — one actor pool, one pass over the payload.
+
+Gates (per-row, explicit columns instead of dropped rows):
+- ``fetch_ok``   — status 200, non-empty body (R:253-255, :271-273)
+- ``type_ok``    — sniffed magic matches the URL extension (the %PDF magic /
+                   content-type gate, C:149-150, R:257-259)
+- ``caption``    — decoded caption (exact-equality invariant vs corpus)
+- ``phash64``    — recomputed perceptual hash of decoded pixels
+- extraction     — items JSON + has_data_resource flag (M10-M12)
+
+The pixel PSNR invariant is asserted in tests (it needs the pre-encode
+reference pixels, regenerated from the seeded PRNG).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codecs
+from ..functions.tables import extract_items_from_pages
+from ..sources.store import ext_of_url
+
+
+class Decoder:
+    def __init__(self, compute_phash: bool = True):
+        self.compute_phash = compute_phash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["PDF链接"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        exts = ext_of_url(urls)
+        n = len(urls)
+        fetch_ok = np.zeros(n, dtype=bool)
+        type_ok = np.zeros(n, dtype=bool)
+        captions: list[str | None] = [None] * n
+        phashes = np.zeros(n, dtype=np.int64)
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        items_json: list[str | None] = [None] * n
+        has_flag = np.zeros(n, dtype=np.int8)
+        for i in range(n):
+            blob = blobs[i]
+            if statuses[i] != 200 or not blob:
+                continue
+            fetch_ok[i] = True
+            try:
+                px, fmt, meta = codecs.decode_image(blob)
+            except Exception:
+                continue
+            if fmt != exts[i]:
+                continue  # content-type gate → row contributes nothing (R:257-259)
+            type_ok[i] = True
+            captions[i] = meta.get("caption")
+            heights[i], widths[i] = px.shape[0], px.shape[1]
+            if self.compute_phash:
+                phashes[i] = codecs.phash64(px)
+            items, flag = extract_items_from_pages(meta.get("pages") or [])
+            items_json[i] = json.dumps(items, ensure_ascii=False)
+            has_flag[i] = 1 if flag else 0
+        out = batch.drop_columns(["bytes"])  # payload consumed; keep blocks light
+        out = out.append_column("fetch_ok", pa.array(fetch_ok))
+        out = out.append_column("type_ok", pa.array(type_ok))
+        out = out.append_column("caption", pa.array(captions, pa.string()))
+        out = out.append_column("decoded_w", pa.array(widths, pa.int32()))
+        out = out.append_column("decoded_h", pa.array(heights, pa.int32()))
+        out = out.append_column("phash64", pa.array(phashes, pa.int64()))
+        out = out.append_column("items_json", pa.array(items_json, pa.string()))
+        out = out.append_column("_has_data_resource", pa.array(has_flag, pa.int8()))
+        return out

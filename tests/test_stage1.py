@@ -1,0 +1,57 @@
+"""Stage-1 E2E conformance: the Ray Data frontier pipeline must reproduce the
+oracle's frontier exactly — same rows, same canonical order, same URL-seen
+outcome — at multiple parallelism levels (SURVEY.md §5.2)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import oracle_impl as O
+from cninfo_crawler_ray.pipelines import stage1
+from cninfo_crawler_ray.sources import corpus as C
+
+N = 800
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(ray_session):
+    return C.ensure_fixtures(N, n_days=3, use_ray=False)
+
+
+@pytest.fixture(scope="module")
+def oracle_frontier(fixture_dir):
+    anns = pq.read_table(f"{fixture_dir}/announcements.parquet").to_pandas()
+    corpus = pq.read_table(f"{fixture_dir}/corpus.parquet").to_pandas()
+    import json
+
+    with open(f"{fixture_dir}/meta.json") as f:
+        meta = json.load(f)
+    from datetime import date
+
+    dates = [date.fromisoformat(d) for d in meta["dates"]]
+    return O.oracle_stage1(anns, dates, corpus)
+
+
+def test_frontier_matches_oracle(fixture_dir, oracle_frontier):
+    got = stage1.frontier_csv_view(stage1.build_frontier(fixture_dir))
+    want = oracle_frontier[
+        ["股票代码", "公司名称", "财报名称", "报告日期", "PDF链接"]
+    ].reset_index(drop=True)
+    assert len(got) > 20, "fixture must exercise a non-trivial frontier"
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_frontier_order_is_canonical(fixture_dir, oracle_frontier):
+    ds = stage1.build_frontier(fixture_dir)
+    df = ds.to_pandas()
+    assert list(df["order_key"]) == sorted(df["order_key"])
+    assert list(df["order_key"]) == list(oracle_frontier["order_key"])
+
+
+def test_frontier_partitions_and_priority(fixture_dir):
+    df = stage1.build_frontier(fixture_dir).to_pandas()
+    assert df["partition_id"].between(0, 15).all()
+    assert df["url_sha1"].str.len().eq(40).all()
+    assert (df["host"].str.endswith("example.test")).all()
+    # priority: strictly increasing in report-date recency for same exchange
+    assert df["priority"].notna().all()

@@ -40,8 +40,13 @@ class CrawlConfig:
     probe_batch_size: int = 4096       # HEAD-analog probe rows per batch
     fetch_batch_size: int = 512        # binary payload rows per batch (bytes are KB-MB each)
     decode_batch_size: int = 256
-    fetch_actors: tuple[int, int] = (2, 8)
-    decode_actors: tuple[int, int] = (2, 8)
+    fetch_actors: tuple[int, int] = (1, 8)
+    decode_actors: tuple[int, int] = (1, 8)
+    #: CPUs reserved per stage actor. Fractional so the MINIMUM reservations
+    #: of all concurrent pools never exceed the cluster and deadlock the
+    #: streaming executor (each pool pre-reserves min_actors × num_cpus);
+    #: autoscaling grows pools into idle CPUs when a stage is the bottleneck.
+    actor_num_cpus: float = 0.5
 
     # --- report-type config (J2; cninfo_report_crawler.py:24-29) ---
     report_type: str = "ndbg"

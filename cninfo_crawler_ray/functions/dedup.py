@@ -1,0 +1,107 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY.md §2.7 extension set).
+
+Scale shape: every variant is (vectorized per-batch signature computation in
+``map_batches``) → (a keyed ``groupby`` shuffle on a compact signature) →
+(per-group verification). Signatures are small integers/strings so the
+shuffle moves kilobytes per million docs, never the documents themselves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = _WORD_RE.findall(text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _hash64(s: str, seed: int = 0) -> int:
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little")[:8])
+    return int.from_bytes(h.digest(), "little")
+
+
+# --- MinHash ---------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """num_perm universal-hash minhash; instantiate once per actor
+    (__init__-time coefficient table), call per batch."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text)
+        if not sh:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        # (a*x + b) mod p, min over shingles — vectorized over (shingle, perm)
+        vals = (base[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0)
+
+    def band_keys(self, sig: np.ndarray, bands: int = 16) -> list[str]:
+        """LSH banding: bands × rows = num_perm; equal band-hash → candidate."""
+        rows = self.num_perm // bands
+        return [
+            f"{b}:{hashlib.blake2b(sig[b * rows:(b + 1) * rows].tobytes(), digest_size=8).hexdigest()}"
+            for b in range(bands)
+        ]
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word features (charikar). Vectorized inner loop
+    via numpy bit unpacking."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    weights_cache: dict[str, int] = {}
+    for i, t in enumerate(texts.fillna("")):
+        toks = _WORD_RE.findall(str(t).lower())
+        if not toks:
+            out[i] = 0
+            continue
+        hashes = np.array([weights_cache.setdefault(w, _hash64(w)) for w in toks], dtype=np.uint64)
+        bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        score = bits.sum(axis=0) * 2 - len(hashes)  # +1/-1 vote per bit
+        val = np.packbits((score > 0).astype(np.uint8), bitorder="little").tobytes()
+        out[i] = int.from_bytes(val, "little", signed=True)
+    return pd.Series(out, index=texts.index)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.int64).view(np.uint64)) ^ (b.astype(np.int64).view(np.uint64))
+    # popcount via unpackbits
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+# --- embedding cosine ------------------------------------------------------
+
+def cosine_matrix(q: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Batched cosine similarity: q (k, d) vs m (n, d) → (n, k). float64 for
+    oracle agreement."""
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return mn @ qn.T

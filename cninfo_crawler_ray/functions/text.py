@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These extend the reference's capability set (it has no text analytics) with
+the operations a 100 TB documents pipeline needs; each is a vectorized
+per-batch kernel meant for ``map_batches`` over the ``documents`` table, with
+a DuckDB-expressible definition wherever possible so the driver's oracle can
+verify it (__ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+# --- token counting --------------------------------------------------------
+
+def token_count(texts: pd.Series) -> pd.Series:
+    """Whitespace tokenization: number of maximal runs of non-whitespace.
+    SQL-equivalent: len(regexp_split_to_array(trim(text), '\\s+')) with
+    empty → 0."""
+    s = texts.fillna("").str.strip()
+    n = s.str.count(r"\s+") + 1
+    return n.where(s != "", 0).astype("int64")
+
+
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def bpe_ish_token_count(texts: pd.Series) -> pd.Series:
+    """BPE-ish pre-tokenizer count: alpha runs + digit runs + single
+    punctuation marks (whitespace dropped)."""
+    return texts.fillna("").str.count(_BPE_RE).astype("int64")
+
+
+# --- quality scoring -------------------------------------------------------
+
+_STOPWORDS = {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"}
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Integer quality features (integers so the DuckDB oracle hash-matches
+    without float jitter): n_chars, n_alpha, n_digit, n_punct, n_space,
+    n_tokens."""
+    s = texts.fillna("")
+    return pd.DataFrame(
+        {
+            "n_chars": s.str.len().astype("int64"),
+            "n_alpha": s.str.count(r"[A-Za-z]").astype("int64"),
+            "n_digit": s.str.count(r"[0-9]").astype("int64"),
+            "n_punct": s.str.count(r"[.,;:!?]").astype("int64"),
+            "n_space": s.str.count(r" ").astype("int64"),
+            "n_tokens": token_count(s),
+        }
+    )
+
+
+def stopword_ratio(texts: pd.Series) -> pd.Series:
+    toks = texts.fillna("").str.lower().str.findall(r"[a-z]+")
+    return toks.map(lambda ws: sum(w in _STOPWORDS for w in ws) / max(1, len(ws)))
+
+
+# --- language id -----------------------------------------------------------
+
+#: tiny per-language character-class heuristic; real deployments would load a
+#: fasttext-style model in the actor __init__ — the plumbing is identical.
+def lang_id(texts: pd.Series) -> pd.Series:
+    s = texts.fillna("")
+    n = s.str.len().clip(lower=1)
+    cjk = s.str.count(r"[一-鿿]") / n
+    cyr = s.str.count(r"[Ѐ-ӿ]") / n
+    lat = s.str.count(r"[A-Za-z]") / n
+    out = pd.Series("unknown", index=s.index, dtype=object)
+    out[lat > 0.4] = "en"
+    out[cyr > 0.2] = "ru"
+    out[cjk > 0.2] = "zh"
+    return out
+
+
+# --- fingerprinting --------------------------------------------------------
+
+def md5_fingerprint(texts: pd.Series) -> pd.Series:
+    """Exact content fingerprint; SQL oracle: md5(text)."""
+    return texts.fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def rolling_fingerprint(texts: pd.Series, window: int = 16) -> pd.Series:
+    """Winnowing-style document fingerprint: min rolling polynomial hash over
+    ``window``-byte windows (int64). Not SQL-expressible — rows-only check."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        b = t.encode("utf-8")
+        if len(b) < window:
+            h = 0
+            for ch in b:
+                h = (h * _BASE + ch) % _MOD
+            out[i] = h
+            continue
+        # rolling hash over all windows, take min (stable fingerprint)
+        pw = pow(_BASE, window - 1, _MOD)
+        h = 0
+        for ch in b[:window]:
+            h = (h * _BASE + ch) % _MOD
+        best = h
+        for j in range(window, len(b)):
+            h = ((h - b[j - window] * pw) * _BASE + b[j]) % _MOD
+            if h < best:
+                best = h
+        out[i] = best
+    return pd.Series(out, index=texts.index)

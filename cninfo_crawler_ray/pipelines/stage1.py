@@ -129,7 +129,7 @@ def build_frontier(
         batch_format="pyarrow",
         batch_size=cfg.listing_batch_size,
         concurrency=concurrency or (1, 8),
-        num_cpus=1,
+        num_cpus=cfg.actor_num_cpus,
     )
     cands = anns.map_batches(
         _prepare_candidates,
@@ -142,7 +142,7 @@ def build_frontier(
         batch_format="pyarrow",
         batch_size=cfg.probe_batch_size,
         concurrency=concurrency or (1, 8),
-        num_cpus=1,
+        num_cpus=cfg.actor_num_cpus,
     )
     valid = probed.map_batches(
         lambda t: t.filter(t["head_ok"]).drop_columns(

@@ -1,0 +1,247 @@
+"""Stage 2 — frontier → fetch → decode/validate/extract → long + wide tables,
+with per-partition checkpoints and lineage for byte-identical resume.
+
+Ray-Data shape (SURVEY.md §3.2 traced → §7.6-7.8):
+
+    frontier ──map_batches(Fetcher actor pool)──▶ payloads        (GET, R:253)
+             ──map_batches(Decoder actor pool)──▶ decoded+items   (R:151-198)
+             ──map_batches(explode long rows)──▶ long             (R:287-310)
+    long     ──groupby(doc keys).map_groups(A5+A6+J3)──▶ wide     (R:431-548)
+
+Checkpointing: the frontier is already partitioned by url-sha1 hash range
+(``partition_id``). ``run_stage2`` processes partitions in groups; each
+completed group writes its long rows under ``<ckpt>/long/part=<id>/`` plus a
+lineage record (rows, bytes_fetched, counters) in ``manifest.json``. A rerun
+skips completed partitions (J4/T4: the Ray-native version of the reference's
+skip-if-file-exists cache, report_info_collection.py:241-249). Because every
+row's placement and order are pure functions of (url_sha1, order_key), the
+resumed output is byte-identical to an uninterrupted run (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..config import CrawlConfig
+from ..functions.kernels import adjust_amount_special, sentinel_to_zero
+from ..schemas import LONG_COLUMNS, PARENT_CATEGORIES
+from ..stages.decode import Decoder
+from ..stages.fetch import Fetcher
+from ..stages.reduce import pivot_group_wide
+
+DOC_KEYS = ["证券代码", "公司名称", "报告名称", "报告日期", "PDF链接"]
+
+
+def _explode_long(batch: pa.Table) -> pa.Table:
+    """Decoded docs → long rows (M17 zero-fill expansion + M9 unit adjust).
+
+    Rows that failed fetch or the content gate contribute nothing (the
+    reference returns [] for those, R:257-259, :271-273)."""
+    rows: dict[str, list] = {c: [] for c in LONG_COLUMNS + ["order_key", "_item", "partition_id", "url_sha1"]}
+    ok = batch.filter(batch["type_ok"])
+    items_col = ok["items_json"].to_pylist()
+    flags = ok["_has_data_resource"].to_pylist()
+    for i in range(ok.num_rows):
+        items = json.loads(items_col[i]) if items_col[i] else []
+        triples = (
+            [(it["category"], it["value"]) for it in items]
+            if items
+            else [(cat, "0") for cat in PARENT_CATEGORIES]
+        )
+        for k, (cat, val) in enumerate(triples):
+            rows["证券代码"].append(ok["股票代码"][i].as_py())
+            rows["公司名称"].append(ok["公司名称"][i].as_py())
+            rows["报告名称"].append(ok["财报名称"][i].as_py())
+            rows["报告日期"].append(ok["报告日期"][i].as_py())
+            rows["项目名称"].append(cat)
+            rows["金额"].append(val)
+            rows["PDF链接"].append(ok["PDF链接"][i].as_py())
+            rows["_has_data_resource"].append(int(flags[i]))
+            rows["order_key"].append(ok["order_key"][i].as_py())
+            rows["_item"].append(k)
+            rows["partition_id"].append(ok["partition_id"][i].as_py())
+            rows["url_sha1"].append(ok["url_sha1"][i].as_py())
+    # vectorized unit adjust (M9) + sink cleanup (R:680-681)
+    amounts = adjust_amount_special(pd.Series(rows["证券代码"], dtype=object),
+                                    pd.Series(rows["金额"], dtype=object))
+    cleaned = sentinel_to_zero(pa.array([str(a) if a is not None else None for a in amounts], pa.string()))
+    t = pa.table(
+        {
+            "证券代码": pa.array(rows["证券代码"], pa.string()),
+            "公司名称": pa.array(rows["公司名称"], pa.string()),
+            "报告名称": pa.array(rows["报告名称"], pa.string()),
+            "报告日期": pa.array(rows["报告日期"], pa.string()),
+            "项目名称": pa.array(rows["项目名称"], pa.string()),
+            "金额": cleaned,
+            "PDF链接": pa.array(rows["PDF链接"], pa.string()),
+            "_has_data_resource": pa.array(rows["_has_data_resource"], pa.int64()),
+            "order_key": pa.array(rows["order_key"], pa.int64()),
+            "_item": pa.array(rows["_item"], pa.int64()),
+            "partition_id": pa.array(rows["partition_id"], pa.int32()),
+            "url_sha1": pa.array(rows["url_sha1"], pa.string()),
+        }
+    )
+    return t
+
+
+def fetch_decode(
+    frontier: rd.Dataset,
+    corpus_path: str,
+    cfg: CrawlConfig,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    politeness=None,
+) -> rd.Dataset:
+    """frontier → decoded docs (streaming; payload bytes dropped after decode
+    so only light rows reach the shuffles)."""
+    fetched = frontier.map_batches(
+        Fetcher,
+        fn_constructor_args=(corpus_path,),
+        batch_format="pyarrow",
+        batch_size=cfg.fetch_batch_size,
+        concurrency=concurrency or cfg.fetch_actors,
+        num_cpus=cfg.actor_num_cpus,
+    )
+    return fetched.map_batches(
+        Decoder,
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+        concurrency=concurrency or cfg.decode_actors,
+        num_cpus=cfg.actor_num_cpus,
+    )
+
+
+def long_from_decoded(decoded: rd.Dataset) -> rd.Dataset:
+    return decoded.map_batches(_explode_long, batch_format="pyarrow")
+
+
+def wide_from_long(long_ds: rd.Dataset) -> rd.Dataset:
+    """A5+A6+J3 in one grouped shuffle over the document keys."""
+    return long_ds.groupby(DOC_KEYS).map_groups(
+        lambda g: pivot_group_wide(
+            g.sort_values(["order_key", "_item"], kind="stable")
+            .groupby("项目名称", sort=False, group_keys=False)
+            .apply(_prefer_positive)
+        ),
+        batch_format="pandas",
+    )
+
+
+def _prefer_positive(g: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.kernels import numeric_value_col
+
+    if len(g) == 1:
+        return g
+    pos = g[numeric_value_col(g["金额"]) > 0]
+    return (pos if len(pos) else g).head(1)
+
+
+# ---------------------------------------------------------------------------
+# checkpointed execution
+# ---------------------------------------------------------------------------
+
+def _manifest_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "manifest.json")
+
+
+def load_manifest(ckpt_dir: str) -> dict:
+    p = _manifest_path(ckpt_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"partitions": {}}
+
+
+def _record_partition(ckpt_dir: str, partition_id: int, lineage: dict) -> None:
+    """Atomic manifest update (write tmp + rename)."""
+    m = load_manifest(ckpt_dir)
+    m["partitions"][str(partition_id)] = lineage
+    tmp = _manifest_path(ckpt_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, _manifest_path(ckpt_dir))
+
+
+def run_stage2_checkpointed(
+    frontier: rd.Dataset,
+    corpus_path: str,
+    ckpt_dir: str,
+    cfg: CrawlConfig | None = None,
+    *,
+    group_size: int = 4,
+    max_groups: int | None = None,
+) -> list[int]:
+    """Process pending url-hash partitions in groups; returns the partition
+    ids completed THIS run. ``max_groups`` lets tests simulate a kill."""
+    cfg = cfg or CrawlConfig()
+    os.makedirs(os.path.join(ckpt_dir, "long"), exist_ok=True)
+    done = {int(k) for k in load_manifest(ckpt_dir)["partitions"]}
+    pending = sorted(set(range(cfg.num_partitions)) - done)
+    groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
+    if max_groups is not None:
+        groups = groups[:max_groups]
+    completed = []
+    # Materialize the (small) frontier once; each group filters from memory.
+    fdf = frontier.to_pandas()
+    for grp in groups:
+        part = fdf[fdf["partition_id"].isin(grp)]
+        if len(part) == 0:
+            for pid in grp:
+                _record_partition(ckpt_dir, pid, {"rows": 0, "bytes_fetched": 0, "counters": {}})
+                completed.append(pid)
+            continue
+        sub = rd.from_pandas(part)
+        decoded = fetch_decode(sub, corpus_path, cfg)
+        long_df = long_from_decoded(decoded).to_pandas()
+        long_df = long_df.sort_values(["order_key", "_item"], kind="stable")
+        for pid in grp:
+            pdf_part = long_df[long_df["partition_id"] == pid]
+            pdir = os.path.join(ckpt_dir, "long", f"part={pid}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, "data.parquet.tmp")
+            pa.parquet.write_table(pa.Table.from_pandas(pdf_part, preserve_index=False), tmp)
+            os.replace(tmp, os.path.join(pdir, "data.parquet"))
+            _record_partition(
+                ckpt_dir,
+                pid,
+                {
+                    "rows": int(len(pdf_part)),
+                    "bytes_fetched": 0,
+                    "url_range": [f"{pid:02x}", f"{pid + 1:02x}"],
+                    "counters": {
+                        "long_rows": int(len(pdf_part)),
+                        "docs": int(pdf_part["PDF链接"].nunique()),
+                    },
+                    "checkpoint_path": os.path.join(pdir, "data.parquet"),
+                },
+            )
+            completed.append(pid)
+    return completed
+
+
+def read_long_checkpoint(ckpt_dir: str) -> rd.Dataset:
+    paths = []
+    m = load_manifest(ckpt_dir)
+    for pid in sorted(int(k) for k in m["partitions"]):
+        p = os.path.join(ckpt_dir, "long", f"part={pid}", "data.parquet")
+        if os.path.exists(p):
+            paths.append(p)
+    return rd.read_parquet(paths)
+
+
+def long_view(long_ds: rd.Dataset) -> pd.DataFrame:
+    """Long table in canonical order with the reference's column set."""
+    df = long_ds.to_pandas().sort_values(["order_key", "_item"], kind="stable")
+    return df[LONG_COLUMNS].reset_index(drop=True)
+
+
+def wide_view(wide_ds: rd.Dataset) -> pd.DataFrame:
+    df = wide_ds.to_pandas()
+    return df.sort_values(DOC_KEYS, kind="stable").reset_index(drop=True)

@@ -349,6 +349,7 @@ def oracle_stage2(frontier: pd.DataFrame, corpus: pd.DataFrame):
         index=["证券代码", "公司名称", "报告名称", "报告日期", "PDF链接"],
         columns="项目名称", values="金额", aggfunc="first",
     ).reset_index()
+    wide.columns.name = None
     flags = dd.groupby("PDF链接")["_has_data_resource"].first()
     wide["是否包含数据资产"] = wide["PDF链接"].map(flags).astype(int)
     for c in PARENTS:

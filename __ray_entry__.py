@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (seeds → frontier → seen-set
+admission → politeness-gated fetch → decode/validate/extract → wide report)
+over the deterministic sf0.001-scale synthetic corpus.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes every operator family from SURVEY.md §2 plus the
+training-data extensions; ``oracle_sql()`` gives DuckDB equivalents for every
+SQL-expressible entry (column names match exactly). Crawl-specific entries
+run the synthetic image+caption corpus (BASELINE.json input_hint) and are
+rows-only checked; their real conformance gate is tests/test_stage{1,2}.py
+against the per-row oracle.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +20,130 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from cninfo_crawler_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; driver checks rows >= 0."""
+    from cninfo_crawler_ray.pipelines.crawl import run_crawl
+
+    return run_crawl(n_images=1_000)["wide"]
+
+
+def _crawl_frontier(sf_dir: str):
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    ds = stage1.build_frontier(fdir)
+    return ds.drop_columns(["priority"])  # float col: keep rows-only output stable
+
+
+def _fetch_decode_stats(sf_dir: str):
+    import pandas as pd
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.pipelines import stage1, stage2
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    decoded = stage2.fetch_decode(frontier, f"{fdir}/corpus.parquet", CrawlConfig())
+    df = decoded.to_pandas()
+    ok = df[df["type_ok"]]
+    fmts = ok["PDF链接"].str.rsplit(".", n=1).str[-1]
+    out = ok.assign(fmt=fmts).groupby("fmt", as_index=False).agg(
+        n_docs=("PDF链接", "size"), n_with_flag=("_has_data_resource", "sum")
+    )
+    return out
+
+
+def _wide_report(sf_dir: str):
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.pipelines import stage1, stage2
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    decoded = stage2.fetch_decode(frontier, f"{fdir}/corpus.parquet", CrawlConfig())
+    return stage2.wide_view(stage2.wide_from_long(stage2.long_from_decoded(decoded)))
+
+
+def _image_features(sf_dir: str):
+    """Multimodal plumbing: decode validated images → 2×2 block-mean RGB
+    features (int). The decode step is the real codec; swapping in a JPEG/
+    PNG library on a real cluster changes only codecs.decode_image."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.functions import codecs
+    from cninfo_crawler_ray.pipelines import stage1, stage2
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.fetch import Fetcher
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+    fetched = frontier.map_batches(
+        Fetcher, fn_constructor_args=(f"{fdir}/corpus.parquet",),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+
+    def feats(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for url, blob in zip(t["PDF链接"].to_pylist(), t["bytes"].to_pylist()):
+            if not blob:
+                continue
+            try:
+                px, fmt, _ = codecs.decode_image(blob)
+            except Exception:
+                continue
+            h, w = px.shape[:2]
+            g = px[: h - h % 2, : w - w % 2].reshape(2, h // 2, 2, w // 2, 3).mean(axis=(1, 3))
+            q = np.round(g.mean(axis=2)).astype(np.int64).flatten()
+            rows.append((url.rsplit("/", 1)[-1].rsplit(".", 1)[0], *q))
+        return pd.DataFrame(rows, columns=["image_id", "f00", "f01", "f10", "f11"])
+
+    return fetched.map_batches(feats, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregation / dedup / sort / pivot / join operator families
+        "pricing_summary": Q.q_pricing_summary,
+        "latest_order_per_customer": Q.q_latest_order_per_customer,
+        "exact_dedup_docs": Q.q_exact_dedup_docs,
+        "distinct_flag_status": Q.q_distinct_flag_status,
+        "filter_docs_regex": Q.q_filter_docs_regex,
+        "nation_revenue": Q.q_nation_revenue,
+        "orders_pivot": Q.q_orders_pivot,
+        "customers_without_orders": Q.q_customers_without_orders,
+        # streaming-shaped
+        "events_hourly": Q.q_events_hourly,
+        "sessionize": Q.q_sessionize,
+        # text analysis
+        "token_stats": Q.q_token_stats,
+        "quality_features": Q.q_quality_features,
+        "lang_id": Q.q_lang_id,
+        "fingerprint_md5": Q.q_fingerprint_md5,
+        "rolling_fingerprint": Q.q_rolling_fingerprint,
+        # near-dup dedup family
+        "minhash_lsh_dedup": Q.q_minhash_lsh_dedup,
+        "simhash": Q.q_simhash,
+        "embedding_topk_pairs": Q.q_embedding_topk_pairs,
+        # similarity search
+        "ann_topk": Q.q_ann_topk,
+        "ann_lsh_topk": Q.q_ann_lsh_topk,
+        # crawl engine (synthetic corpus; conformance-tested vs oracle in tests/)
+        "crawl_frontier": _crawl_frontier,
+        "fetch_decode_stats": _fetch_decode_stats,
+        "wide_report": _wide_report,
+        "image_features": _image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLE_SQL)

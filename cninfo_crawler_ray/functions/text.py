@@ -68,15 +68,18 @@ def stopword_ratio(texts: pd.Series) -> pd.Series:
 #: tiny per-language character-class heuristic; real deployments would load a
 #: fasttext-style model in the actor __init__ — the plumbing is identical.
 def lang_id(texts: pd.Series) -> pd.Series:
+    """Integer-threshold comparisons (5·count > len, 5·count > 2·len) so the
+    DuckDB oracle (__ray_entry__) matches bit-for-bit — ratios like 0.4 are
+    not exactly representable in floats."""
     s = texts.fillna("")
     n = s.str.len().clip(lower=1)
-    cjk = s.str.count(r"[一-鿿]") / n
-    cyr = s.str.count(r"[Ѐ-ӿ]") / n
-    lat = s.str.count(r"[A-Za-z]") / n
+    cjk = s.str.count(r"[一-鿿]")
+    cyr = s.str.count(r"[Ѐ-ӿ]")
+    lat = s.str.count(r"[A-Za-z]")
     out = pd.Series("unknown", index=s.index, dtype=object)
-    out[lat > 0.4] = "en"
-    out[cyr > 0.2] = "ru"
-    out[cjk > 0.2] = "zh"
+    out[lat * 5 > n * 2] = "en"
+    out[cyr * 5 > n] = "ru"
+    out[cjk * 5 > n] = "zh"
     return out
 
 

@@ -1,0 +1,601 @@
+"""Driver-facing query surface: every operator family from SURVEY.md §2 plus
+the training-data extensions (dedup, similarity search, text analysis,
+multimodal plumbing), each as a callable over an sf_dir of parquet tables.
+
+Conventions:
+- Ray-Data-first: read_parquet with pruned columns → vectorized map_batches →
+  keyed groupby only where a shuffle is semantically required.
+- SQL-checked queries name every output column identically to their
+  ``ORACLE_SQL`` entry, and reduce doubles to integer cents via
+  floor(x*100 + 0.5) BEFORE summing so hashes are order- and
+  backend-independent.
+- Crawl-specific queries (no SQL equivalent — they run the synthetic corpus)
+  return deterministic tables and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import dedup as D
+from ..functions import text as T
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Order-independent money reduction: per-row floor(x*100+0.5) → int64."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# A7 / partial-aggregation pattern — TPC-H Q1-shaped pricing summary
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Per-batch partial aggregation (one row per key per batch) ahead of the
+    groupby, so the shuffle moves O(keys × batches) rows, not O(rows)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["sum_qty"] = df["l_quantity"].astype(np.int64)
+        df["base_cents"] = _cents(df["l_extendedprice"])
+        df["revenue_cents"] = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            base_cents=("base_cents", "sum"),
+            revenue_cents=("revenue_cents", "sum"),
+            n_rows=("sum_qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="base_cents"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A3 — per-key keep-latest (argmax by date, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+def q_latest_order_per_customer(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def per_batch_top1(t: pa.Table) -> pa.Table:
+        # partial argmax per batch — shrinks the shuffle to ≤1 row/key/batch
+        df = t.to_pandas()
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        return pa.Table.from_pandas(df.drop_duplicates("o_custkey"), preserve_index=False)
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, True], kind="stable")
+        return g.head(1)
+
+    out = (
+        ds.map_batches(per_batch_top1, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(top1, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda df: df.assign(o_orderdate=df["o_orderdate"].dt.strftime("%Y-%m-%d")),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — exact dedup (hash-partitioned first-wins)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"text_md5": pa.array(h, pa.string()), "doc_id": t["doc_id"]})
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distinct / filter+project
+# ---------------------------------------------------------------------------
+
+def q_distinct_flag_status(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_returnflag", "l_linestatus"])
+    )
+
+
+def q_filter_docs_regex(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.match_substring_regex(t["text"], "vector|stream"),
+                    pc.equal(t["lang"], "en"))
+        ).select(["doc_id", "source"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — broadcast join (small dims via ray.put, no shuffle)
+# ---------------------------------------------------------------------------
+
+def q_nation_revenue(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    name_by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    class JoinOrders:
+        def __init__(self):
+            self.c2n = ray.get(cust_ref)  # broadcast: fetched once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["n_nationkey"] = df["o_custkey"].map(self.c2n).astype(np.int64)
+            df["revenue_cents"] = _cents(df["o_totalprice"])
+            g = df.groupby("n_nationkey", as_index=False)["revenue_cents"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(JoinOrders, batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5)
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    return out.map_batches(
+        lambda df: df.assign(nation=df["n_nationkey"].map(name_by_key)).drop(columns=["n_nationkey"]),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — pivot long→wide (fixed category domain)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+def q_orders_pivot(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).size()
+        wide = g.pivot_table(index="o_orderstatus", columns="o_orderpriority",
+                             values="size", aggfunc="sum", fill_value=0).reset_index()
+        for p in _PRIORITIES:
+            if p not in wide.columns:
+                wide[p] = 0
+        wide = wide[["o_orderstatus"] + _PRIORITIES]
+        wide.columns = ["o_orderstatus"] + _PRIO_COLS
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    aggs = [Sum(c, alias_name=c) for c in _PRIO_COLS]
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("o_orderstatus").aggregate(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# J4 — anti join (broadcast key set / bloom at scale)
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join: customers with no URGENT order. At 100 TB the broadcast
+    side becomes a Bloom filter of key hashes; at these sizes the exact key
+    set is cheaper and exact."""
+    custkeys = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    keys_ref = ray.put(set(custkeys))
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask)).select(["c_custkey"])
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        AntiJoin, batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: tumbling window + sessionization (SURVEY.md §2.9 analog)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        df["value_cents"] = _cents(df["value"])
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization = ordered, partitioned-log windowing: shuffle on
+    user_id, per-group pandas over the time-sorted log. Ordering assumption:
+    (ts, event_id) is a total order within a user."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [np.int64(len(g))],
+                "n_sessions": [np.int64(new.sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_tokens": T.token_count(df["text"]),
+             "n_chars": df["text"].str.len().astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_quality_features(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.concat([df[["doc_id"]].reset_index(drop=True),
+                              T.quality_features(df["text"]).reset_index(drop=True)], axis=1),
+        batch_format="pandas",
+    )
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": T.lang_id(df["text"])}),
+        batch_format="pandas",
+    )
+
+
+def q_fingerprint_md5(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"], "fp": T.md5_fingerprint(df["text"])}),
+        batch_format="pandas",
+    )
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"], "fp64": T.rolling_fingerprint(df["text"])}),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup dedup family
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
+    """MinHash+LSH: per-batch signatures → explode (band_key, doc_id) →
+    groupby(band_key) → candidate pairs → Jaccard-verify. Returns verified
+    near-dup pairs (a < b)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class Sign:
+        def __init__(self):
+            self.mh = D.MinHasher(64)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for did, text in zip(df["doc_id"], df["text"]):
+                sig = self.mh.signature(text)
+                for bk in self.mh.band_keys(sig, bands):
+                    rows.append((bk, did))
+            return pd.DataFrame(rows, columns=["band_key", "doc_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    cand = (
+        ds.map_batches(Sign, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5)
+        .groupby("band_key")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    cand_df = cand.to_pandas().drop_duplicates()  # candidates are few
+    if len(cand_df) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    texts = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
+    keep = [
+        D.jaccard(texts[a], texts[b]) >= threshold
+        for a, b in zip(cand_df["doc_a"], cand_df["doc_b"])
+    ]
+    return cand_df[np.array(keep)].reset_index(drop=True)
+
+
+def q_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"], "simhash64": D.simhash64(df["text"])}),
+        batch_format="pandas",
+    )
+
+
+def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
+    """Embedding near-dup: per-batch cosine vs the (broadcast) full matrix,
+    keep each batch's best pairs, reduce to global top-k. The broadcast side
+    becomes IVF cells at real scale; the batch-side math is identical."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    ref = ray.put((ids, mat))
+
+    class BatchPairs:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+            n = self.mat / np.maximum(np.linalg.norm(self.mat, axis=1, keepdims=True), 1e-12)
+            self.norm = n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ self.norm.T  # (batch, n)
+            rows = []
+            for i, vid in enumerate(df["vec_id"].to_numpy()):
+                mask = self.ids > vid  # each unordered pair once
+                if not mask.any():
+                    continue
+                s = sims[i][mask]
+                top = np.argsort(-s)[:k]
+                cand_ids = self.ids[mask][top]
+                for j, cid in enumerate(cand_ids):
+                    rows.append((int(vid), int(cid), float(s[top[j]])))
+            return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos"])
+
+    allp = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        BatchPairs, batch_format="pandas", batch_size=256, concurrency=(1, 4), num_cpus=0.5
+    )
+    out = allp.to_pandas().sort_values("cos", ascending=False).head(k)
+    return out[["vec_a", "vec_b"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k vs a fixed query (vec_id=0): broadcast query,
+    per-batch matmul partial top-k, tiny global reduce."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_row = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    qv = np.asarray(q_row, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    q_ref = ray.put(qv)
+
+    class TopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            s = m @ self.q
+            ids = df["vec_id"].to_numpy()
+            keep = ids != 0
+            s, ids = s[keep], ids[keep]
+            top = np.argsort(-s)[:k]
+            return pd.DataFrame({"vec_id": ids[top], "cos": s[top]})
+
+    part = emb.map_batches(TopK, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, 4), num_cpus=0.5)
+    final = part.to_pandas().sort_values("cos", ascending=False).head(k)
+    return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
+
+
+def q_ann_lsh_topk(sf_dir: str, k: int = 10, planes: int = 12):
+    """LSH-bucketed ANN (the scale path): random-hyperplane bucket per
+    vector; search only buckets within hamming ≤ 2 of the query's bucket.
+    Approximate — returns its own top-k (rows-only check)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rng = np.random.Generator(np.random.PCG64(7))
+    H = rng.standard_normal((64, planes))
+    q_row = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    qv = np.asarray(q_row, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    qsig = (qv @ H > 0).astype(np.uint8)
+    refs = ray.put((H, qv, qsig))
+
+    class Bucketed:
+        def __init__(self):
+            self.H, self.q, self.qsig = ray.get(refs)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sig = (mn @ self.H > 0).astype(np.uint8)
+            dist = (sig != self.qsig[None, :]).sum(axis=1)
+            mask = (dist <= 2) & (df["vec_id"].to_numpy() != 0)
+            if not mask.any():
+                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                     "cos": pd.Series([], dtype="float64")})
+            s = mn[mask] @ self.q
+            ids = df["vec_id"].to_numpy()[mask]
+            top = np.argsort(-s)[:k]
+            return pd.DataFrame({"vec_id": ids[top], "cos": s[top]})
+
+    part = emb.map_batches(Bucketed, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, 4), num_cpus=0.5)
+    final = part.to_pandas().sort_values("cos", ascending=False).head(k)
+    return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles (DuckDB; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS base_cents,
+               SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn FROM orders)
+        WHERE rn = 1
+    """,
+    "exact_dedup_docs": """
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    """,
+    "distinct_flag_status": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "filter_docs_regex": """
+        SELECT doc_id, source FROM documents
+        WHERE regexp_matches(text, 'vector|stream') AND lang = 'en'
+    """,
+    "nation_revenue": """
+        SELECT SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               n.n_name AS nation
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "orders_pivot": """
+        SELECT o_orderstatus,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1_urgent,
+               SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2_high,
+               SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3_medium,
+               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4_not_specified,
+               SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5_low
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               COUNT(*) AS n_events,
+               SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        SELECT user_id, COUNT(*) AS n_events, SUM(new_sess) AS n_sessions
+        FROM (SELECT user_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        GROUP BY user_id
+    """,
+    "token_stats": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               length(text) AS n_chars
+        FROM documents
+    """,
+    "quality_features": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+               length(text) - length(replace(text, ' ', '')) AS n_space,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    """,
+    "lang_id": """
+        SELECT doc_id,
+               CASE WHEN (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) * 5
+                         > GREATEST(length(text), 1) THEN 'zh'
+                    WHEN (length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))) * 5
+                         > GREATEST(length(text), 1) THEN 'ru'
+                    WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 5
+                         > GREATEST(length(text), 1) * 2 THEN 'en'
+                    ELSE 'unknown' END AS pred_lang
+        FROM documents
+    """,
+    "fingerprint_md5": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "ann_topk": """
+        SELECT vec_id FROM (
+            SELECT e.vec_id,
+                   list_cosine_similarity(e.embedding, q.embedding) AS s
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id != 0)
+        ORDER BY s DESC LIMIT 10
+    """,
+}

@@ -36,7 +36,9 @@ class CrawlConfig:
     num_hosts: int = 8             # synthetic host universe (hot host 0)
 
     # --- Ray Data stage sizing ---
-    listing_batch_size: int = 64       # seeds per listing task
+    listing_batch_size: int = 1        # seeds per listing task — one stream
+                                       # is the parallel unit (its page loop
+                                       # is inherently sequential)
     probe_batch_size: int = 4096       # HEAD-analog probe rows per batch
     fetch_batch_size: int = 512        # binary payload rows per batch (bytes are KB-MB each)
     decode_batch_size: int = 256

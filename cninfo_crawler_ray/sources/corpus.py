@@ -209,6 +209,9 @@ def _sec_code_for(i: int, rng: np.random.Generator) -> str:
 
 
 def _title_for(i: int, rng: np.random.Generator, year: int) -> str:
+    """``year`` is the stream date's year — inside the −3-month-shifted
+    target-year window (cninfo_report_crawler.py:384-400), so base titles
+    pass M4; kinds 0/1/3 are the filtered cases."""
     kind = int(rng.integers(0, 10))
     base = f"{year}年年度报告"
     if kind == 0:
@@ -218,7 +221,7 @@ def _title_for(i: int, rng: np.random.Generator, year: int) -> str:
     if kind == 2:
         return "关于公司治理的公告"  # no digits → kept by M4
     if kind == 3:
-        return f"{year + 3}年年度报告"  # wrong year + has digits → dropped
+        return f"{year - 3}年年度报告"  # wrong year + has digits → dropped
     return base
 
 
@@ -241,7 +244,7 @@ def announcements_rows(n_images: int, dates: list[date], category: str) -> pa.Ta
                 next_img += 1
                 image_id = f"img_{i:08d}"
                 fmt = image_fmt(image_id)
-                year = d.year - 1
+                year = d.year
                 arng = _rng_for(f"ann:{exch}:{d}:{j}")
                 t_kind = int(arng.integers(0, 3))
                 if t_kind == 0:
@@ -309,8 +312,11 @@ def default_dates(n_days: int = 4) -> list[date]:
     return [start + timedelta(days=i) for i in range(n_days)]
 
 
+FIXTURE_VERSION = 2  # bump when generation logic changes → new cache dirs
+
+
 def fixture_dir(n_images: int) -> str:
-    return os.path.join(FIXTURE_ROOT, f"n{n_images}_seed{SEED}")
+    return os.path.join(FIXTURE_ROOT, f"v{FIXTURE_VERSION}_n{n_images}_seed{SEED}")
 
 
 def ensure_fixtures(n_images: int, n_days: int = 4, use_ray: bool | None = None) -> str:

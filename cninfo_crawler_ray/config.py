@@ -34,6 +34,11 @@ class CrawlConfig:
     num_partitions: int = 16       # url-sha1 hash-range checkpoint partitions
     seen_shards: int = 8           # seen-set actor shards
     num_hosts: int = 8             # synthetic host universe (hot host 0)
+    #: hash buckets for the grouped reductions (A2/A3, A5/A6). Each bucket is
+    #: one vectorized map_groups call covering MANY logical keys — per-group
+    #: Python overhead stays O(buckets), not O(distinct keys). On a cluster,
+    #: size ≈ 2-4 × total cores so buckets spread evenly.
+    reduce_buckets: int = 32
 
     # --- Ray Data stage sizing ---
     listing_batch_size: int = 1        # seeds per listing task — one stream

@@ -5,12 +5,16 @@ Ray-Data shape (SURVEY.md §3.1 traced → §7.6):
     seeds ──map_batches(ListingEnumerator actor pool)──▶ announcements
           ──map_batches(vectorized normalize+filter+hash)──▶ candidates
           ──map_batches(Prober actor pool)──▶ head-validated
-          ──groupby(股票代码).map_groups(A2+A3)──▶ one row per code
+          ──map_batches(partial A2 + bucket)──▶ combiner output
+          ──groupby(_bucket).map_groups(vectorized A2+A3)──▶ one row per code
           ──sort(order_key)──▶ frontier
 
 One shuffle total: A2 (3-col dedup) and A3 (keep-latest per code) share the
-股票代码 key, so they collapse into a single grouped reduction. Every other
-step is an embarrassingly-parallel batch transform. Crawl order is pinned by
+股票代码 key, so they collapse into a single grouped reduction, hash-bucketed
+so each reduce call handles MANY codes with vectorized pandas (per-group
+Python overhead is O(buckets), not O(codes)), with a within-batch A2
+combiner shrinking shuffle volume first. Every other step is an
+embarrassingly-parallel batch transform. Crawl order is pinned by
 ``order_key`` stamped at admission (SURVEY.md §3.4), so results are identical
 at any parallelism.
 """
@@ -88,17 +92,39 @@ def _empty_candidates() -> pa.Table:
     )
 
 
-def _a2_a3_per_code(group: pd.DataFrame) -> pd.DataFrame:
-    """A2 (3-col dedup, keep first-in-canonical-order) + A3 (keep latest by
-    报告日期, ties → canonical order) inside one 股票代码 group
-    (cninfo_report_crawler.py:524-530)."""
-    g = group.sort_values("order_key", kind="stable")
-    g = g.drop_duplicates(subset=["公司名称", "财报名称"], keep="first")
+A2_KEYS = ["股票代码", "公司名称", "财报名称"]
+
+
+def _partial_a2_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Combiner + bucketing before the A2/A3 shuffle.
+
+    Within-batch A2 dedup (keep min order_key per 3-key) is a safe partial
+    reduction — the global winner per key is the global min order_key, an
+    associative argmin — and it shrinks shuffle volume. ``_bucket`` =
+    hash(股票代码) % B groups MANY codes per reduce call; all rows of one
+    code land in one bucket, so the per-bucket kernel is exact."""
+    df = t.to_pandas()
+    df = df.sort_values("order_key", kind="stable").drop_duplicates(
+        subset=A2_KEYS, keep="first"
+    )
+    df["_bucket"] = (
+        pd.util.hash_pandas_object(df["股票代码"], index=False) % num_buckets
+    ).astype("int32")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _a2_a3_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """A2 (3-col dedup, keep first-in-canonical-order) + A3 (keep latest
+    报告日期 per 股票代码, ties → canonical order) for EVERY code in one
+    hash bucket, fully vectorized (cninfo_report_crawler.py:524-530)."""
+    g = df.sort_values("order_key", kind="stable")
+    g = g.drop_duplicates(subset=A2_KEYS, keep="first")
     d = pd.to_datetime(g["报告日期"], errors="coerce").fillna(pd.Timestamp.min)
-    idx = pd.DataFrame({"d": d, "ok": g["order_key"]}).sort_values(
-        ["d", "ok"], ascending=[False, True], kind="stable"
-    ).index[0]
-    return g.loc[[idx]]
+    g = g.assign(_d=d).sort_values(
+        ["股票代码", "_d", "order_key"], ascending=[True, False, True], kind="stable"
+    )
+    g = g.drop_duplicates(subset=["股票代码"], keep="first")
+    return g.drop(columns=["_d", "_bucket"])
 
 
 def target_years_for(fixture_dir: str) -> list[int]:
@@ -145,12 +171,15 @@ def build_frontier(
         num_cpus=cfg.actor_num_cpus,
     )
     valid = probed.map_batches(
-        lambda t: t.filter(t["head_ok"]).drop_columns(
-            ["status", "content_type", "content_length", "head_ok"]
+        lambda t: _partial_a2_bucket(
+            t.filter(t["head_ok"]).drop_columns(
+                ["status", "content_type", "content_length", "head_ok"]
+            ),
+            cfg.reduce_buckets,
         ),
         batch_format="pyarrow",
     )
-    frontier = valid.groupby("股票代码").map_groups(_a2_a3_per_code, batch_format="pandas")
+    frontier = valid.groupby("_bucket").map_groups(_a2_a3_bucket, batch_format="pandas")
     return frontier.sort("order_key")
 
 

@@ -34,7 +34,6 @@ from ..functions.kernels import adjust_amount_special, sentinel_to_zero
 from ..schemas import LONG_COLUMNS, PARENT_CATEGORIES
 from ..stages.decode import Decoder
 from ..stages.fetch import Fetcher
-from ..stages.reduce import pivot_group_wide
 
 DOC_KEYS = ["证券代码", "公司名称", "报告名称", "报告日期", "PDF链接"]
 
@@ -122,25 +121,57 @@ def long_from_decoded(decoded: rd.Dataset) -> rd.Dataset:
     return decoded.map_batches(_explode_long, batch_format="pyarrow")
 
 
-def wide_from_long(long_ds: rd.Dataset) -> rd.Dataset:
-    """A5+A6+J3 in one grouped shuffle over the document keys."""
-    return long_ds.groupby(DOC_KEYS).map_groups(
-        lambda g: pivot_group_wide(
-            g.sort_values(["order_key", "_item"], kind="stable")
-            .groupby("项目名称", sort=False, group_keys=False)
-            .apply(_prefer_positive)
-        ),
+def _bucket_by_doc(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Hash documents (PDF链接) into B buckets so the A5+A6 reduce runs one
+    vectorized kernel per bucket instead of one Python call per document."""
+    df = t.to_pandas()
+    df["_bucket"] = (
+        pd.util.hash_pandas_object(df["PDF链接"], index=False) % num_buckets
+    ).astype("int32")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _wide_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """A5 (per (doc, 项目名称): first positive 金额 else first, canonical
+    order, report_info_collection.py:462-489) + A6 pivot (R:492-497) + J3
+    flag carry (constant per document, R:507-516) for every document in one
+    hash bucket — all vectorized."""
+    from ..functions.kernels import numeric_value_col
+    from ..schemas import SENTINELS, WIDE_COLUMNS
+
+    pos = (numeric_value_col(df["金额"]) > 0).astype(int)
+    g = (
+        df.assign(_pos=pos)
+        .sort_values(["_pos", "order_key", "_item"],
+                     ascending=[False, True, True], kind="stable")
+        .drop_duplicates(subset=DOC_KEYS + ["项目名称"], keep="first")
+    )
+    wide = (
+        g.set_index(DOC_KEYS + ["_has_data_resource", "项目名称"])["金额"]
+        .unstack("项目名称")
+        .reset_index()
+        .rename_axis(columns=None)
+    )
+    for cat in PARENT_CATEGORIES:
+        if cat not in wide.columns:
+            wide[cat] = "0"
+        col = wide[cat]
+        wide[cat] = col.where(col.notna() & ~col.isin(SENTINELS), "0").astype(str)
+    wide = wide.rename(columns={"_has_data_resource": "是否包含数据资产"})
+    wide["是否包含数据资产"] = wide["是否包含数据资产"].astype(int)
+    return wide[WIDE_COLUMNS]
+
+
+def wide_from_long(long_ds: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """A5+A6+J3 in one bucketed grouped shuffle over the document keys."""
+    bucketed = long_ds.map_batches(
+        _bucket_by_doc, fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("_bucket").map_groups(
+        lambda b: _wide_bucket(b.drop(columns=["_bucket"])),
         batch_format="pandas",
     )
-
-
-def _prefer_positive(g: pd.DataFrame) -> pd.DataFrame:
-    from ..functions.kernels import numeric_value_col
-
-    if len(g) == 1:
-        return g
-    pos = g[numeric_value_col(g["金额"]) > 0]
-    return (pos if len(pos) else g).head(1)
 
 
 # ---------------------------------------------------------------------------

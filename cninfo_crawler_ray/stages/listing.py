@@ -47,19 +47,31 @@ class ListingEnumerator:
         self.cfg = config or CrawlConfig()
         self.ds = pads.dataset(announcements_path)
         self.politeness = politeness_handle
+        self._index: dict[tuple, dict[int, pa.Table]] | None = None
+
+    def _build_index(self) -> None:
+        """One scan per ACTOR (not per seed): slice the listing store into
+        per-(exchange, date, page) tables. This stands in for the listing
+        API's server-side index; on a real cluster each actor would hold a
+        connection, not the table — the per-stream page loop is unchanged."""
+        t = self.ds.to_table()
+        t = t.sort_by([
+            ("exchange", "ascending"), ("date", "ascending"),
+            ("page_num", "ascending"), ("index_in_page", "ascending"),
+        ])
+        self._index = {}
+        keys = pa.table({
+            "exchange": t["exchange"], "date": t["date"], "page_num": t["page_num"],
+        }).to_pandas()
+        grp = keys.groupby(["exchange", "date", "page_num"], sort=False).indices
+        for (ex, d, p), idx in grp.items():
+            lo, hi = int(idx[0]), int(idx[-1]) + 1
+            self._index.setdefault((ex, d), {})[int(p)] = t.slice(lo, hi - lo)
 
     def _stream_pages(self, exchange: str, d) -> dict[int, pa.Table]:
-        import pyarrow.compute as pc
-
-        flt = (pads.field("exchange") == exchange) & (pads.field("date") == d)
-        t = self.ds.to_table(filter=flt)
-        if t.num_rows == 0:
-            return {}
-        t = t.sort_by([("page_num", "ascending"), ("index_in_page", "ascending")])
-        pages = {}
-        for p in pc.unique(t["page_num"]).to_pylist():
-            pages[p] = t.filter(pc.equal(t["page_num"], p))
-        return pages
+        if self._index is None:
+            self._build_index()
+        return self._index.get((exchange, d), {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg

@@ -134,9 +134,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": Q.q_minhash_lsh_dedup,
         "simhash": Q.q_simhash,
         "embedding_topk_pairs": Q.q_embedding_topk_pairs,
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        # sort / limit / set ops
+        "top_orders": Q.q_top_orders,
+        "union_custkeys": Q.q_union_custkeys,
         # similarity search
         "ann_topk": Q.q_ann_topk,
         "ann_lsh_topk": Q.q_ann_lsh_topk,
+        "ann_ivf_topk": Q.q_ann_ivf_topk,
         # crawl engine (synthetic corpus; conformance-tested vs oracle in tests/)
         "crawl_frontier": _crawl_frontier,
         "fetch_decode_stats": _fetch_decode_stats,

@@ -108,7 +108,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str, dict]:
         w, h, clen = struct.unpack_from("<III", data, 4)
         body_end = 16 + clen
         quant = np.frombuffer(zlib.decompress(data[16:body_end]), dtype=np.uint8).reshape(h, w, 3)
-        px = ((quant.astype(np.uint16) << 2) + 2).clip(0, 255).astype(np.uint8)
+        # quant is 6-bit (≤63), so (q<<2)+2 ≤ 254 fits uint8 directly — one
+        # pass, no uint16 temporary, no clip (same values as the widened
+        # form; decode is memory-bandwidth-sensitive at high core counts)
+        px = ((quant << 2) + 2).astype(np.uint8, copy=False)
     else:
         raise ValueError("unrecognized payload magic")
     return px, fmt, _split_meta(data, body_end)

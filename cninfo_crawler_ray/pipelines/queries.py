@@ -26,6 +26,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions import bucketed as B
 from ..functions import dedup as D
 from ..functions import text as T
 
@@ -89,14 +90,15 @@ def q_latest_order_per_customer(sf_dir: str):
                             ascending=[True, False, True], kind="stable")
         return pa.Table.from_pandas(df.drop_duplicates("o_custkey"), preserve_index=False)
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, True], kind="stable")
-        return g.head(1)
+    def top1_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized argmax for EVERY custkey in the bucket
+        b = b.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          ascending=[True, False, True], kind="stable")
+        return b.drop_duplicates("o_custkey")
 
-    out = (
-        ds.map_batches(per_batch_top1, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(top1, batch_format="pandas")
+    out = B.bucketed_map_groups(
+        ds.map_batches(per_batch_top1, batch_format="pyarrow"),
+        ["o_custkey"], top1_bucket,
     )
     return out.map_batches(
         lambda df: df.assign(o_orderdate=df["o_orderdate"].dt.strftime("%Y-%m-%d")),
@@ -270,18 +272,20 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [np.int64(len(g))],
-                "n_sessions": [np.int64(new.sum())],
-            }
+    def sessions_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL users in the bucket: a session break is a
+        # user change or a gap > threshold in the (user, ts, event_id) order
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = b["user_id"].ne(b["user_id"].shift())
+        brk = new_user | (b["ts"] - b["ts"].shift() > gap)
+        return (
+            b.assign(_ns=brk.astype("int64"))
+            .groupby("user_id", as_index=False)
+            .agg(n_events=("_ns", "size"), n_sessions=("_ns", "sum"))
+            .astype({"n_events": "int64", "n_sessions": "int64"})
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return B.bucketed_map_groups(ds, ["user_id"], sessions_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -492,6 +496,136 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 10, planes: int = 12):
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, stop_cap: int = 100):
+    """Exact n-gram (word-3-gram) Jaccard near-dup pairs via an inverted
+    shingle index: doc → distinct shingles (map_batches) → bucketed
+    self-join per shingle → pair-intersection counts (groupby) → Jaccard
+    gate against full per-doc shingle counts.
+
+    Any pair with J > 0 shares a shingle, so the index is exhaustive;
+    shingles appearing in > ``stop_cap`` docs are skipped (stop-shingles —
+    they'd add O(cap²) candidate pairs each and can't push a true near-dup
+    pair below threshold alone; the SQL oracle applies the same cap)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = D._WORD_RE.findall(str(text).lower())
+            if len(toks) < 3:
+                continue
+            for s in {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}:
+                rows.append((s, did))
+        return pd.DataFrame(rows, columns=["shingle", "doc_id"])
+
+    sh = ds.map_batches(shingle_rows, batch_format="pandas")
+    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    n_by_doc = dict(zip(sizes["doc_id"], sizes["n"]))
+
+    def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # shingles are hashed whole into one bucket → counts here are exact
+        cnt = b["shingle"].value_counts()
+        b = b[b["shingle"].map(cnt) <= stop_cap]
+        m = b.merge(b, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return g.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "size": "i"})
+
+    inter = (
+        B.bucketed_map_groups(sh, ["shingle"], pairs_bucket)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("i", alias_name="i"))
+        .to_pandas()
+    )
+    if len(inter) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    na = inter["doc_a"].map(n_by_doc).astype("int64")
+    nb = inter["doc_b"].map(n_by_doc).astype("int64")
+    keep = inter["i"] >= threshold * (na + nb - inter["i"])
+    out = inter.loc[keep, ["doc_a", "doc_b"]]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_top_orders(sf_dir: str, k: int = 100):
+    """Global top-k: per-batch partial top-k (so the sort sees ≤ k ×
+    n_batches rows, never the table) → tiny global sort → limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["total_cents"] = _cents(df["o_totalprice"])
+        df = df.sort_values(["total_cents", "o_orderkey"],
+                            ascending=[False, True], kind="stable").head(k)
+        return pa.Table.from_pandas(df[["o_orderkey", "total_cents"]], preserve_index=False)
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_union_custkeys(sf_dir: str):
+    """Union-all of two sources + exact distinct (set-op family)."""
+    a = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({"k": t["o_custkey"]}), batch_format="pyarrow"
+    )
+    b = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"k": t["c_custkey"]}), batch_format="pyarrow"
+    )
+    return a.union(b).groupby("k").aggregate(Count(alias_name="_n")).select_columns(["k"])
+
+
+def q_ann_ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
+    """IVF-style ANN (the scale path next to LSH): coarse centroids from a
+    deterministic seeded k-means on a driver-side sample, then each batch
+    keeps only vectors whose nearest cell is one of the query's ``n_probe``
+    cells and scores those — per-batch work drops to ~n_probe/n_cells of
+    brute force while the matmul stays vectorized. Approximate → rows-only
+    check; recall vs brute force is asserted in tests."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.stack(emb.limit(2048).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(13))
+    C = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(3):  # Lloyd iterations, spherical
+        assign = np.argmax(sample @ C.T, axis=1)
+        for c in range(len(C)):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    q_row = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    qv = np.asarray(q_row, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    probe_cells = np.argsort(-(C @ qv))[:n_probe]
+    ref = ray.put((C, qv, set(int(c) for c in probe_cells)))
+
+    class IVFSearch:
+        def __init__(self):
+            self.C, self.q, self.cells = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(mn @ self.C.T, axis=1)
+            mask = np.isin(cell, list(self.cells)) & (df["vec_id"].to_numpy() != 0)
+            if not mask.any():
+                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                     "cos": pd.Series([], dtype="float64")})
+            s = mn[mask] @ self.q
+            ids = df["vec_id"].to_numpy()[mask]
+            top = np.argsort(-s)[:k]
+            return pd.DataFrame({"vec_id": ids[top], "cos": s[top]})
+
+    part = emb.map_batches(IVFSearch, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, 4), num_cpus=0.5)
+    final = part.to_pandas().sort_values("cos", ascending=False).head(k)
+    return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
@@ -589,6 +723,41 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "fingerprint_md5": """
         SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "ngram_jaccard_pairs": """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS ord
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT w1.doc_id, w1.tok || ' ' || w2.tok || ' ' || w3.tok AS shingle
+            FROM words w1
+            JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.ord = w1.ord + 1
+            JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.ord = w1.ord + 2
+        ),
+        keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+        shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE i >= 0.8 * (sa.n + sb.n - i)
+    """,
+    "top_orders": """
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+        FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 100
+    """,
+    "union_custkeys": """
+        SELECT DISTINCT k FROM (SELECT o_custkey AS k FROM orders
+                                UNION ALL SELECT c_custkey AS k FROM customer)
     """,
     "ann_topk": """
         SELECT vec_id FROM (

@@ -189,3 +189,27 @@ def frontier_csv_view(frontier: rd.Dataset) -> pd.DataFrame:
     code) → driver-side pandas is appropriate."""
     df = frontier.to_pandas()
     return df.sort_values("order_key", kind="stable")[FRONTIER_CSV_COLUMNS].reset_index(drop=True)
+
+
+def write_frontier_csv(frontier: rd.Dataset, path: str) -> None:
+    """S5 — the reference's CSV sink (cninfo_report_crawler.py:535-537):
+    fixed column order, utf-8-sig BOM so the artifact is byte-compatible."""
+    frontier_csv_view(frontier).to_csv(path, index=False, encoding="utf-8-sig")
+
+
+def read_frontier_csv(path: str) -> rd.Dataset:
+    """S6 — the stage-2 CSV source (report_info_collection.py:598-611):
+    ``ray.data.read_csv`` with an explicit all-string schema (the analog of
+    ``pd.read_csv(dtype=str)`` — codes like 000005 must NOT become ints),
+    plus the reference's required-column check."""
+    import pyarrow.csv as pacsv
+
+    schema = pa.schema([(c, pa.string()) for c in FRONTIER_CSV_COLUMNS])
+    ds = rd.read_csv(
+        path,
+        convert_options=pacsv.ConvertOptions(column_types=schema),
+    )
+    missing = set(FRONTIER_CSV_COLUMNS) - set(ds.schema().names)
+    if missing:
+        raise ValueError(f"CSV missing required columns: {sorted(missing)}")
+    return ds

@@ -32,7 +32,7 @@ import ray.data as rd
 from ..config import CrawlConfig
 from ..functions.kernels import adjust_amount_special, sentinel_to_zero
 from ..schemas import LONG_COLUMNS, PARENT_CATEGORIES
-from ..stages.decode import Decoder
+from ..stages.decode import Decoder, FetchDecode
 from ..stages.fetch import Fetcher
 
 DOC_KEYS = ["证券代码", "公司名称", "报告名称", "报告日期", "PDF链接"]
@@ -90,6 +90,11 @@ def _explode_long(batch: pa.Table) -> pa.Table:
     return t
 
 
+def _with_fetch_key(t: pa.Table) -> pa.Table:
+    ids = [str(u).rsplit("/", 1)[-1] for u in t["PDF链接"].to_pylist()]
+    return t.append_column("_fetch_key", pa.array(ids, pa.string()))
+
+
 def fetch_decode(
     frontier: rd.Dataset,
     corpus_path: str,
@@ -99,7 +104,39 @@ def fetch_decode(
     politeness=None,
 ) -> rd.Dataset:
     """frontier → decoded docs (streaming; payload bytes dropped after decode
-    so only light rows reach the shuffles)."""
+    so only light rows reach the shuffles).
+
+    Fetch locality: the admitted wave is first sorted by content key
+    (image id) so each fetch batch covers a contiguous store range and the
+    corpus store serves it from O(1) row groups — the columnar analog of
+    coalescing a crawl wave into per-shard request queues. Without this,
+    order_key-ordered batches scatter across every row group and per-batch
+    fetch cost approaches O(corpus), not O(batch). Crawl-order correctness
+    is unaffected: ``order_key``/``fetch_seq`` travel with the rows and all
+    downstream reductions key on them, never on arrival order."""
+    if cfg.fetch_locality:
+        frontier = frontier.map_batches(
+            _with_fetch_key, batch_format="pyarrow"
+        ).sort("_fetch_key")
+        # The sort emits uneven range-partitioned blocks (observed 10× size
+        # skew); one oversized block = one straggler task holding the whole
+        # pipeline's tail (~6 s idle tail measured at 32 CPUs). Split into
+        # many small order-preserving blocks so the actor pool drains evenly.
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 32)) if _ray.is_initialized() else 32
+        frontier = frontier.repartition(max(64, ncpu * 8))
+    if cfg.fuse_fetch_decode:
+        # one pool doing fetch→decode in-process: payload bytes never enter
+        # the object store (see stages.decode.FetchDecode)
+        return frontier.map_batches(
+            FetchDecode,
+            fn_constructor_args=(corpus_path,),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=concurrency or cfg.fetch_actors,
+            num_cpus=cfg.actor_num_cpus,
+        )
     fetched = frontier.map_batches(
         Fetcher,
         fn_constructor_args=(corpus_path,),

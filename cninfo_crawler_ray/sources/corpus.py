@@ -38,6 +38,16 @@ _WORDS = (
 _CJK_SNIPPETS = ["年度报告", "半年度报告", "第一季度报告", "第三季度报告"]
 _SIZES = np.array([16, 32, 64, 128], dtype=np.int32)
 _SIZE_P = np.array([0.25, 0.40, 0.30, 0.05])  # skewed; 128 rare (bytes budget)
+
+#: image-size presets. "default" keeps fixtures tiny (fast unit/conformance
+#: runs); "web" matches realistic crawled-image dimensions so the benchmark
+#: workload is decode-compute-bound like a real image crawl (tiny images
+#: leave fetch+decode scheduling-bound at any cluster size).
+SIZE_PRESETS: dict[str, tuple[np.ndarray, np.ndarray]] = {
+    "default": (_SIZES, _SIZE_P),
+    "web": (np.array([64, 128, 256, 512], dtype=np.int32),
+            np.array([0.30, 0.40, 0.25, 0.05])),
+}
 _FMT_P = {"raw": 0.25, "ppm": 0.25, "qlossy": 0.50}
 
 
@@ -131,14 +141,15 @@ def image_fmt(image_id: str) -> str:
     return "raw" if r < 0.25 else ("ppm" if r < 0.5 else "qlossy")
 
 
-def corpus_rows(lo: int, hi: int, n_total: int) -> pa.Table:
+def corpus_rows(lo: int, hi: int, n_total: int, sizes: str = "default") -> pa.Table:
     """Build corpus rows for ids in [lo, hi) — the unit of parallel generation."""
+    size_vals, size_p = SIZE_PRESETS[sizes]
     ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
     for i in range(lo, hi):
         image_id = f"img_{i:08d}"
         rng = _rng_for("meta:" + image_id)
-        w = int(_SIZES[rng.choice(len(_SIZES), p=_SIZE_P)])
-        h = int(_SIZES[rng.choice(len(_SIZES), p=_SIZE_P)])
+        w = int(size_vals[rng.choice(len(size_vals), p=size_p)])
+        h = int(size_vals[rng.choice(len(size_vals), p=size_p)])
         fmt = image_fmt(image_id)
         caption = _make_caption(rng, i)
         # ~0.5% near-dup pairs: row i clones pixels of i-1 (shared phash hook).
@@ -315,15 +326,17 @@ def default_dates(n_days: int = 4) -> list[date]:
 FIXTURE_VERSION = 2  # bump when generation logic changes → new cache dirs
 
 
-def fixture_dir(n_images: int) -> str:
-    return os.path.join(FIXTURE_ROOT, f"v{FIXTURE_VERSION}_n{n_images}_seed{SEED}")
+def fixture_dir(n_images: int, sizes: str = "default") -> str:
+    suffix = "" if sizes == "default" else f"_{sizes}"
+    return os.path.join(FIXTURE_ROOT, f"v{FIXTURE_VERSION}_n{n_images}_seed{SEED}{suffix}")
 
 
-def ensure_fixtures(n_images: int, n_days: int = 4, use_ray: bool | None = None) -> str:
+def ensure_fixtures(n_images: int, n_days: int = 4, use_ray: bool | None = None,
+                    sizes: str = "default") -> str:
     """Build (or reuse cached) corpus + announcements + seeds parquet under
     /tmp. Returns the fixture directory. Atomic: builds into a tmp dir and
     renames, so concurrent/killed builds never expose partial fixtures."""
-    out = fixture_dir(n_images)
+    out = fixture_dir(n_images, sizes)
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     tmp = out + ".building"
@@ -339,15 +352,17 @@ def ensure_fixtures(n_images: int, n_days: int = 4, use_ray: bool | None = None)
     if use_ray:
         @ray.remote(num_cpus=1)
         def _gen(lo: int, hi: int) -> pa.Table:
-            return corpus_rows(lo, hi, n_images)
+            return corpus_rows(lo, hi, n_images, sizes)
 
         tables = ray.get([_gen.remote(lo, hi) for lo, hi in bounds])
     else:
-        tables = [corpus_rows(lo, hi, n_images) for lo, hi in bounds]
+        tables = [corpus_rows(lo, hi, n_images, sizes) for lo, hi in bounds]
     corpus = pa.concat_tables(tables)
-    # Sorted by image_id (generation order is already sorted); modest row
-    # groups so the fetch stage's row-group index gives selective reads.
-    pq.write_table(corpus, os.path.join(tmp, "corpus.parquet"), row_group_size=2048)
+    # Sorted by image_id (generation order is already sorted); row groups
+    # sized so the fetch stage's row-group index gives selective reads of
+    # ~10-20 MB per group regardless of the image-size preset.
+    rg_rows = 2048 if sizes == "default" else 256
+    pq.write_table(corpus, os.path.join(tmp, "corpus.parquet"), row_group_size=rg_rows)
     # HEAD sidecar — the "server's" cheap metadata index (store.py).
     import pyarrow.compute as _pc
 
@@ -367,7 +382,7 @@ def ensure_fixtures(n_images: int, n_days: int = 4, use_ray: bool | None = None)
     pq.write_table(announcements_rows(n_images, dates, category), os.path.join(tmp, "announcements.parquet"))
     pq.write_table(seeds_rows(dates, category), os.path.join(tmp, "seeds.parquet"))
     with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump({"n_images": n_images, "seed": SEED, "n_days": n_days,
+        json.dump({"n_images": n_images, "seed": SEED, "n_days": n_days, "sizes": sizes,
                    "dates": [d.isoformat() for d in dates], "category": category}, f)
     open(os.path.join(tmp, "_DONE"), "w").close()
     if os.path.exists(out):

@@ -27,6 +27,17 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
+def _in_ray_worker() -> bool:
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return False
+        return ray.get_runtime_context().worker.mode == ray.WORKER_MODE
+    except Exception:
+        return False
+
+
 def image_id_of_url(urls) -> list[str]:
     """URL tail → image_id (layout per FIXTURES.md F1)."""
     return [str(u).rsplit("/", 1)[-1].rsplit(".", 1)[0] for u in urls]
@@ -42,6 +53,15 @@ class CorpusStore:
     def __init__(self, corpus_path: str):
         import os
 
+        # Many store clients share one node: without this every actor spins
+        # up a full-width Arrow thread pool (num_cpus threads) for its
+        # parquet reads and N actors × N threads thrash the node (observed
+        # 50× per-row slowdown at 16 actors). One thread per actor — the
+        # pool-level parallelism is Ray's job, not Arrow's. Only applied
+        # inside Ray workers so driver-side/test use keeps full-width Arrow.
+        if _in_ray_worker():
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
         self.path = corpus_path
         f = pq.ParquetFile(corpus_path)
         self.num_row_groups = f.metadata.num_row_groups
@@ -54,6 +74,7 @@ class CorpusStore:
         self._mins = mins
         self._maxs = maxs
         self._file = f
+        self._rg_cache: dict[tuple, pa.Table] = {}
         # HEAD index: (fmt, content_length) per id — the "server's" metadata.
         # Loaded from the sidecar written at fixture-gen time; at real scale
         # this would stay on disk and be row-group-pruned like the payloads.
@@ -85,12 +106,32 @@ class CorpusStore:
                 hit.add(lo)
         return sorted(hit)
 
+    _RG_CACHE_SIZE = 2
+
     def _read(self, ids: list[str], columns: list[str]) -> pa.Table:
+        """Read the row groups covering ``ids`` (NO per-id filtering — callers
+        align with ``index_in``/``take``). A tiny per-actor LRU of decoded row
+        groups turns the sequential, locality-sorted fetch walk into ~one
+        physical read per row group instead of one per batch (the client-side
+        analog of HTTP keep-alive + range caching)."""
         groups = self._row_groups_for(ids)
         if not groups:
-            return pa.table({c: [] for c in columns})
-        t = self._file.read_row_groups(groups, columns=columns)
-        return t.filter(pc.is_in(t["image_id"], value_set=pa.array(set(ids))))
+            return pa.table({c: pa.array([], pa.string() if c != "bytes" else pa.large_binary())
+                             for c in columns})
+        key_cols = tuple(columns)
+        tabs = []
+        for g in groups:
+            k = (g, key_cols)
+            t = self._rg_cache.get(k)
+            if t is None:
+                t = self._file.read_row_groups([g], columns=list(columns))
+                self._rg_cache[k] = t
+                if len(self._rg_cache) > self._RG_CACHE_SIZE:
+                    self._rg_cache.pop(next(iter(self._rg_cache)))
+            else:
+                self._rg_cache[k] = self._rg_cache.pop(k)  # refresh LRU order
+            tabs.append(t)
+        return pa.concat_tables(tabs)
 
     def head(self, urls: list[str]) -> pa.Table:
         """HEAD analog: (url, status, content_type, content_length). Missing
@@ -119,30 +160,29 @@ class CorpusStore:
         )
 
     def get(self, urls: list[str]) -> pa.Table:
-        """GET analog: (url, status, content_type, bytes)."""
+        """GET analog: (url, status, content_type, bytes). Alignment is pure
+        Arrow (``index_in`` + ``take``) — payload bytes never round-trip
+        through Python objects."""
         ids = image_id_of_url(urls)
         t = self._read(ids, ["image_id", "fmt", "bytes"])
-        by_id = {}
-        for iid, fmt, blob in zip(
-            t["image_id"].to_pylist(), t["fmt"].to_pylist(), t["bytes"].to_pylist()
-        ):
-            by_id[iid] = (fmt, blob)
-        status, ctype, blobs = [], [], []
-        for iid in ids:
-            fmt, blob = by_id.get(iid, ("", b""))
-            if not blob:
-                status.append(404)
-                ctype.append("")
-                blobs.append(b"")
-            else:
-                status.append(200)
-                ctype.append("image/" + fmt)
-                blobs.append(blob)
+        ids_arr = pa.array(ids, pa.string())
+        pos = pc.index_in(ids_arr, value_set=t["image_id"])
+        blobs = pc.take(t["bytes"], pos)          # null where id missing
+        fmt = pc.fill_null(pc.take(t["fmt"], pos), "")
+        blen = pc.fill_null(pc.binary_length(blobs), 0)
+        ok = pc.greater(blen, 0)                  # missing OR zero-byte → 404
+        status = pc.if_else(ok, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32()))
+        ctype = pc.if_else(
+            ok,
+            pc.binary_join_element_wise(pa.array(["image/"] * len(ids)), fmt, ""),
+            pa.scalar("", pa.string()),
+        )
+        empty_blob = pa.scalar(b"", pa.large_binary())
         return pa.table(
             {
                 "url": pa.array([str(u) for u in urls], pa.string()),
-                "status": pa.array(status, pa.int32()),
-                "content_type": pa.array(ctype, pa.string()),
-                "bytes": pa.array(blobs, pa.large_binary()),
+                "status": status,
+                "content_type": ctype,
+                "bytes": pc.if_else(ok, blobs, empty_blob),
             }
         )

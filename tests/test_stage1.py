@@ -55,3 +55,33 @@ def test_frontier_partitions_and_priority(fixture_dir):
     assert (df["host"].str.endswith("example.test")).all()
     # priority: strictly increasing in report-date recency for same exchange
     assert df["priority"].notna().all()
+
+
+def test_frontier_parallelism_invariant(fixture_dir):
+    """SURVEY.md §5.2: identical frontier at different parallelism — crawl
+    order is pinned at admission, never by completion order."""
+    # (2,2) pools: 2 pools × 2 actors × 0.5 cpu = 2 of the session's 4 CPUs
+    # reserved, leaving room for task operators (larger pools deadlock the
+    # streaming executor in the small test session)
+    lo = stage1.frontier_csv_view(stage1.build_frontier(fixture_dir, concurrency=1))
+    hi = stage1.frontier_csv_view(stage1.build_frontier(fixture_dir, concurrency=(2, 2)))
+    pd.testing.assert_frame_equal(lo, hi)
+
+
+def test_frontier_csv_roundtrip(fixture_dir, tmp_path):
+    """S5 sink → S6 source roundtrip preserves rows and string dtypes
+    (codes like 000005 must survive as strings)."""
+    frontier = stage1.build_frontier(fixture_dir)
+    p = str(tmp_path / "frontier.csv")
+    stage1.write_frontier_csv(frontier, p)
+    back = stage1.read_frontier_csv(p).to_pandas()
+    want = stage1.frontier_csv_view(frontier)
+    pd.testing.assert_frame_equal(back, want)
+    assert back["股票代码"].map(type).eq(str).all()
+
+
+def test_frontier_csv_missing_column(fixture_dir, tmp_path):
+    p = str(tmp_path / "bad.csv")
+    pd.DataFrame({"股票代码": ["000001.SZ"]}).to_csv(p, index=False)
+    with pytest.raises(ValueError, match="missing required"):
+        stage1.read_frontier_csv(p)

@@ -45,11 +45,17 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str, cache: dict | None = None) -> np.ndarray:
+        """``cache`` (per-actor dict) memoizes shingle→hash64 across docs —
+        shingle vocabularies repeat heavily in real corpora, and blake2b per
+        shingle dominates signature cost without it."""
         sh = _shingles(text)
         if not sh:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        if cache is None:
+            base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        else:
+            base = np.array([cache.setdefault(s, _hash64(s)) for s in sh], dtype=np.uint64)
         # (a*x + b) mod p, min over shingles — vectorized over (shingle, perm)
         vals = (base[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
         return vals.min(axis=0)

@@ -349,24 +349,28 @@ def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
     class Sign:
         def __init__(self):
             self.mh = D.MinHasher(64)
+            self.cache: dict[str, int] = {}  # shingle→hash64, per actor
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             rows = []
             for did, text in zip(df["doc_id"], df["text"]):
-                sig = self.mh.signature(text)
+                sig = self.mh.signature(text, cache=self.cache)
                 for bk in self.mh.band_keys(sig, bands):
                     rows.append((bk, did))
             return pd.DataFrame(rows, columns=["band_key", "doc_id"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+    def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # band keys are hashed whole into one bucket → vectorized self-join
+        # per bucket produces every same-band pair (no per-key Python call)
+        m = b.merge(b, on="band_key")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
 
-    cand = (
-        ds.map_batches(Sign, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5)
-        .groupby("band_key")
-        .map_groups(pairs, batch_format="pandas")
+    cand = B.bucketed_map_groups(
+        ds.map_batches(Sign, batch_format="pandas", batch_size=512,
+                       concurrency=(2, 12), num_cpus=0.5),
+        ["band_key"], pairs_bucket,
     )
     cand_df = cand.to_pandas().drop_duplicates()  # candidates are few
     if len(cand_df) == 0:

@@ -110,6 +110,18 @@ def _image_features(sf_dir: str):
     return fetched.map_batches(feats, batch_format="pyarrow")
 
 
+def _scheduled_crawl(sf_dir: str):
+    """Round-based execution of the flagship crawl: priority min-heap
+    frontier shards + politeness gate drained in admissible waves (north
+    rule's frontier-in-actor-pools path; byte-identical to the batch path,
+    tests/test_scheduler.py)."""
+    from cninfo_crawler_ray.pipelines.scheduler import run_scheduled_crawl
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    return run_scheduled_crawl(fdir, wave_size=4096)["wide"]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # aggregation / dedup / sort / pivot / join operator families
@@ -147,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_decode_stats": _fetch_decode_stats,
         "wide_report": _wide_report,
         "image_features": _image_features,
+        "scheduled_crawl": _scheduled_crawl,
     }
 
 

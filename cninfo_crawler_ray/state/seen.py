@@ -150,7 +150,9 @@ class ShardedSeenSet:
         import ray
 
         self.num_shards = num_shards
-        actor = ray.remote(num_cpus=0.25)(SeenShard)
+        # coordination actor: tiny per-call CPU, mostly idle — reserving CPU
+        # would let a wide shard pool starve the compute stages
+        actor = ray.remote(num_cpus=0)(SeenShard)
         self.shards = [actor.remote(i, capacity_per_shard) for i in range(num_shards)]
 
     def _route(self, keys: list[bytes]) -> dict[int, list[int]]:

@@ -20,7 +20,8 @@ def test_entry_runs(entrymod):
     assert "是否包含数据资产" in wide.columns
 
 
-@pytest.mark.parametrize("name", ["crawl_frontier", "fetch_decode_stats", "wide_report", "image_features"])
+@pytest.mark.parametrize("name", ["crawl_frontier", "fetch_decode_stats", "wide_report",
+                                  "image_features", "scheduled_crawl"])
 def test_crawl_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
     import ray.data as rd

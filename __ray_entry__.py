@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
+        "source_histogram_salted": Q.q_source_histogram_salted,
         # similarity search
         "ann_topk": Q.q_ann_topk,
         "ann_lsh_topk": Q.q_ann_lsh_topk,

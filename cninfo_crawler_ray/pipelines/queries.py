@@ -581,6 +581,34 @@ def q_union_custkeys(sf_dir: str):
     return a.union(b).groupby("k").aggregate(Count(alias_name="_n")).select_columns(["k"])
 
 
+def q_source_histogram_salted(sf_dir: str, num_salts: int = 8):
+    """Skew-proof keyed count via an explicit SALTED two-phase shuffle (the
+    north rule's hot-key treatment, demonstrated as a first-class operator):
+
+      phase 1: groupby((key, salt)) partial counts — a hot key's rows spread
+               over ``num_salts`` reducers instead of melting one;
+      phase 2: groupby(key) sums the ≤num_salts partials (tiny).
+
+    The ``documents.source`` column is Zipf-skewed in the fixtures, making
+    it the natural demo key. Same result as a plain groupby — verified
+    against the SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def salt_and_count(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["_salt"] = (df["doc_id"] % num_salts).astype("int32")
+        g = df.groupby(["source", "_salt"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    return (
+        ds.map_batches(salt_and_count, batch_format="pyarrow")
+        .groupby(["source", "_salt"])
+        .aggregate(Sum("n", alias_name="n"))          # phase 1: salted
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))          # phase 2: tiny
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
     """IVF-style ANN (the scale path next to LSH): coarse centroids from a
     deterministic seeded k-means on a driver-side sample, then each batch
@@ -762,6 +790,9 @@ ORACLE_SQL: dict[str, str] = {
     "union_custkeys": """
         SELECT DISTINCT k FROM (SELECT o_custkey AS k FROM orders
                                 UNION ALL SELECT c_custkey AS k FROM customer)
+    """,
+    "source_histogram_salted": """
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
     """,
     "ann_topk": """
         SELECT vec_id FROM (

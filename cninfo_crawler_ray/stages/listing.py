@@ -51,27 +51,26 @@ class ListingEnumerator:
 
     def _build_index(self) -> None:
         """One scan per ACTOR (not per seed): slice the listing store into
-        per-(exchange, date, page) tables. This stands in for the listing
-        API's server-side index; on a real cluster each actor would hold a
-        connection, not the table — the per-stream page loop is unchanged."""
+        one sorted table per (exchange, date) stream. This stands in for the
+        listing API's server-side index; on a real cluster each actor would
+        hold a connection, not the table — the per-stream page loop is
+        unchanged."""
         t = self.ds.to_table()
         t = t.sort_by([
             ("exchange", "ascending"), ("date", "ascending"),
             ("page_num", "ascending"), ("index_in_page", "ascending"),
         ])
         self._index = {}
-        keys = pa.table({
-            "exchange": t["exchange"], "date": t["date"], "page_num": t["page_num"],
-        }).to_pandas()
-        grp = keys.groupby(["exchange", "date", "page_num"], sort=False).indices
-        for (ex, d, p), idx in grp.items():
+        keys = pa.table({"exchange": t["exchange"], "date": t["date"]}).to_pandas()
+        grp = keys.groupby(["exchange", "date"], sort=False).indices
+        for (ex, d), idx in grp.items():
             lo, hi = int(idx[0]), int(idx[-1]) + 1
-            self._index.setdefault((ex, d), {})[int(p)] = t.slice(lo, hi - lo)
+            self._index[(ex, d)] = t.slice(lo, hi - lo)
 
-    def _stream_pages(self, exchange: str, d) -> dict[int, pa.Table]:
+    def _stream_table(self, exchange: str, d) -> pa.Table | None:
         if self._index is None:
             self._build_index()
-        return self._index.get((exchange, d), {})
+        return self._index.get((exchange, d))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -81,12 +80,29 @@ class ListingEnumerator:
             exchange, d = seed["exchange"], seed["date"]
             erank = EXCHANGE_RANK[exchange]
             days = (d - date(1970, 1, 1)).days
-            pages = self._stream_pages(exchange, d)
-            total_pages = max(pages.keys(), default=0)
-            seen: set[tuple] = set()  # per-stream, as in the reference (C:183)
+            stream = self._stream_table(exchange, d)
+            if stream is None or stream.num_rows == 0:
+                continue
+            # Vectorized in-stream dedup (C:183, :294-306): the stream table
+            # is sorted by (page, index), and first-occurrence-wins over the
+            # consumed page PREFIX equals the prefix of first-wins over the
+            # whole stream — so one duplicated() pass replaces the per-row
+            # seen-set loop, and the page walk below only consults counts.
+            keys = pd.DataFrame({
+                k: stream[k].to_pylist()
+                for k in ("secCode", "announcementTitle", "announcementTime", "adjunctUrl")
+            })
+            novel = ~keys.duplicated(keep="first").to_numpy()
+            page_col = stream["page_num"].to_numpy()
+            pages_present, row_counts = np.unique(page_col, return_counts=True)
+            rows_per_page = dict(zip(pages_present.tolist(), row_counts.tolist()))
+            np_pages, np_counts = np.unique(page_col[novel], return_counts=True)
+            novel_per_page = dict(zip(np_pages.tolist(), np_counts.tolist()))
+            total_pages = int(pages_present.max(initial=0))
             empty_count = 0
             page = 1
             budget = min(seed.get("page_budget") or cfg.max_pages_limit, cfg.max_pages_limit)
+            consumed_through = 0  # last page whose novel rows are admitted
             while True:
                 if total_pages and page > total_pages + cfg.overrun_pages:
                     break
@@ -94,37 +110,28 @@ class ListingEnumerator:
                     break
                 if page > budget:
                     break
-                rows = pages.get(page)
-                if rows is None or rows.num_rows == 0:
+                if rows_per_page.get(page, 0) == 0:
                     break
                 ticks_spent += cfg.listing_page_ticks
-                novel_idx = []
-                cols = {
-                    k: rows[k].to_pylist()
-                    for k in ("secCode", "announcementTitle", "announcementTime", "adjunctUrl")
-                }
-                for i in range(rows.num_rows):
-                    key = (cols["secCode"][i], cols["announcementTitle"][i],
-                           cols["announcementTime"][i], cols["adjunctUrl"][i])
-                    if key not in seen:
-                        seen.add(key)
-                        novel_idx.append(i)
-                if not novel_idx:
+                if novel_per_page.get(page, 0) == 0:
                     empty_count += 1
                     if empty_count >= cfg.max_empty_pages:
                         break
                 else:
                     empty_count = 0
-                    t = rows.take(novel_idx)
-                    okeys = encode_order_key(
-                        np.full(len(novel_idx), erank),
-                        np.full(len(novel_idx), days),
-                        t["page_num"].to_numpy(),
-                        t["index_in_page"].to_numpy(),
-                    )
-                    t = t.append_column("order_key", pa.array(okeys, pa.int64()))
-                    out_tables.append(t)
+                    consumed_through = page
                 page += 1
+            if consumed_through:
+                keep = novel & (page_col <= consumed_through)
+                t = stream.filter(pa.array(keep))
+                okeys = encode_order_key(
+                    np.full(t.num_rows, erank),
+                    np.full(t.num_rows, days),
+                    t["page_num"].to_numpy(),
+                    t["index_in_page"].to_numpy(),
+                )
+                t = t.append_column("order_key", pa.array(okeys, pa.int64()))
+                out_tables.append(t)
         if self.politeness is not None and ticks_spent:
             # account the listing budget against the listing host (async; the
             # grant schedule is reported, it cannot reorder admissions)

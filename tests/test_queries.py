@@ -54,6 +54,7 @@ SQL_CHECKED = [
     "orders_pivot", "customers_without_orders", "events_hourly", "sessionize",
     "token_stats", "quality_features", "lang_id", "fingerprint_md5",
     "ann_topk", "ngram_jaccard_pairs", "top_orders", "union_custkeys",
+    "source_histogram_salted",
 ]
 
 

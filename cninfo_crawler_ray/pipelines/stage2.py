@@ -26,6 +26,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -43,48 +44,52 @@ def _explode_long(batch: pa.Table) -> pa.Table:
 
     Rows that failed fetch or the content gate contribute nothing (the
     reference returns [] for those, R:257-259, :271-273)."""
-    rows: dict[str, list] = {c: [] for c in LONG_COLUMNS + ["order_key", "_item", "partition_id", "url_sha1"]}
     ok = batch.filter(batch["type_ok"])
+    # per-doc item lists (json parse is inherently per-row; everything else
+    # below is vectorized via np.repeat over the doc-level columns)
     items_col = ok["items_json"].to_pylist()
-    flags = ok["_has_data_resource"].to_pylist()
-    for i in range(ok.num_rows):
-        items = json.loads(items_col[i]) if items_col[i] else []
-        triples = (
-            [(it["category"], it["value"]) for it in items]
-            if items
-            else [(cat, "0") for cat in PARENT_CATEGORIES]
-        )
-        for k, (cat, val) in enumerate(triples):
-            rows["证券代码"].append(ok["股票代码"][i].as_py())
-            rows["公司名称"].append(ok["公司名称"][i].as_py())
-            rows["报告名称"].append(ok["财报名称"][i].as_py())
-            rows["报告日期"].append(ok["报告日期"][i].as_py())
-            rows["项目名称"].append(cat)
-            rows["金额"].append(val)
-            rows["PDF链接"].append(ok["PDF链接"][i].as_py())
-            rows["_has_data_resource"].append(int(flags[i]))
-            rows["order_key"].append(ok["order_key"][i].as_py())
-            rows["_item"].append(k)
-            rows["partition_id"].append(ok["partition_id"][i].as_py())
-            rows["url_sha1"].append(ok["url_sha1"][i].as_py())
+    cats: list[str] = []
+    vals: list[str] = []
+    item_idx: list[int] = []
+    counts = np.empty(ok.num_rows, dtype=np.int64)
+    for i, blob in enumerate(items_col):
+        items = json.loads(blob) if blob else []
+        if items:
+            counts[i] = len(items)
+            cats.extend(it["category"] for it in items)
+            vals.extend(it["value"] for it in items)
+            item_idx.extend(range(len(items)))
+        else:
+            counts[i] = len(PARENT_CATEGORIES)
+            cats.extend(PARENT_CATEGORIES)
+            vals.extend("0" for _ in PARENT_CATEGORIES)
+            item_idx.extend(range(len(PARENT_CATEGORIES)))
+    ridx = np.repeat(np.arange(ok.num_rows), counts)
+    idx_arr = pa.array(ridx, pa.int64())
+
+    def rep(col_name: str):
+        return ok[col_name].take(idx_arr)
+
+    codes = rep("股票代码")
     # vectorized unit adjust (M9) + sink cleanup (R:680-681)
-    amounts = adjust_amount_special(pd.Series(rows["证券代码"], dtype=object),
-                                    pd.Series(rows["金额"], dtype=object))
+    amounts = adjust_amount_special(pd.Series(codes.to_pylist(), dtype=object),
+                                    pd.Series(vals, dtype=object))
     cleaned = sentinel_to_zero(pa.array([str(a) if a is not None else None for a in amounts], pa.string()))
+    flags = pc.cast(rep("_has_data_resource"), pa.int64())
     t = pa.table(
         {
-            "证券代码": pa.array(rows["证券代码"], pa.string()),
-            "公司名称": pa.array(rows["公司名称"], pa.string()),
-            "报告名称": pa.array(rows["报告名称"], pa.string()),
-            "报告日期": pa.array(rows["报告日期"], pa.string()),
-            "项目名称": pa.array(rows["项目名称"], pa.string()),
+            "证券代码": codes,
+            "公司名称": rep("公司名称"),
+            "报告名称": rep("财报名称"),
+            "报告日期": rep("报告日期"),
+            "项目名称": pa.array(cats, pa.string()),
             "金额": cleaned,
-            "PDF链接": pa.array(rows["PDF链接"], pa.string()),
-            "_has_data_resource": pa.array(rows["_has_data_resource"], pa.int64()),
-            "order_key": pa.array(rows["order_key"], pa.int64()),
-            "_item": pa.array(rows["_item"], pa.int64()),
-            "partition_id": pa.array(rows["partition_id"], pa.int32()),
-            "url_sha1": pa.array(rows["url_sha1"], pa.string()),
+            "PDF链接": rep("PDF链接"),
+            "_has_data_resource": flags,
+            "order_key": rep("order_key"),
+            "_item": pa.array(item_idx, pa.int64()),
+            "partition_id": rep("partition_id"),
+            "url_sha1": rep("url_sha1"),
         }
     )
     return t

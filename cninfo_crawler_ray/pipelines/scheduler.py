@@ -39,6 +39,12 @@ from ..state.seen import ShardedSeenSet
 from . import stage1, stage2
 
 
+def _ckpt_paths(ckpt_dir: str) -> tuple[str, str]:
+    import os
+
+    return os.path.join(ckpt_dir, "state.pkl"), os.path.join(ckpt_dir, "rounds")
+
+
 def run_scheduled_crawl(
     fixture_dir: str,
     cfg: CrawlConfig | None = None,
@@ -47,30 +53,60 @@ def run_scheduled_crawl(
     concurrency=None,
     use_actors: bool = True,
     max_rounds: int = 10_000,
+    ckpt_dir: str | None = None,
 ):
     """Returns dict with long/wide frames + counters (rounds, admissions,
-    politeness waits). Ray must already be initialised by the caller."""
+    politeness waits). Ray must already be initialised by the caller.
+
+    ``ckpt_dir`` enables checkpointed resume (north rule): after every round
+    the completed rounds' long rows (parquet per round) plus snapshots of
+    frontier heap shards, seen-set shards and the politeness gate's virtual
+    clock are flushed atomically. A killed job rerun with the same
+    ``ckpt_dir`` restores all three states, skips completed rounds'
+    fetching entirely, and finishes with byte-identical outputs
+    (tests/test_scheduler.py::test_kill_resume_byte_identical).
+    ``max_rounds`` simulates the kill."""
+    import os
+    import pickle
+
     cfg = cfg or CrawlConfig()
     corpus_path = f"{fixture_dir}/corpus.parquet"
 
-    frontier_ds = stage1.build_frontier(fixture_dir, cfg, concurrency=concurrency)
-    fdf = frontier_ds.to_pandas()
-
-    # seen-set admission (T2): exact, sharded, batch RPC
-    seen = ShardedSeenSet(cfg.seen_shards)
-    keys = [bytes.fromhex(h) for h in fdf["url_sha1"]]
-    is_new = seen.contains_and_add(keys, fdf["order_key"].tolist())
-    fdf = fdf[np.array(is_new)].reset_index(drop=True)
-
-    fr = ShardedFrontier(cfg.seen_shards, use_actors=use_actors)
-    fr.push_pandas(fdf)
     gate = PolitenessGate(rate_per_second=cfg.host_rate, burst=cfg.host_burst,
                           ticks_per_second=cfg.ticks_per_second)
-
+    fr = ShardedFrontier(cfg.seen_shards, use_actors=use_actors)
     long_parts: list[pd.DataFrame] = []
-    counters = {"frontier_rows": len(fdf), "rounds": 0, "empty_waves": 0,
-                "politeness_wait_ticks": 0}
+    counters = {"rounds": 0, "empty_waves": 0, "politeness_wait_ticks": 0}
     rounds = 0
+    seen = ShardedSeenSet(cfg.seen_shards)
+
+    state_path = rounds_dir = None
+    if ckpt_dir:
+        state_path, rounds_dir = _ckpt_paths(ckpt_dir)
+        os.makedirs(rounds_dir, exist_ok=True)
+
+    if state_path and os.path.exists(state_path):
+        # resume: restore frontier/seen/gate + completed rounds
+        with open(state_path, "rb") as f:
+            st = pickle.loads(f.read())
+        fr.restore(st["frontier"])
+        seen.restore(st["seen"])
+        gate.restore(st["gate"])
+        rounds = st["rounds"]
+        counters.update(st["counters"])
+        fdf = st["frontier_df"]
+        for r in range(1, rounds + 1):
+            long_parts.append(pd.read_parquet(os.path.join(rounds_dir, f"round_{r:05d}.parquet")))
+    else:
+        frontier_ds = stage1.build_frontier(fixture_dir, cfg, concurrency=concurrency)
+        fdf = frontier_ds.to_pandas()
+        # seen-set admission (T2): exact, sharded, batch RPC
+        keys = [bytes.fromhex(h) for h in fdf["url_sha1"]]
+        is_new = seen.contains_and_add(keys, fdf["order_key"].tolist())
+        fdf = fdf[np.array(is_new)].reset_index(drop=True)
+        fr.push_pandas(fdf)
+    counters["frontier_rows"] = len(fdf)
+
     while fr.total() > 0 and rounds < max_rounds:
         wave = fr.pop_admissible(wave_size, gate)
         if len(wave) == 0:
@@ -83,6 +119,20 @@ def run_scheduled_crawl(
         ds = rd.from_pandas(wave)
         decoded = stage2.fetch_decode(ds, corpus_path, cfg, concurrency=concurrency)
         long_parts.append(stage2.long_from_decoded(decoded).to_pandas())
+        if ckpt_dir:
+            # flush round data first, then the state that marks it complete
+            p = os.path.join(rounds_dir, f"round_{rounds:05d}.parquet")
+            long_parts[-1].to_parquet(p + ".tmp")
+            os.replace(p + ".tmp", p)
+            counters["rounds"] = rounds
+            blob = pickle.dumps({
+                "frontier": fr.snapshot(), "seen": seen.snapshot(),
+                "gate": gate.snapshot(), "rounds": rounds,
+                "counters": counters, "frontier_df": fdf,
+            })
+            with open(state_path + ".tmp", "wb") as f:
+                f.write(blob)
+            os.replace(state_path + ".tmp", state_path)
     counters["rounds"] = rounds
 
     if long_parts:

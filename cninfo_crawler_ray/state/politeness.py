@@ -82,6 +82,28 @@ class PolitenessGate:
         dis = self.robots.get(host, [])
         return [not any(p.startswith(d) for d in dis) for p in paths]
 
+    # --- checkpoint ---
+    def snapshot(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((
+            self.tps, self.default_rate, self.default_burst, self.overrides,
+            self.robots, self.now_tick,
+            {h: (b.tokens, b.rate_per_tick, b.burst, b.last_tick)
+             for h, b in self.buckets.items()},
+        ))
+
+    def restore(self, blob: bytes) -> None:
+        import pickle
+
+        (self.tps, self.default_rate, self.default_burst, self.overrides,
+         self.robots, self.now_tick, buckets) = pickle.loads(blob)
+        self.buckets = {}
+        for h, (tokens, rate, burst, last) in buckets.items():
+            b = HostBucket(rate, burst)
+            b.tokens, b.last_tick = tokens, last
+            self.buckets[h] = b
+
     def wait_ticks_for(self, host: str, n: int) -> int:
         """Deterministic schedule helper: ticks until n tokens are available
         (0 if available now). Pure — does not consume tokens."""

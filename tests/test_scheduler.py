@@ -84,6 +84,29 @@ def test_pop_admissible_respects_budget_and_returns_denied():
     assert len(wave2) > 0
 
 
+def test_kill_resume_byte_identical(fixture_dir, tmp_path):
+    """North rule: kill after ≥1 checkpointed round, resume, and the final
+    long/wide tables are byte-identical to an uninterrupted run."""
+    cfg = CrawlConfig()
+    full = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1
+    )
+    ck = str(tmp_path / "ck")
+    killed = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1,
+        ckpt_dir=ck, max_rounds=3
+    )
+    assert killed["counters"]["rounds"] == 3
+    assert len(killed["long"]) < len(full["long"])  # genuinely interrupted
+    resumed = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1,
+        ckpt_dir=ck
+    )
+    assert resumed["counters"]["rounds"] > 3
+    pd.testing.assert_frame_equal(resumed["long"], full["long"])
+    pd.testing.assert_frame_equal(resumed["wide"], full["wide"])
+
+
 def test_scheduled_equals_batch_pipeline(fixture_dir):
     """The round-based scheduler must produce byte-identical long/wide
     tables to the batch path, at a wave size that forces many rounds.

@@ -110,6 +110,53 @@ def _image_features(sf_dir: str):
     return fetched.map_batches(feats, batch_format="pyarrow")
 
 
+def _phash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
+    """Image near-dup via perceptual-hash LSH over the corpus ``phash``
+    column: 16-bit bands of the 64-bit hash → same band value = candidate
+    pair (any pair with hamming ≤ 3·16/64 shares a band w.h.p.; exact-dup
+    clones always do) → vectorized hamming verify. The fixture plants
+    pixel-clone pairs (~0.5%), which this must find (tests/test_entry.py)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from cninfo_crawler_ray.functions import bucketed as B
+    from cninfo_crawler_ray.functions.dedup import hamming64
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    ds = rd.read_parquet(f"{fdir}/corpus.parquet", columns=["image_id", "phash"])
+
+    def band_rows(t) -> pd.DataFrame:
+        ph = t["phash"].to_numpy().view(np.uint64)
+        ids = t["image_id"].to_pylist()
+        parts = []
+        for b in range(bands):
+            band = (ph >> np.uint64(64 // bands * b)) & np.uint64((1 << (64 // bands)) - 1)
+            parts.append(pd.DataFrame({
+                "band_key": [f"{b}:{int(v)}" for v in band],
+                "image_id": ids,
+                "phash": ph.view(np.int64),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    sh = ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs_bucket(bdf: pd.DataFrame) -> pd.DataFrame:
+        m = bdf.merge(bdf, on="band_key")
+        m = m[m["image_id_x"] < m["image_id_y"]].drop_duplicates(["image_id_x", "image_id_y"])
+        if len(m) == 0:
+            return pd.DataFrame({"image_a": pd.Series([], dtype=object),
+                                 "image_b": pd.Series([], dtype=object)})
+        ham = hamming64(m["phash_x"].to_numpy(), m["phash_y"].to_numpy())
+        m = m[ham <= max_hamming]
+        return m.rename(columns={"image_id_x": "image_a", "image_id_y": "image_b"})[
+            ["image_a", "image_b"]]
+
+    out = B.bucketed_map_groups(sh, ["band_key"], pairs_bucket).to_pandas()
+    return out.drop_duplicates().sort_values(["image_a", "image_b"]).reset_index(drop=True)
+
+
 def _scheduled_crawl(sf_dir: str):
     """Round-based execution of the flagship crawl: priority min-heap
     frontier shards + politeness gate drained in admissible waves (north
@@ -160,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_decode_stats": _fetch_decode_stats,
         "wide_report": _wide_report,
         "image_features": _image_features,
+        "phash_near_dup": _phash_near_dup,
         "scheduled_crawl": _scheduled_crawl,
     }
 

@@ -152,8 +152,18 @@ def corpus_rows(lo: int, hi: int, n_total: int, sizes: str = "default") -> pa.Ta
         h = int(size_vals[rng.choice(len(size_vals), p=size_p)])
         fmt = image_fmt(image_id)
         caption = _make_caption(rng, i)
-        # ~0.5% near-dup pairs: row i clones pixels of i-1 (shared phash hook).
-        src_id = f"img_{i - 1:08d}" if (i % 211 == 0 and i > 0) else image_id
+        # ~0.5% near-dup pairs: row i clones pixels of i-1 (shared phash
+        # hook). The clone must use the SOURCE row's dims — gen_pixels is
+        # deterministic on (id, w, h), so cloning at this row's own dims
+        # produced unrelated pixels (and unrelated phash), silently breaking
+        # the near-dup hook.
+        if i % 211 == 0 and i > 0:
+            src_id = f"img_{i - 1:08d}"
+            srng = _rng_for("meta:" + src_id)
+            w = int(size_vals[srng.choice(len(size_vals), p=size_p)])
+            h = int(size_vals[srng.choice(len(size_vals), p=size_p)])
+        else:
+            src_id = image_id
         px = gen_pixels(src_id, w, h)
         meta = {"caption": caption, "pages": synth_pages(image_id, caption)}
         if i % 101 == 0 and i > 0:
@@ -323,7 +333,7 @@ def default_dates(n_days: int = 4) -> list[date]:
     return [start + timedelta(days=i) for i in range(n_days)]
 
 
-FIXTURE_VERSION = 2  # bump when generation logic changes → new cache dirs
+FIXTURE_VERSION = 3  # bump when generation logic changes → new cache dirs
 
 
 def fixture_dir(n_images: int, sizes: str = "default") -> str:

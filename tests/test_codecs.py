@@ -72,8 +72,8 @@ def test_corpus_table_invariants():
 
 def test_near_dup_rows_share_phash():
     t = C.corpus_rows(210, 212, 1000)
-    # row 211 clones pixels of row 210 when sizes permit — phash equality is
-    # only guaranteed when (w, h) match, so just verify determinism:
+    # row 211 clones row 210's pixels AT THE SOURCE'S dims → identical phash
+    assert t["phash"][0].as_py() == t["phash"][1].as_py()
     t2 = C.corpus_rows(210, 212, 1000)
     assert t.equals(t2)
 

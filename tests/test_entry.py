@@ -21,7 +21,7 @@ def test_entry_runs(entrymod):
 
 
 @pytest.mark.parametrize("name", ["crawl_frontier", "fetch_decode_stats", "wide_report",
-                                  "image_features", "scheduled_crawl"])
+                                  "image_features", "scheduled_crawl", "phash_near_dup"])
 def test_crawl_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
     import ray.data as rd
@@ -29,3 +29,13 @@ def test_crawl_queries_run(entrymod, name):
     df = res.to_pandas() if isinstance(res, rd.Dataset) else res
     assert len(df) > 0
     assert len(df.columns) > 0
+
+
+def test_phash_near_dup_finds_planted_clones(entrymod):
+    """The fixture clones pixels of row i-1 at every i % 211 == 0 (i > 0) —
+    identical pixels ⇒ identical phash ⇒ the LSH must surface the pair."""
+    pairs = entrymod.queries()["phash_near_dup"](SF)
+    got = set(zip(pairs["image_a"], pairs["image_b"]))
+    for i in (211, 422, 633, 844):
+        want = (f"img_{i - 1:08d}", f"img_{i:08d}")
+        assert want in got, f"planted clone pair {want} not found"

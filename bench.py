@@ -120,7 +120,7 @@ def run_headline() -> dict:
       The tiny default test corpus (16-128 px) finishes its compute faster
       than Ray can schedule it at ANY cluster size, which under-reports
       scaling for reasons unrelated to the pipeline.
-    - ``GRAFT_REPEAT`` (default 64): the frontier is replayed through the
+    - ``GRAFT_REPEAT`` (default 24): the frontier is replayed through the
       FULL fetch→decode path that many times — per-URL work is identical to
       unique URLs — so the per-execution fixed cost (actor-pool startup,
       plan warmup) amortizes into a sustained-stream measurement.
@@ -133,7 +133,7 @@ def run_headline() -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    repeat = int(os.environ.get("GRAFT_REPEAT", "64"))
+    repeat = int(os.environ.get("GRAFT_REPEAT", "24"))
     preset = os.environ.get("GRAFT_SIZE_PRESET", "web")
     scale_n = int(os.environ.get("GRAFT_SCALE_N", "50000"))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,

@@ -666,8 +666,8 @@ ORACLE_SQL: dict[str, str] = {
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-               SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS base_cents,
-               SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS base_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -688,7 +688,7 @@ ORACLE_SQL: dict[str, str] = {
         WHERE regexp_matches(text, 'vector|stream') AND lang = 'en'
     """,
     "nation_revenue": """
-        SELECT SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents,
+        SELECT CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                n.n_name AS nation
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -696,11 +696,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "orders_pivot": """
         SELECT o_orderstatus,
-               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1_urgent,
-               SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2_high,
-               SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3_medium,
-               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4_not_specified,
-               SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5_low
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+               CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+               CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
         FROM orders GROUP BY o_orderstatus
     """,
     "customers_without_orders": """
@@ -712,11 +712,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                COUNT(*) AS n_events,
-               SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS value_cents
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
     """,
     "sessionize": """
-        SELECT user_id, COUNT(*) AS n_events, SUM(new_sess) AS n_sessions
+        SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
         FROM (SELECT user_id,
                      CASE WHEN LAG(ts) OVER w IS NULL
                                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE

@@ -42,6 +42,7 @@ def _crawl_frontier(sf_dir: str):
 def _fetch_decode_stats(sf_dir: str):
     import pandas as pd
 
+    from ray.data.aggregate import Count, Sum
     from cninfo_crawler_ray.config import CrawlConfig
     from cninfo_crawler_ray.pipelines import stage1, stage2
     from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
@@ -49,13 +50,24 @@ def _fetch_decode_stats(sf_dir: str):
     fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
     frontier = stage1.build_frontier(fdir)
     decoded = stage2.fetch_decode(frontier, f"{fdir}/corpus.parquet", CrawlConfig())
-    df = decoded.to_pandas()
-    ok = df[df["type_ok"]]
-    fmts = ok["PDF链接"].str.rsplit(".", n=1).str[-1]
-    out = ok.assign(fmt=fmts).groupby("fmt", as_index=False).agg(
-        n_docs=("PDF链接", "size"), n_with_flag=("_has_data_resource", "sum")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df[df["type_ok"]]
+        return pd.DataFrame({
+            "fmt": ok["PDF链接"].str.rsplit(".", n=1).str[-1],
+            "_has_data_resource": ok["_has_data_resource"].astype("int64"),
+        })
+
+    # groupby in Ray Data (tiny key domain) — the decode output never lands
+    # on the driver; only the ≤#formats-row aggregate does
+    out = (
+        decoded.map_batches(proj, batch_format="pandas")
+        .groupby("fmt")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("_has_data_resource", alias_name="n_with_flag"))
+        .to_pandas()
     )
-    return out
+    return out.sort_values("fmt").reset_index(drop=True)
 
 
 def _wide_report(sf_dir: str):

@@ -34,6 +34,18 @@ def _hash64(s: str, seed: int = 0) -> int:
 
 _MERSENNE = (1 << 61) - 1
 
+#: bound on the per-actor shingle/token→hash64 memo dicts. Long-lived sign
+#: actors otherwise grow with corpus vocabulary (unbounded at 10^10-doc
+#: scale); a full clear at the cap keeps the common-shingle hot set cheap to
+#: rebuild while bounding worst-case memory to ~100 MB/actor.
+MEMO_CAP = 1_000_000
+
+
+def _capped(cache: dict) -> dict:
+    if len(cache) > MEMO_CAP:
+        cache.clear()
+    return cache
+
 
 class MinHasher:
     """num_perm universal-hash minhash; instantiate once per actor
@@ -55,6 +67,7 @@ class MinHasher:
         if cache is None:
             base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
         else:
+            _capped(cache)
             base = np.array([cache.setdefault(s, _hash64(s)) for s in sh], dtype=np.uint64)
         # (a*x + b) mod p, min over shingles — vectorized over (shingle, perm)
         vals = (base[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
@@ -89,6 +102,7 @@ def simhash64(texts: pd.Series) -> pd.Series:
         if not toks:
             out[i] = 0
             continue
+        _capped(weights_cache)
         hashes = np.array([weights_cache.setdefault(w, _hash64(w)) for w in toks], dtype=np.uint64)
         bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
         score = bits.sum(axis=0) * 2 - len(hashes)  # +1/-1 vote per bit

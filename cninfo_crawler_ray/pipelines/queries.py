@@ -226,15 +226,17 @@ def q_customers_without_orders(sf_dir: str):
         )
         .unique("o_custkey")
     )
-    keys_ref = ray.put(set(custkeys))
+    keys_ref = ray.put(sorted(custkeys))
 
     class AntiJoin:
         def __init__(self):
-            self.keys = ray.get(keys_ref)
+            # Arrow value_set built once per actor; the per-batch membership
+            # test is a vectorized is_in, never a Python loop
+            self.value_set = pa.array(ray.get(keys_ref), pa.int64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
-            return t.filter(pa.array(mask)).select(["c_custkey"])
+            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.value_set))
+            return t.filter(mask).select(["c_custkey"])
 
     return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         AntiJoin, batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5

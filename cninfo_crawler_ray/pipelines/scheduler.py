@@ -8,24 +8,34 @@ This is the streaming-shaped execution of the flagship crawl (SURVEY.md
 wave at a time:
 
     round:  frontier.pop_admissible(wave, politeness_gate)
+              (robots-disallowed and zero-rate-host rows are dead-lettered,
+               budget-denied rows return to the heap)
             → ray.data.Dataset(wave) → fetch+decode (fused actor pool)
-            → long rows accumulate per round
-    until the frontier is empty (denied-by-politeness rows return to the
-    heap and win a later round once their host budget refills; the gate
-    advances virtual ticks between rounds, so the admission schedule is a
-    pure function of (frontier contents, budget) — never wall clock).
+            → workers write the round's long rows as parquet
+    until the frontier is empty. When a whole wave is denied, the virtual
+    clock advances by exactly the soonest host refill (never tick-by-tick
+    spinning), so the admission schedule is a pure function of (frontier
+    contents, budget) — never wall clock — and the loop is bounded even
+    with pathological host budgets (ADVICE r01).
 
 Determinism: wave composition orders by (priority desc, order_key asc) and
 the final outputs sort by canonical order, so the long/wide tables are
 byte-identical to the batch path at ANY wave size, shard count, or
 parallelism — asserted in tests/test_scheduler.py.
 
-At 10^10-URL scale each round is one streaming execution over an
-object-store-resident wave; rounds pipeline naturally (fetch of wave N
-overlaps reduction of wave N-1 if the driver overlaps round submission).
+Scale shape (VERDICT r01 §4): each round's long rows are written to parquet
+BY THE WORKERS (``Dataset.write_parquet``) and the final long/wide tables
+are built by *reading those rounds back as a Dataset* — no per-round
+accumulation in driver lists, no full-frontier pickle per round (state
+snapshots carry only heap/seen/gate state), and resume never loads
+completed rounds into driver memory.
 """
 
 from __future__ import annotations
+
+import os
+import pickle
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -38,11 +48,39 @@ from ..state.politeness import PolitenessGate
 from ..state.seen import ShardedSeenSet
 from . import stage1, stage2
 
+#: hard bound on consecutive fully-denied waves. With min-refill clock
+#: advancement a second consecutive empty wave already implies a bug, so
+#: this only guards against gate/heap invariant violations.
+MAX_CONSECUTIVE_EMPTY_WAVES = 1000
+
 
 def _ckpt_paths(ckpt_dir: str) -> tuple[str, str]:
-    import os
-
     return os.path.join(ckpt_dir, "state.pkl"), os.path.join(ckpt_dir, "rounds")
+
+
+def _write_round(long_round: rd.Dataset, rounds_dir: str, round_no: int) -> None:
+    """Workers write the round's long rows; the directory rename is the
+    atomic commit marker (a .tmp dir left by a kill is garbage-collected on
+    resume)."""
+    final = os.path.join(rounds_dir, f"round_{round_no:05d}")
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    long_round.write_parquet(tmp)
+    # an all-invalid wave yields zero long rows and write_parquet creates
+    # nothing — commit an empty round dir so round numbering stays dense
+    os.makedirs(tmp, exist_ok=True)
+    os.replace(tmp, final)
+
+
+def _round_files(rounds_dir: str, upto: int) -> list[str]:
+    """read_parquet treats list entries as files — expand each round dir."""
+    files = []
+    for r in range(1, upto + 1):
+        d = os.path.join(rounds_dir, f"round_{r:05d}")
+        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    return files
 
 
 def run_scheduled_crawl(
@@ -54,39 +92,54 @@ def run_scheduled_crawl(
     use_actors: bool = True,
     max_rounds: int = 10_000,
     ckpt_dir: str | None = None,
+    gate_overrides: dict | None = None,
+    robots: dict | None = None,
 ):
     """Returns dict with long/wide frames + counters (rounds, admissions,
-    politeness waits). Ray must already be initialised by the caller.
+    politeness waits, dead letters). Ray must already be initialised by the
+    caller.
 
     ``ckpt_dir`` enables checkpointed resume (north rule): after every round
-    the completed rounds' long rows (parquet per round) plus snapshots of
+    the round's long rows (parquet, worker-written) plus snapshots of
     frontier heap shards, seen-set shards and the politeness gate's virtual
     clock are flushed atomically. A killed job rerun with the same
-    ``ckpt_dir`` restores all three states, skips completed rounds'
-    fetching entirely, and finishes with byte-identical outputs
-    (tests/test_scheduler.py::test_kill_resume_byte_identical).
-    ``max_rounds`` simulates the kill."""
-    import os
-    import pickle
+    ``ckpt_dir`` restores the state, leaves completed rounds' parquet on
+    disk untouched (never re-read into driver memory), and finishes with
+    byte-identical outputs (tests/test_scheduler.py). ``max_rounds``
+    simulates the kill.
 
+    ``gate_overrides`` maps host → (rate_per_second, burst);
+    ``robots`` maps host → disallow path-prefix list. Both default empty."""
     cfg = cfg or CrawlConfig()
     corpus_path = f"{fixture_dir}/corpus.parquet"
 
     gate = PolitenessGate(rate_per_second=cfg.host_rate, burst=cfg.host_burst,
                           ticks_per_second=cfg.ticks_per_second)
+    for host, (rate, burst) in (gate_overrides or {}).items():
+        gate.set_host_rate(host, rate, burst)
+    for host, prefixes in (robots or {}).items():
+        gate.set_robots(host, prefixes)
     fr = ShardedFrontier(cfg.seen_shards, use_actors=use_actors)
-    long_parts: list[pd.DataFrame] = []
-    counters = {"rounds": 0, "empty_waves": 0, "politeness_wait_ticks": 0}
+    counters = {"rounds": 0, "empty_waves": 0, "politeness_wait_ticks": 0,
+                "robots_denied": 0, "dead_lettered": 0}
     rounds = 0
     seen = ShardedSeenSet(cfg.seen_shards)
 
     state_path = rounds_dir = None
+    own_rounds_dir = None
     if ckpt_dir:
         state_path, rounds_dir = _ckpt_paths(ckpt_dir)
         os.makedirs(rounds_dir, exist_ok=True)
+    else:
+        # non-checkpointed runs still stream rounds through parquet (never
+        # driver lists); the scratch dir is discarded at the end
+        import tempfile
+
+        own_rounds_dir = tempfile.mkdtemp(prefix="sched_rounds_")
+        rounds_dir = own_rounds_dir
 
     if state_path and os.path.exists(state_path):
-        # resume: restore frontier/seen/gate + completed rounds
+        # resume: restore frontier/seen/gate; completed rounds stay on disk
         with open(state_path, "rb") as f:
             st = pickle.loads(f.read())
         fr.restore(st["frontier"])
@@ -94,9 +147,10 @@ def run_scheduled_crawl(
         gate.restore(st["gate"])
         rounds = st["rounds"]
         counters.update(st["counters"])
-        fdf = st["frontier_df"]
-        for r in range(1, rounds + 1):
-            long_parts.append(pd.read_parquet(os.path.join(rounds_dir, f"round_{r:05d}.parquet")))
+        # garbage-collect any half-written round from the kill
+        for name in os.listdir(rounds_dir):
+            if name.endswith(".tmp"):
+                shutil.rmtree(os.path.join(rounds_dir, name))
     else:
         frontier_ds = stage1.build_frontier(fixture_dir, cfg, concurrency=concurrency)
         fdf = frontier_ds.to_pandas()
@@ -105,51 +159,64 @@ def run_scheduled_crawl(
         is_new = seen.contains_and_add(keys, fdf["order_key"].tolist())
         fdf = fdf[np.array(is_new)].reset_index(drop=True)
         fr.push_pandas(fdf)
-    counters["frontier_rows"] = len(fdf)
+        counters["frontier_rows"] = len(fdf)
 
+    consecutive_empty = 0
     while fr.total() > 0 and rounds < max_rounds:
         wave = fr.pop_admissible(wave_size, gate)
+        if fr.dead_letters:
+            dead = fr.dead_letters
+            fr.dead_letters = []
+            for d in dead:
+                n_rob = int((d["_dead_reason"] == "robots").sum())
+                counters["robots_denied"] += n_rob
+                counters["dead_lettered"] += len(d)
         if len(wave) == 0:
-            # whole wave denied: advance the virtual clock so budgets refill
-            gate.advance(1)
             counters["empty_waves"] += 1
-            counters["politeness_wait_ticks"] += 1
+            consecutive_empty += 1
+            if consecutive_empty > MAX_CONSECUTIVE_EMPTY_WAVES:
+                raise RuntimeError(
+                    "frontier stalled: >%d consecutive fully-denied waves "
+                    "(hosts: %s)" % (MAX_CONSECUTIVE_EMPTY_WAVES, fr.last_denied_hosts))
+            # advance the virtual clock by exactly the soonest refill among
+            # the denied hosts (zero-rate hosts were dead-lettered above, so
+            # a positive finite wait always exists while rows remain)
+            waits = [gate.wait_ticks_for(h, 1) for h in fr.last_denied_hosts]
+            waits = [w for w in waits if w >= 0]
+            adv = max(1, min(waits)) if waits else 1
+            gate.advance(adv)
+            counters["politeness_wait_ticks"] += adv
             continue
+        consecutive_empty = 0
         rounds += 1
         ds = rd.from_pandas(wave)
         decoded = stage2.fetch_decode(ds, corpus_path, cfg, concurrency=concurrency)
-        long_parts.append(stage2.long_from_decoded(decoded).to_pandas())
+        _write_round(stage2.long_from_decoded(decoded), rounds_dir, rounds)
+        counters["rounds"] = rounds
         if ckpt_dir:
-            # flush round data first, then the state that marks it complete
-            p = os.path.join(rounds_dir, f"round_{rounds:05d}.parquet")
-            long_parts[-1].to_parquet(p + ".tmp")
-            os.replace(p + ".tmp", p)
-            counters["rounds"] = rounds
+            # round data is durably renamed; now the state that marks it done
             blob = pickle.dumps({
                 "frontier": fr.snapshot(), "seen": seen.snapshot(),
-                "gate": gate.snapshot(), "rounds": rounds,
-                "counters": counters, "frontier_df": fdf,
+                "gate": gate.snapshot(), "rounds": rounds, "counters": counters,
             })
             with open(state_path + ".tmp", "wb") as f:
                 f.write(blob)
             os.replace(state_path + ".tmp", state_path)
     counters["rounds"] = rounds
 
-    if long_parts:
-        long_df = pd.concat(long_parts, ignore_index=True)
-    else:
-        long_df = pd.DataFrame()
-    if len(long_df):
-        long_df = long_df.sort_values(["order_key", "_item"], kind="stable").reset_index(drop=True)
-        wide_ds = stage2.wide_from_long(rd.from_pandas(long_df))
-        wide_df = stage2.wide_view(wide_ds)
-        from ..schemas import LONG_COLUMNS
-
-        long_view = long_df[LONG_COLUMNS].reset_index(drop=True)
-    else:
-        wide_df = pd.DataFrame()
-        long_view = long_df
+    try:
+        round_files = _round_files(rounds_dir, rounds) if rounds > 0 else []
+        if round_files:
+            long_ds = rd.read_parquet(round_files)
+            wide_df = stage2.wide_view(stage2.wide_from_long(long_ds))
+            long_view = stage2.long_view(long_ds)
+        else:
+            wide_df = pd.DataFrame()
+            long_view = pd.DataFrame()
+    finally:
+        if own_rounds_dir:
+            shutil.rmtree(own_rounds_dir, ignore_errors=True)
     counters["long_rows"] = len(long_view)
     counters["wide_rows"] = len(wide_df)
     return {"long": long_view, "wide": wide_df, "counters": counters,
-            "frontier": fdf, "seen_total": seen.total()}
+            "seen_total": seen.total()}

@@ -252,7 +252,18 @@ def run_stage2_checkpointed(
     max_groups: int | None = None,
 ) -> list[int]:
     """Process pending url-hash partitions in groups; returns the partition
-    ids completed THIS run. ``max_groups`` lets tests simulate a kill."""
+    ids completed THIS run. ``max_groups`` lets tests simulate a kill.
+
+    Scale shape (VERDICT r01 §4): the frontier and each group's long rows
+    live as DISTRIBUTED materialized Datasets (object-store blocks, spilled
+    as needed) — never driver pandas frames — and every partition's parquet
+    is written by the workers (``Dataset.write_parquet``). The atomic commit
+    marker per partition is the directory rename; lineage counts are
+    computed with distributed aggregates."""
+    import shutil
+
+    import pyarrow.compute as pc
+
     cfg = cfg or CrawlConfig()
     os.makedirs(os.path.join(ckpt_dir, "long"), exist_ok=True)
     done = {int(k) for k in load_manifest(ckpt_dir)["partitions"]}
@@ -261,38 +272,44 @@ def run_stage2_checkpointed(
     if max_groups is not None:
         groups = groups[:max_groups]
     completed = []
-    # Materialize the (small) frontier once; each group filters from memory.
-    fdf = frontier.to_pandas()
+    # one pass over the frontier; group filters read from object-store blocks
+    fsrc = frontier.materialize()
     for grp in groups:
-        part = fdf[fdf["partition_id"].isin(grp)]
-        if len(part) == 0:
-            for pid in grp:
-                _record_partition(ckpt_dir, pid, {"rows": 0, "bytes_fetched": 0, "counters": {}})
-                completed.append(pid)
-            continue
-        sub = rd.from_pandas(part)
+        vs = pa.array(grp, pa.int32())
+        sub = fsrc.map_batches(
+            lambda t, vs=vs: t.filter(pc.is_in(t["partition_id"], value_set=vs)),
+            batch_format="pyarrow",
+        )
         decoded = fetch_decode(sub, corpus_path, cfg)
-        long_df = long_from_decoded(decoded).to_pandas()
-        long_df = long_df.sort_values(["order_key", "_item"], kind="stable")
+        long_grp = long_from_decoded(decoded).materialize()
         for pid in grp:
-            pdf_part = long_df[long_df["partition_id"] == pid]
+            part = long_grp.map_batches(
+                lambda t, p=pid: t.filter(pc.equal(t["partition_id"], p)),
+                batch_format="pyarrow",
+            ).sort(["order_key", "_item"]).materialize()
+            rows = part.count()
             pdir = os.path.join(ckpt_dir, "long", f"part={pid}")
-            os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, "data.parquet.tmp")
-            pa.parquet.write_table(pa.Table.from_pandas(pdf_part, preserve_index=False), tmp)
-            os.replace(tmp, os.path.join(pdir, "data.parquet"))
+            tmp = pdir + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            if rows:
+                part.write_parquet(tmp)  # workers write; driver only renames
+                n_docs = part.select_columns(["PDF链接"]).groupby("PDF链接").count().count()
+            else:
+                os.makedirs(tmp, exist_ok=True)
+                n_docs = 0
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir)
+            os.replace(tmp, pdir)
             _record_partition(
                 ckpt_dir,
                 pid,
                 {
-                    "rows": int(len(pdf_part)),
+                    "rows": int(rows),
                     "bytes_fetched": 0,
                     "url_range": [f"{pid:02x}", f"{pid + 1:02x}"],
-                    "counters": {
-                        "long_rows": int(len(pdf_part)),
-                        "docs": int(pdf_part["PDF链接"].nunique()),
-                    },
-                    "checkpoint_path": os.path.join(pdir, "data.parquet"),
+                    "counters": {"long_rows": int(rows), "docs": int(n_docs)},
+                    "checkpoint_path": pdir,
                 },
             )
             completed.append(pid)
@@ -303,9 +320,10 @@ def read_long_checkpoint(ckpt_dir: str) -> rd.Dataset:
     paths = []
     m = load_manifest(ckpt_dir)
     for pid in sorted(int(k) for k in m["partitions"]):
-        p = os.path.join(ckpt_dir, "long", f"part={pid}", "data.parquet")
-        if os.path.exists(p):
-            paths.append(p)
+        p = os.path.join(ckpt_dir, "long", f"part={pid}")
+        if os.path.isdir(p):
+            paths.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                         if f.endswith(".parquet"))
     return rd.read_parquet(paths)
 
 

@@ -116,8 +116,10 @@ class CorpusStore:
         analog of HTTP keep-alive + range caching)."""
         groups = self._row_groups_for(ids)
         if not groups:
-            return pa.table({c: pa.array([], pa.string() if c != "bytes" else pa.large_binary())
-                             for c in columns})
+            # typed from the parquet schema — a hardcoded string type would
+            # silently corrupt int columns (w/h/content_length) on concat
+            sch = self._file.schema_arrow
+            return pa.table({c: pa.array([], sch.field(c).type) for c in columns})
         key_cols = tuple(columns)
         tabs = []
         for g in groups:

@@ -11,13 +11,19 @@ Design:
 
 - one heap shard per url-sha1 hash range (same ranges as the seen-set and
   checkpoint partitions — ONE partitioning key reused across all state),
-- entries ordered by (-priority, order_key): highest priority first, ties
-  broken by the canonical crawl order (SURVEY.md §3.4), so pop order is a
-  pure function of frontier CONTENTS — deterministic at any shard count and
-  any parallelism,
+- entries ordered by (-priority, order_key, insertion_seq): highest priority
+  first, ties broken by the canonical crawl order (SURVEY.md §3.4). The
+  insertion counter is a safety tiebreaker ONLY — ``order_key`` is unique
+  per admitted URL (seen-set admission grants each URL once), so the counter
+  never decides between two live rows in practice; it exists so the heap
+  never falls through to comparing raw row payloads (which raises TypeError
+  on None-containing or cross-dtype cells),
 - batch API throughout (push/pop whole waves, not URLs),
 - global pop = per-shard pop(k) → driver k-way merge → push the remainder
   back (the remainder churn is bounded by k × num_shards),
+- pandas round-trips preserve dtypes: the shard records the pushed frame's
+  dtype map and every rebuilt frame is cast back to it (``df.values`` alone
+  re-infers dtypes and e.g. widens int32 partition ids),
 - snapshot/restore per shard for checkpointed resume.
 
 ``FrontierShard`` is a plain class (unit-testable standalone) wrapped by
@@ -34,38 +40,60 @@ import pandas as pd
 
 
 class FrontierShard:
-    """One hash-range shard: a min-heap on (-priority, order_key)."""
+    """One hash-range shard: a min-heap on (-priority, order_key, seq)."""
 
     def __init__(self, shard_id: int = 0):
         self.shard_id = shard_id
-        self.heap: list[tuple] = []  # (-priority, order_key, row_values)
+        self.heap: list[tuple] = []  # (-priority, order_key, seq, row_values)
         self.columns: list[str] | None = None
+        self.dtypes: list[str] | None = None
+        self._seq = 0  # monotonic insertion counter (see module docstring)
 
-    def push(self, columns: list[str], rows: list[list]) -> int:
+    def push(self, columns: list[str], rows: list[list],
+             dtypes: list[str] | None = None) -> int:
         if self.columns is None:
             self.columns = list(columns)
+        if dtypes is not None and self.dtypes is None:
+            self.dtypes = list(dtypes)
         pi = columns.index("priority")
         oi = columns.index("order_key")
         for r in rows:
-            heapq.heappush(self.heap, (-r[pi], r[oi], r))
+            heapq.heappush(self.heap, (-r[pi], r[oi], self._seq, r))
+            self._seq += 1
         return len(self.heap)
 
     def pop_top(self, k: int) -> tuple[list[str], list[list]]:
         out = []
         for _ in range(min(k, len(self.heap))):
-            out.append(heapq.heappop(self.heap)[2])
+            out.append(heapq.heappop(self.heap)[3])
         return (self.columns or [], out)
+
+    def meta(self) -> tuple[list[str] | None, list[str] | None]:
+        return (self.columns, self.dtypes)
 
     def size(self) -> int:
         return len(self.heap)
 
     def snapshot(self) -> bytes:
-        return pickle.dumps((self.shard_id, self.columns, self.heap))
+        return pickle.dumps((self.shard_id, self.columns, self.dtypes,
+                             self.heap, self._seq))
 
     def restore(self, blob: bytes) -> None:
-        self.shard_id, self.columns, heap = pickle.loads(blob)
+        self.shard_id, self.columns, self.dtypes, heap, self._seq = pickle.loads(blob)
         self.heap = heap
         heapq.heapify(self.heap)
+
+
+def _url_paths(urls: pd.Series) -> list[str]:
+    """scheme://host/path... → /path... (robots matching input)."""
+    out = []
+    for u in urls:
+        s = str(u)
+        i = s.find("://")
+        rest = s[i + 3:] if i >= 0 else s
+        j = rest.find("/")
+        out.append(rest[j:] if j >= 0 else "/")
+    return out
 
 
 class ShardedFrontier:
@@ -86,6 +114,14 @@ class ShardedFrontier:
         else:
             self.shards = [FrontierShard(i) for i in range(num_shards)]
         self.columns: list[str] | None = None
+        self.dtypes: list[str] | None = None
+        #: robots-disallowed and never-grantable rows removed by
+        #: pop_admissible — kept for lineage/metrics, never re-fetched.
+        self.dead_letters: list[pd.DataFrame] = []
+        #: hosts denied a grant in the most recent pop_admissible wave —
+        #: the scheduler uses them to advance the virtual clock by exactly
+        #: the soonest refill instead of spinning tick-by-tick.
+        self.last_denied_hosts: list[str] = []
 
     # -- internals ---------------------------------------------------------
 
@@ -108,6 +144,14 @@ class ShardedFrontier:
     def _shard_of(self, sha_hex: str) -> int:
         return int(sha_hex[:8], 16) % self.num_shards
 
+    def _rebuild(self, rows: list[list], cols: list[str] | None) -> pd.DataFrame:
+        if not cols:
+            return pd.DataFrame()
+        df = pd.DataFrame(rows, columns=cols)
+        if self.dtypes:  # restore the pushed dtypes (values.tolist re-infers)
+            df = df.astype(dict(zip(cols, self.dtypes)))
+        return df
+
     # -- API ---------------------------------------------------------------
 
     def push_pandas(self, df: pd.DataFrame) -> int:
@@ -115,12 +159,15 @@ class ShardedFrontier:
         if len(df) == 0:
             return self.total()
         self.columns = list(df.columns)
+        if self.dtypes is None:
+            self.dtypes = [str(t) for t in df.dtypes]
         rows = df.values.tolist()
         shard_idx = [self._shard_of(h) for h in df["url_sha1"]]
         by_shard: dict[int, list[list]] = {}
         for s, r in zip(shard_idx, rows):
             by_shard.setdefault(s, []).append(r)
-        args = [(self.columns, by_shard.get(s, [])) for s in range(self.num_shards)]
+        args = [(self.columns, by_shard.get(s, []), self.dtypes)
+                for s in range(self.num_shards)]
         self._calls("push", args)
         return self.total()
 
@@ -139,29 +186,58 @@ class ShardedFrontier:
             pi = shard_cols.index("priority") if shard_cols else 0
             oi = shard_cols.index("order_key") if shard_cols else 0
             for r in rows:
-                merged.append((-r[pi], r[oi], r))
+                # len(merged) = arrival index: final tiebreaker so sort never
+                # falls through to comparing raw row lists
+                merged.append((-r[pi], r[oi], len(merged), r))
         merged.sort()
-        take = [t[2] for t in merged[:k]]
-        rest = [t[2] for t in merged[k:]]
+        take = [t[3] for t in merged[:k]]
+        rest = [t[3] for t in merged[k:]]
         if rest and cols:
-            df_rest = pd.DataFrame(rest, columns=cols)
-            self.push_pandas(df_rest)
-        return pd.DataFrame(take, columns=cols) if cols else pd.DataFrame()
+            self.push_pandas(self._rebuild(rest, cols))
+        return self._rebuild(take, cols)
 
-    def pop_admissible(self, k: int, gate) -> pd.DataFrame:
-        """Top-k wave filtered by the politeness gate: denied rows go back
-        on the heap (they stay top-priority and win a later round once the
-        host budget refills). Grants consume the gate's virtual-tick budget,
-        so admission order is deterministic (SURVEY.md §7: politeness vs
-        determinism)."""
+    def pop_admissible(self, k: int, gate, url_col: str = "PDF链接") -> pd.DataFrame:
+        """Top-k wave filtered by robots rules then the politeness budget.
+
+        - robots-disallowed rows (gate.allowed) are DEAD-LETTERED: recorded
+          on ``self.dead_letters``, never fetched, never requeued;
+        - budget-denied rows whose host can never be granted (zero refill
+          rate with an exhausted bucket) are dead-lettered too — requeueing
+          them would spin the scheduler forever (ADVICE r01);
+        - other budget-denied rows go back on the heap (they stay
+          top-priority and win a later round once the host budget refills)
+          and their hosts are exposed via ``last_denied_hosts`` so the
+          caller can advance the virtual clock by exactly the soonest
+          refill. Grants consume the gate's virtual-tick budget, so
+          admission order is deterministic (SURVEY.md §7)."""
         wave = self.pop_top(k)
+        self.last_denied_hosts = []
         if len(wave) == 0:
             return wave
+        if url_col in wave.columns:
+            keep = []
+            for host, grp in wave.groupby("host", sort=False):
+                ok = gate.allowed(host, _url_paths(grp[url_col]))
+                keep.append(pd.Series(ok, index=grp.index))
+            allowed = pd.concat(keep).reindex(wave.index)
+            if not allowed.all():
+                self.dead_letters.append(wave[~allowed].assign(_dead_reason="robots"))
+                wave = wave[allowed].reset_index(drop=True)
+                if len(wave) == 0:
+                    return wave
         granted = gate.acquire_batch(list(wave["host"]), [1] * len(wave))
         ok = [g == 1 for g in granted]
         denied = wave[[not o for o in ok]]
         if len(denied):
-            self.push_pandas(denied)
+            waits = {h: gate.wait_ticks_for(h, 1) for h in denied["host"].unique()}
+            hopeless = denied["host"].map(lambda h: waits[h] < 0)
+            if hopeless.any():
+                self.dead_letters.append(
+                    denied[hopeless].assign(_dead_reason="zero_rate_host"))
+            requeue = denied[~hopeless]
+            if len(requeue):
+                self.push_pandas(requeue.drop(columns=[], errors="ignore"))
+                self.last_denied_hosts = sorted(requeue["host"].unique())
         return wave[ok].reset_index(drop=True)
 
     def snapshot(self) -> list[bytes]:
@@ -170,6 +246,8 @@ class ShardedFrontier:
     def restore(self, blobs: list[bytes]) -> None:
         self._calls("restore", [(b,) for b in blobs])
         for s in range(self.num_shards):
-            cols, rows = self._call(self.shards[s], "pop_top", 0)
+            cols, dtypes = self._call(self.shards[s], "meta")
             if cols:
                 self.columns = cols
+                if dtypes:
+                    self.dtypes = dtypes

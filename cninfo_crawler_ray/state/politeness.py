@@ -106,10 +106,13 @@ class PolitenessGate:
 
     def wait_ticks_for(self, host: str, n: int) -> int:
         """Deterministic schedule helper: ticks until n tokens are available
-        (0 if available now). Pure — does not consume tokens."""
+        (0 if available now, -1 if NEVER — zero refill rate with an exhausted
+        bucket). Pure — does not consume tokens."""
         b = self._bucket(host)
         tokens = min(b.burst, b.tokens + max(self.now_tick - b.last_tick, 0) * b.rate_per_tick)
         if tokens >= n:
             return 0
+        if b.rate_per_tick <= 0:
+            return -1
         need = n - tokens
         return int(-(-need // b.rate_per_tick))  # ceil

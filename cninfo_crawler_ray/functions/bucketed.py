@@ -23,6 +23,14 @@ import ray.data as rd
 BUCKET_COL = "_bucket"
 
 
+def _pa_from_pandas(df: pd.DataFrame, preserve_index: bool = False) -> pa.Table:
+    """``pa.Table.from_pandas`` without the pandas schema metadata. The
+    metadata blob makes per-block schemas compare unequal (and unhashable in
+    Ray's schema-dedup fast path — the 'Failed to hash the schemas' warning),
+    defeating schema deduplication during sorts/shuffles."""
+    return pa.Table.from_pandas(df, preserve_index=preserve_index).replace_schema_metadata(None)
+
+
 def add_bucket_column(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.DataFrame:
     """Deterministic per-row hash bucket over one or more key columns."""
     h = pd.util.hash_pandas_object(df[key_cols], index=False)
@@ -45,14 +53,16 @@ def bucketed_map_groups(
     per-key Python loop)."""
 
     def _add(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
-            add_bucket_column(t.to_pandas(), key_cols, num_buckets), preserve_index=False
-        )
+        return _pa_from_pandas(add_bucket_column(t.to_pandas(), key_cols, num_buckets))
+
+    def _apply(b: pd.DataFrame):
+        out = bucket_fn(b.drop(columns=[BUCKET_COL]))
+        # emit arrow so every block of the stage carries one metadata-free
+        # schema (mixed pandas/arrow blocks trip Ray's schema-divergence check)
+        return _pa_from_pandas(out) if isinstance(out, pd.DataFrame) else out
 
     bucketed = ds.map_batches(_add, batch_format="pyarrow")
-    return bucketed.groupby(BUCKET_COL).map_groups(
-        lambda b: bucket_fn(b.drop(columns=[BUCKET_COL])), batch_format="pandas"
-    )
+    return bucketed.groupby(BUCKET_COL).map_groups(_apply, batch_format="pandas")
 
 
 def bucketed_attach(
@@ -103,19 +113,19 @@ def bucketed_attach(
     rschema = right.schema()
     payload_ph = _placeholder(rschema.types[rschema.names.index(payload_col)])
 
-    def l_prep(df: pd.DataFrame) -> pd.DataFrame:
+    def l_prep(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["_jk"] = df[key_col]
         df[out_col] = pd.Series(np.repeat(payload_ph, len(df)), index=df.index)
         df["_side"] = np.repeat(np.int8(0), len(df))
-        return df[[*lcols, "_jk", out_col, "_side"]]
+        return _pa_from_pandas(df[[*lcols, "_jk", out_col, "_side"]])
 
-    def r_prep(df: pd.DataFrame) -> pd.DataFrame:
+    def r_prep(df: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame({c: pd.Series(np.repeat(ph[c], len(df))) for c in lcols})
         out["_jk"] = df[right_key].to_numpy()
         out[out_col] = df[payload_col].to_numpy()
         out["_side"] = np.repeat(np.int8(1), len(df))
-        return out
+        return _pa_from_pandas(out)
 
     def join_bucket(b: pd.DataFrame) -> pd.DataFrame:
         lt = b[b["_side"] == 0]

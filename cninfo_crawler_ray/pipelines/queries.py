@@ -27,6 +27,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import bucketed as B
+from ..functions.bucketed import _pa_from_pandas
 from ..functions import dedup as D
 from ..functions import text as T
 
@@ -37,7 +38,13 @@ def _cents(x: np.ndarray) -> np.ndarray:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # strip the pandas schema metadata the testdata files carry: pyarrow 16
+    # schemas with metadata are unhashable, defeating Ray's schema-dedup fast
+    # path on every downstream batch concat (zero-copy; fused into the read)
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns).map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +68,7 @@ def q_pricing_summary(sf_dir: str):
             revenue_cents=("revenue_cents", "sum"),
             n_rows=("sum_qty", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -88,7 +95,7 @@ def q_latest_order_per_customer(sf_dir: str):
         df = t.to_pandas()
         df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
                             ascending=[True, False, True], kind="stable")
-        return pa.Table.from_pandas(df.drop_duplicates("o_custkey"), preserve_index=False)
+        return _pa_from_pandas(df.drop_duplicates("o_custkey"), preserve_index=False)
 
     def top1_bucket(b: pd.DataFrame) -> pd.DataFrame:
         # vectorized argmax for EVERY custkey in the bucket
@@ -169,7 +176,7 @@ def q_nation_revenue(sf_dir: str):
             df["n_nationkey"] = df["o_custkey"].map(self.c2n).astype(np.int64)
             df["revenue_cents"] = _cents(df["o_totalprice"])
             g = df.groupby("n_nationkey", as_index=False)["revenue_cents"].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return _pa_from_pandas(g, preserve_index=False)
 
     out = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -204,7 +211,7 @@ def q_orders_pivot(sf_dir: str):
                 wide[p] = 0
         wide = wide[["o_orderstatus"] + _PRIORITIES]
         wide.columns = ["o_orderstatus"] + _PRIO_COLS
-        return pa.Table.from_pandas(wide, preserve_index=False)
+        return _pa_from_pandas(wide, preserve_index=False)
 
     aggs = [Sum(c, alias_name=c) for c in _PRIO_COLS]
     return ds.map_batches(partial, batch_format="pyarrow").groupby("o_orderstatus").aggregate(*aggs)
@@ -257,7 +264,7 @@ def q_events_hourly(sf_dir: str):
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -359,7 +366,7 @@ def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
                 sig = self.mh.signature(text, cache=self.cache)
                 for bk in self.mh.band_keys(sig, bands):
                     rows.append((bk, did))
-            return pd.DataFrame(rows, columns=["band_key", "doc_id"])
+            return _pa_from_pandas(pd.DataFrame(rows, columns=["band_key", "doc_id"]))
 
     def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
         # band keys are hashed whole into one bucket → vectorized self-join
@@ -704,7 +711,7 @@ def q_top_orders(sf_dir: str, k: int = 100):
         df["total_cents"] = _cents(df["o_totalprice"])
         df = df.sort_values(["total_cents", "o_orderkey"],
                             ascending=[False, True], kind="stable").head(k)
-        return pa.Table.from_pandas(df[["o_orderkey", "total_cents"]], preserve_index=False)
+        return _pa_from_pandas(df[["o_orderkey", "total_cents"]], preserve_index=False)
 
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow")
@@ -741,7 +748,7 @@ def q_source_histogram_salted(sf_dir: str, num_salts: int = 8):
         df = t.to_pandas()
         df["_salt"] = (df["doc_id"] % num_salts).astype("int32")
         g = df.groupby(["source", "_salt"], as_index=False).size()
-        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+        return _pa_from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
 
     return (
         ds.map_batches(salt_and_count, batch_format="pyarrow")

@@ -32,6 +32,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import CrawlConfig
+from ..functions.bucketed import _pa_from_pandas
 from ..functions import kernels, urls as U
 from ..schemas import FRONTIER_CSV_COLUMNS
 from ..stages.fetch import Prober
@@ -110,7 +111,7 @@ def _partial_a2_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
     df["_bucket"] = (
         pd.util.hash_pandas_object(df["股票代码"], index=False) % num_buckets
     ).astype("int32")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 def _a2_a3_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -179,7 +180,9 @@ def build_frontier(
         ),
         batch_format="pyarrow",
     )
-    frontier = valid.groupby("_bucket").map_groups(_a2_a3_bucket, batch_format="pandas")
+    frontier = valid.groupby("_bucket").map_groups(
+        lambda b: _pa_from_pandas(_a2_a3_bucket(b)), batch_format="pandas"
+    )
     return frontier.sort("order_key")
 
 

@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import CrawlConfig
+from ..functions.bucketed import _pa_from_pandas
 from ..functions.kernels import adjust_amount_special, sentinel_to_zero
 from ..schemas import LONG_COLUMNS, PARENT_CATEGORIES
 from ..stages.decode import Decoder, FetchDecode
@@ -170,7 +171,7 @@ def _bucket_by_doc(t: pa.Table, num_buckets: int) -> pa.Table:
     df["_bucket"] = (
         pd.util.hash_pandas_object(df["PDF链接"], index=False) % num_buckets
     ).astype("int32")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 def _wide_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -211,7 +212,7 @@ def wide_from_long(long_ds: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return bucketed.groupby("_bucket").map_groups(
-        lambda b: _wide_bucket(b.drop(columns=["_bucket"])),
+        lambda b: _pa_from_pandas(_wide_bucket(b.drop(columns=["_bucket"]))),
         batch_format="pandas",
     )
 

@@ -1,0 +1,133 @@
+"""CLI mirroring the reference's two entry points.
+
+- ``crawl``  ≙ ``python cninfo_report_crawler.py --start-date A --end-date B
+  --report-type T`` (cninfo_report_crawler.py:32-53): enumerate listings,
+  validate, reduce to one latest report per stock code, write the 5-column
+  frontier CSV (C:535-537).
+- ``collect`` ≙ ``python report_info_collection.py --csv-file F``
+  (report_info_collection.py:315-341): read the frontier CSV, fetch + decode
+  + extract, write the long and wide reports (R:665-715) as parquet, plus
+  .xlsx when an Excel engine is installed.
+
+The listing API / PDF store are served by the deterministic synthetic corpus
+(BASELINE.json input_hint stand-in); ``--n-images`` sizes it. The CLI owns
+its Ray session (the library never calls ray.init).
+
+    python -m cninfo_crawler_ray crawl --start-date 2025-05-29 \
+        --end-date 2025-06-01 --out /tmp/frontier.csv
+    python -m cninfo_crawler_ray collect --csv-file /tmp/frontier.csv \
+        --out-dir /tmp/reports
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from datetime import date, timedelta
+
+
+def _parse_date(s: str) -> date:
+    try:
+        return date.fromisoformat(s)
+    except ValueError:
+        raise SystemExit(f"invalid date (want YYYY-MM-DD): {s!r}")
+
+
+def _cmd_crawl(args) -> int:
+    from .config import CrawlConfig
+    from .pipelines import stage1
+    from .sources.corpus import ensure_fixtures
+
+    t0 = time.time()
+    fdir = ensure_fixtures(args.n_images)
+    dates = None
+    if args.start_date or args.end_date:
+        if not (args.start_date and args.end_date):
+            raise SystemExit("--start-date and --end-date must be given together")
+        a, b = _parse_date(args.start_date), _parse_date(args.end_date)
+        if b < a:
+            raise SystemExit("--end-date before --start-date")
+        requested = {a + timedelta(days=i) for i in range((b - a).days + 1)}
+        dates = sorted(set(stage1.fixture_dates(fdir)) & requested)
+        if not dates:
+            raise SystemExit(
+                f"no listing dates in range; corpus covers "
+                f"{[d.isoformat() for d in stage1.fixture_dates(fdir)]}")
+    cfg = CrawlConfig(report_type=args.report_type,
+                      probe_sniff_magic=args.sniff_magic)
+    frontier = stage1.build_frontier(fdir, cfg, dates=dates)
+    stage1.write_frontier_csv(frontier, args.out)
+    n = len(stage1.frontier_csv_view(frontier))
+    print(f"crawl: {n} valid reports -> {args.out} ({time.time() - t0:.1f}s)")
+    return 0
+
+
+def _cmd_collect(args) -> int:
+    from .config import CrawlConfig
+    from .pipelines import stage1, stage2
+    from .sources.corpus import ensure_fixtures
+
+    t0 = time.time()
+    fdir = ensure_fixtures(args.n_images)
+    cfg = CrawlConfig()
+    frontier = stage1.frontier_from_csv(args.csv_file, cfg)
+    decoded = stage2.fetch_decode(frontier, f"{fdir}/corpus.parquet", cfg)
+    long_ds = stage2.long_from_decoded(decoded)
+    wide_ds = stage2.wide_from_long(long_ds)
+    os.makedirs(args.out_dir, exist_ok=True)
+    long_df = stage2.long_view(long_ds)
+    wide_df = stage2.wide_view(wide_ds)
+    long_p = os.path.join(args.out_dir, "report_long.parquet")
+    wide_p = os.path.join(args.out_dir, "report_wide.parquet")
+    long_df.to_parquet(long_p)
+    wide_df.to_parquet(wide_p)
+    wrote_xlsx = False
+    if args.xlsx:
+        wrote_xlsx = stage2.write_excel_reports(
+            long_df, wide_df,
+            os.path.join(args.out_dir, "report_long.xlsx"),
+            os.path.join(args.out_dir, "report_wide.xlsx"),
+        )
+        if not wrote_xlsx:
+            print("collect: no Excel engine installed; wrote parquet only",
+                  file=sys.stderr)
+    print(f"collect: {len(long_df)} long rows, {len(wide_df)} wide rows -> "
+          f"{args.out_dir} ({time.time() - t0:.1f}s)")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cninfo_crawler_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="stage 1: listings -> frontier CSV")
+    c.add_argument("--start-date", default=None)
+    c.add_argument("--end-date", default=None)
+    c.add_argument("--report-type", default="ndbg")
+    c.add_argument("--n-images", type=int, default=1_000)
+    c.add_argument("--sniff-magic", action="store_true",
+                   help="GET-fallback magic sniff on ambiguous HEADs")
+    c.add_argument("--out", default="frontier.csv")
+
+    g = sub.add_parser("collect", help="stage 2: frontier CSV -> reports")
+    g.add_argument("--csv-file", required=True)
+    g.add_argument("--out-dir", required=True)
+    g.add_argument("--n-images", type=int, default=1_000)
+    g.add_argument("--xlsx", action="store_true")
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, log_to_driver=False)
+    try:
+        return {"crawl": _cmd_crawl, "collect": _cmd_collect}[args.cmd](args)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

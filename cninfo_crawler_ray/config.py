@@ -45,6 +45,10 @@ class CrawlConfig:
                                        # is the parallel unit (its page loop
                                        # is inherently sequential)
     probe_batch_size: int = 4096       # HEAD-analog probe rows per batch
+    #: GET-fallback on ambiguous HEADs (reference C:146-150): sniff the first
+    #: 1 KB's container magic when HEAD metadata contradicts the URL ext.
+    #: Off by default — HEAD-trust is the reference's primary rule.
+    probe_sniff_magic: bool = False
     fetch_batch_size: int = 512        # binary payload rows per batch (bytes are KB-MB each)
     decode_batch_size: int = 256
     fetch_actors: tuple[int, int] = (1, 8)

@@ -128,10 +128,14 @@ def _a2_a3_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return g.drop(columns=["_d", "_bucket"])
 
 
-def target_years_for(fixture_dir: str) -> list[int]:
+def fixture_dates(fixture_dir: str) -> list[date]:
     with open(os.path.join(fixture_dir, "meta.json")) as f:
         meta = json.load(f)
-    ds = [date.fromisoformat(d) for d in meta["dates"]]
+    return [date.fromisoformat(d) for d in meta["dates"]]
+
+
+def target_years_for(fixture_dir: str, dates: list[date] | None = None) -> list[int]:
+    ds = dates or fixture_dates(fixture_dir)
     return kernels.target_years(min(ds), max(ds))
 
 
@@ -140,16 +144,27 @@ def build_frontier(
     config: CrawlConfig | None = None,
     *,
     concurrency: int | tuple[int, int] | None = None,
+    dates: list[date] | None = None,
 ) -> rd.Dataset:
     """Run stage 1 over a fixture directory; returns the frontier Dataset
     sorted by canonical order. Does NOT call ray.init (driver owns the
-    session)."""
+    session).
+
+    ``dates`` restricts the crawl to the given listing dates (the CLI's
+    --start-date/--end-date range, cninfo_report_crawler.py:32-53); target
+    years derive from the requested range like the reference (C:384-400)."""
     cfg = config or CrawlConfig()
-    years = target_years_for(fixture_dir)
+    years = target_years_for(fixture_dir, dates)
     ann_path = os.path.join(fixture_dir, "announcements.parquet")
     corpus_path = os.path.join(fixture_dir, "corpus.parquet")
 
     seeds = rd.read_parquet(os.path.join(fixture_dir, "seeds.parquet"))
+    if dates is not None:
+        want = pa.array(dates, pa.date32())
+        seeds = seeds.map_batches(
+            lambda t, w=want: t.filter(pa.compute.is_in(t["date"], value_set=w)),
+            batch_format="pyarrow",
+        )
     anns = seeds.map_batches(
         ListingEnumerator,
         fn_constructor_args=(ann_path, cfg),
@@ -165,7 +180,7 @@ def build_frontier(
     )
     probed = cands.map_batches(
         Prober,
-        fn_constructor_args=(corpus_path,),
+        fn_constructor_args=(corpus_path, cfg.probe_sniff_magic),
         batch_format="pyarrow",
         batch_size=cfg.probe_batch_size,
         concurrency=concurrency or (1, 8),
@@ -198,6 +213,34 @@ def write_frontier_csv(frontier: rd.Dataset, path: str) -> None:
     """S5 — the reference's CSV sink (cninfo_report_crawler.py:535-537):
     fixed column order, utf-8-sig BOM so the artifact is byte-compatible."""
     frontier_csv_view(frontier).to_csv(path, index=False, encoding="utf-8-sig")
+
+
+def frontier_from_csv(path: str, config: CrawlConfig | None = None) -> rd.Dataset:
+    """S6 → stage-2 bridge: rebuild the engine's frontier columns from the
+    reference's 5-column CSV artifact. The reference reads the CSV all-string
+    and fetches in row order (report_info_collection.py:598-648); here
+    ``order_key`` is the CSV row index (the CSV is written in canonical
+    order) and url_sha1/host/partition_id re-derive from the URL, so the
+    CSV hand-off composes with every downstream stage including checkpoints."""
+    import numpy as np
+
+    cfg = config or CrawlConfig()
+    df = read_frontier_csv(path).to_pandas()  # reference artifact: small
+    url = pd.Series(df["PDF链接"], dtype=object)
+    canon = U.canonicalize(url)
+    sha = U.sha1_hex(canon)
+    days = kernels.parse_report_date(pa.array(df["报告日期"].astype(str), pa.string()))
+    days_np = np.array([d if d is not None else -1 for d in days.to_pylist()],
+                       dtype=np.float64)
+    df = df.assign(
+        **{"PDF链接": canon.tolist()},
+        url_sha1=list(sha),
+        host=U.host_of(canon).tolist(),
+        priority=days_np,
+        order_key=np.arange(len(df), dtype=np.int64),
+        partition_id=np.array(U.partition_of(sha, cfg.num_partitions), dtype=np.int32),
+    )
+    return rd.from_arrow(_pa_from_pandas(df))
 
 
 def read_frontier_csv(path: str) -> rd.Dataset:

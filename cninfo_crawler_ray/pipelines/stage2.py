@@ -328,6 +328,27 @@ def read_long_checkpoint(ckpt_dir: str) -> rd.Dataset:
     return rd.read_parquet(paths)
 
 
+def write_excel_reports(long_df: pd.DataFrame, wide_df: pd.DataFrame,
+                        long_path: str, wide_path: str) -> bool:
+    """S9 — the reference's Excel sinks (report_info_collection.py:701-715):
+    delete-if-exists first, long sheet plain, wide sheet with
+    ``freeze_panes=(1, 0)``. Requires an Excel engine (openpyxl), which this
+    sandbox doesn't ship — returns False when unavailable so callers fall
+    back to the parquet artifacts; on a real deployment the same call emits
+    the reference's golden .xlsx."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        return False
+    for p in (long_path, wide_path):
+        if os.path.exists(p):
+            os.remove(p)  # delete-if-exists (R:701-703)
+    long_df.to_excel(long_path, index=False)
+    with pd.ExcelWriter(wide_path) as xw:
+        wide_df.to_excel(xw, index=False, freeze_panes=(1, 0))
+    return True
+
+
 def long_view(long_ds: rd.Dataset) -> pd.DataFrame:
     """Long table in canonical order with the reference's column set."""
     df = long_ds.to_pandas().sort_values(["order_key", "_item"], kind="stable")

@@ -161,6 +161,17 @@ class CorpusStore:
             }
         )
 
+    def get_prefix(self, urls: list[str], n: int = 1024) -> list[bytes]:
+        """GET-first-N-bytes analog (cninfo_report_crawler.py:146-150 reads
+        1024 B to check the %PDF magic). A real HTTP client issues a ranged /
+        streamed request; the columnar analog still reads the row group but
+        returns only the prefix, keeping the probe's output tiny."""
+        ids = image_id_of_url(urls)
+        t = self._read(ids, ["image_id", "bytes"])
+        pos = pc.index_in(pa.array(ids, pa.string()), value_set=t["image_id"])
+        blobs = pc.take(t["bytes"], pos)
+        return [b.as_py()[:n] if b.is_valid else b"" for b in blobs]
+
     def get(self, urls: list[str]) -> pa.Table:
         """GET analog: (url, status, content_type, bytes). Alignment is pure
         Arrow (``index_in`` + ``take``) — payload bytes never round-trip

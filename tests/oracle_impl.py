@@ -205,8 +205,14 @@ def _server_pages(anns: pd.DataFrame, exch: str, d) -> dict[int, pd.DataFrame]:
     return {p: g.sort_values("index_in_page") for p, g in s.groupby("page_num")}
 
 
-def oracle_stage1(anns: pd.DataFrame, dates: list[date], corpus: pd.DataFrame) -> pd.DataFrame:
-    """Reference stage-1 under canonical order (SURVEY.md §3.1, §3.4)."""
+def oracle_stage1(anns: pd.DataFrame, dates: list[date], corpus: pd.DataFrame,
+                  sniff_magic: bool = False) -> pd.DataFrame:
+    """Reference stage-1 under canonical order (SURVEY.md §3.1, §3.4).
+
+    ``sniff_magic`` models the reference's GET-fallback
+    (cninfo_report_crawler.py:146-150): when the HEAD metadata contradicts
+    the URL extension, fetch the first 1024 bytes and accept iff the
+    container magic matches the extension."""
     years = o_target_years(dates[0], dates[-1])
     store = corpus.set_index("image_id")
     valid = []
@@ -255,7 +261,11 @@ def oracle_stage1(anns: pd.DataFrame, dates: list[date], corpus: pd.DataFrame) -
                     # HEAD: server content-type (fmt col) vs URL extension
                     ext = url.rsplit(".", 1)[-1]
                     if row["fmt"] != ext:
-                        continue
+                        if not sniff_magic:
+                            continue
+                        # GET-fallback: 1 KB prefix magic vs extension
+                        if codecs.sniff_fmt(bytes(row["bytes"])[:1024]) != ext:
+                            continue
                     order_key = int(
                         (((((erank << 17) | days) << 2 | 0) << 2 | 0) << 10 | int(r["page_num"])) << 6
                         | int(r["index_in_page"])

@@ -1,0 +1,53 @@
+"""CLI smoke: the two reference entry points (crawl → CSV → collect)
+reproduce the two-step workflow (README:20-65, SURVEY.md §3.3) end-to-end
+via subprocess, each owning its own Ray session."""
+
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*argv: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "cninfo_crawler_ray", *argv],
+        capture_output=True, text=True, env=env, cwd="/tmp", timeout=300,
+    )
+
+
+def test_cli_crawl_collect_roundtrip(tmp_path):
+    csv = str(tmp_path / "frontier.csv")
+    out = str(tmp_path / "reports")
+
+    r = _run("crawl", "--start-date", "2025-05-29", "--end-date", "2025-06-01",
+             "--n-images", "800", "--out", csv)
+    assert r.returncode == 0, r.stderr[-2000:]
+    frontier = pd.read_csv(csv, dtype=str)
+    assert len(frontier) > 20
+    assert list(frontier.columns) == ["股票代码", "公司名称", "财报名称", "报告日期", "PDF链接"]
+
+    r = _run("collect", "--csv-file", csv, "--out-dir", out,
+             "--n-images", "800", "--xlsx")
+    assert r.returncode == 0, r.stderr[-2000:]
+    long_df = pq.read_table(os.path.join(out, "report_long.parquet")).to_pandas()
+    wide_df = pq.read_table(os.path.join(out, "report_wide.parquet")).to_pandas()
+    assert len(wide_df) > 20
+    assert len(long_df) >= len(wide_df)  # ≥1 category row per document
+    assert {"存货", "无形资产", "开发支出", "是否包含数据资产"} <= set(wide_df.columns)
+    # every collected document came from the frontier CSV
+    assert set(wide_df["PDF链接"]) <= set(frontier["PDF链接"])
+    # no Excel engine in the sandbox: gated fallback message, no crash
+    assert "no Excel engine" in r.stderr or os.path.exists(
+        os.path.join(out, "report_wide.xlsx"))
+
+
+def test_cli_rejects_bad_dates():
+    r = _run("crawl", "--start-date", "2025-06-02", "--end-date", "2025-06-01")
+    assert r.returncode != 0
+    r = _run("crawl", "--start-date", "not-a-date", "--end-date", "2025-06-01")
+    assert r.returncode != 0

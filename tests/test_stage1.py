@@ -57,6 +57,67 @@ def test_frontier_partitions_and_priority(fixture_dir):
     assert df["priority"].notna().all()
 
 
+def test_probe_sniff_magic_matches_oracle(fixture_dir, oracle_frontier):
+    """GET-fallback conformance (VERDICT r01 missing §1): with sniff enabled,
+    rows whose HEAD metadata LIES about a body that actually matches the URL
+    extension (fixture case i%103 with original fmt raw) are admitted, and
+    the frontier equals the sniff-extended oracle exactly."""
+    import json
+    from datetime import date
+
+    from cninfo_crawler_ray.config import CrawlConfig
+
+    cfg = CrawlConfig(probe_sniff_magic=True)
+    got = stage1.frontier_csv_view(stage1.build_frontier(fixture_dir, cfg))
+
+    anns = pq.read_table(f"{fixture_dir}/announcements.parquet").to_pandas()
+    corpus = pq.read_table(f"{fixture_dir}/corpus.parquet").to_pandas()
+    with open(f"{fixture_dir}/meta.json") as f:
+        meta = json.load(f)
+    dates = [date.fromisoformat(d) for d in meta["dates"]]
+    want = O.oracle_stage1(anns, dates, corpus, sniff_magic=True)[
+        ["股票代码", "公司名称", "财报名称", "报告日期", "PDF链接"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+def test_probe_sniff_magic_delta(tmp_path):
+    """Probe-level GET-fallback semantics on a crafted corpus where HEAD
+    metadata lies: a valid body matching the URL ext is admitted ONLY with
+    sniff; a lie whose body doesn't match stays rejected either way."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cninfo_crawler_ray.functions import codecs as CC
+    from cninfo_crawler_ray.sources.corpus import gen_pixels
+    from cninfo_crawler_ray.stages.fetch import Prober
+
+    px = gen_pixels("img_00000000", 16, 16)
+    rows = [
+        # (id, stored fmt (HEAD metadata), body fmt, url ext)
+        ("img_00000001", "qlossy", "raw", "raw"),    # lie; valid body → sniff admits
+        ("img_00000002", "qlossy", "raw", "ppm"),    # lie; body ≠ ext → stays out
+        ("img_00000003", "raw", "raw", "raw"),       # truthful → HEAD admits
+    ]
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([CC.encode_image(px, r[2], {"caption": "", "pages": []})
+                           for r in rows], pa.large_binary()),
+        "w": pa.array([16] * 3, pa.int32()),
+        "h": pa.array([16] * 3, pa.int32()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "caption": pa.array([""] * 3, pa.string()),
+        "phash": pa.array([0] * 3, pa.int64()),
+    })
+    cp = str(tmp_path / "corpus.parquet")
+    pq.write_table(t, cp)
+    urls = [f"https://img0.example.test/{r[0]}.{r[3]}" for r in rows]
+    batch = pa.table({"PDF链接": pa.array(urls, pa.string())})
+    head_ok = Prober(cp, sniff_magic=False)(batch)["head_ok"].to_pylist()
+    sniff_ok = Prober(cp, sniff_magic=True)(batch)["head_ok"].to_pylist()
+    assert head_ok == [False, False, True]
+    assert sniff_ok == [True, False, True]
+
+
 def test_frontier_parallelism_invariant(fixture_dir):
     """SURVEY.md §5.2: identical frontier at different parallelism — crawl
     order is pinned at admission, never by completion order."""

@@ -243,6 +243,11 @@ _CRAWL_ORACLE_SQL = {
     "wide_report": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",
     "scheduled_crawl": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",
     "fetch_decode_stats": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/fetch_decode_stats.parquet')",
+    # brute-force hamming oracle: with 4 16-bit bands every pair at hamming
+    # ≤ 3 shares an untouched band (pigeonhole), so banded LSH provably
+    # equals brute force at the query's max_hamming=2
+    "phash_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/phash_near_dup.parquet')",
+    "image_features": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_features.parquet')",
 }
 
 

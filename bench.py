@@ -161,14 +161,19 @@ def run_headline() -> dict:
 
     frontier = stage1.build_frontier(fdir, cfg).materialize()
     n_frontier = frontier.count()
-    # Locality-prepare ONCE on the unique URLs (sort by content key + split
-    # into small blocks), then replay the prepared stream: the replayed
-    # stream inherits per-block contiguity, so the timed section is a pure
-    # actor-pool map with no all-to-all barrier inside it.
+    # The timed section covers the WHOLE fetch job: locality prep (content-key
+    # sort + repartition — the same work cfg.fetch_locality does inside
+    # fetch_decode) AND the fetch+decode map AND the result drain. The prep
+    # runs once on the unique URLs and the prepared stream is replayed
+    # ``repeat``× (per-URL work identical to unique URLs), mirroring
+    # production where each URL is locality-sorted exactly once; fetch_locality
+    # is disabled on the replayed stream ONLY because its work is already in
+    # the timed prep — nothing is excluded from the wall (ADVICE r01).
     from dataclasses import replace as _replace
 
     from cninfo_crawler_ray.pipelines.stage2 import _with_fetch_key
 
+    t0 = time.perf_counter()
     prep = (
         frontier.map_batches(_with_fetch_key, batch_format="pyarrow")
         .sort("_fetch_key")
@@ -180,7 +185,6 @@ def run_headline() -> dict:
     stream = prep.union(*([prep] * (repeat - 1))) if repeat > 1 else prep
     cfg_run = _replace(cfg, fetch_locality=False)
 
-    t0 = time.perf_counter()
     decoded = stage2.fetch_decode(stream, corpus_path, cfg_run)
     # Stream the (light, bytes-free) results to the driver and timestamp
     # each arriving batch: "sustained" throughput is measured over the
@@ -255,10 +259,14 @@ def run_scaling() -> dict:
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     s_lo = r_lo.get("sustained_urls_per_sec") or r_lo["urls_per_sec"]
     s_hi = r_hi.get("sustained_urls_per_sec") or r_hi["urls_per_sec"]
+    # PRIMARY metric (the BASELINE.md protocol): end-to-end wall-clock
+    # efficiency (T_lo/T_hi)/(hi/lo) over the full timed job. The sustained
+    # (20-90% window) ratio is SUPPLEMENTARY — it excludes ramp/drain and can
+    # exceed 1.0 from window placement, so it never decides the target.
     eff_wall = (t_lo / t_hi) / (hi / lo)
     eff_sustained = (s_hi / s_lo) / (hi / lo)
     return {
-        "metric": f"scaling efficiency, sustained fetch+decode, {lo} vs {hi} CPUs",
+        "metric": f"scaling efficiency, fetch+decode wall, {lo} vs {hi} CPUs",
         "urls": r_lo.get("urls"),
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
@@ -266,8 +274,8 @@ def run_scaling() -> dict:
         f"urls_per_sec_{hi}": r_hi.get("urls_per_sec"),
         f"sustained_{lo}": s_lo,
         f"sustained_{hi}": s_hi,
-        "scaling_efficiency_wall": round(eff_wall, 3),
-        "scaling_efficiency": round(eff_sustained, 3),
+        "scaling_efficiency": round(eff_wall, 3),
+        "scaling_efficiency_sustained": round(eff_sustained, 3),
     }
 
 

@@ -98,7 +98,12 @@ def _explode_long(batch: pa.Table) -> pa.Table:
 
 def _with_fetch_key(t: pa.Table) -> pa.Table:
     ids = [str(u).rsplit("/", 1)[-1] for u in t["PDF链接"].to_pylist()]
-    return t.append_column("_fetch_key", pa.array(ids, pa.string()))
+    # metadata-free schema: pandas-written parquet carries a b'pandas' blob
+    # that makes pyarrow-16 schemas unhashable and spams Ray's schema-dedup
+    # warning on every downstream batch concat
+    return t.replace_schema_metadata(None).append_column(
+        "_fetch_key", pa.array(ids, pa.string())
+    )
 
 
 def fetch_decode(

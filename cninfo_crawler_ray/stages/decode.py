@@ -106,4 +106,6 @@ class Decoder:
         out = out.append_column("phash64", pa.array(phashes, pa.int64()))
         out = out.append_column("items_json", pa.array(items_json, pa.string()))
         out = out.append_column("_has_data_resource", pa.array(has_flag, pa.int8()))
-        return out
+        # strip any inherited pandas metadata: pyarrow-16 schemas with
+        # metadata are unhashable and defeat Ray's block-schema dedup
+        return out.replace_schema_metadata(None)

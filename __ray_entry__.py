@@ -248,6 +248,15 @@ _CRAWL_ORACLE_SQL = {
     # equals brute force at the query's max_hamming=2
     "phash_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/phash_near_dup.parquet')",
     "image_features": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_features.parquet')",
+    # deterministic-but-not-SQL text/embedding operators: goldens re-derived
+    # from the algorithm spec by a single-process row-at-a-time implementation
+    # (tools/make_text_goldens.py — pure-Python bit ops / dict bucket index /
+    # one driver-side numpy pass; engine-cross-checked at generation time)
+    "rolling_fingerprint": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/rolling_fingerprint.parquet')",
+    "simhash": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/simhash.parquet')",
+    "minhash_lsh_dedup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/minhash_lsh_dedup.parquet')",
+    "ann_lsh_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
+    "ann_ivf_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
 }
 
 

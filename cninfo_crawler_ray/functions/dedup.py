@@ -105,7 +105,8 @@ def simhash64(texts: pd.Series) -> pd.Series:
         _capped(weights_cache)
         hashes = np.array([weights_cache.setdefault(w, _hash64(w)) for w in toks], dtype=np.uint64)
         bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        score = bits.sum(axis=0) * 2 - len(hashes)  # +1/-1 vote per bit
+        # int64: unpackbits sums are uint64 and negative votes would wrap
+        score = bits.sum(axis=0).astype(np.int64) * 2 - len(hashes)  # +1/-1 vote per bit
         val = np.packbits((score > 0).astype(np.uint8), bitorder="little").tobytes()
         out[i] = int.from_bytes(val, "little", signed=True)
     return pd.Series(out, index=texts.index)

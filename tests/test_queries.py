@@ -96,6 +96,39 @@ def test_embedding_pairs_ivf_mode_recall(entrymod, ray_session):
     assert len(exact & ivf) >= len(exact) // 2
 
 
+GOLDEN_CHECKED = ["rolling_fingerprint", "simhash", "minhash_lsh_dedup",
+                  "ann_lsh_topk", "ann_ivf_topk"]
+
+
+@pytest.mark.parametrize("name", GOLDEN_CHECKED)
+def test_query_matches_spec_golden(entrymod, name):
+    """Goldens (goldens/sf0.01) come from the independent row-at-a-time spec
+    implementation in tools/make_text_goldens.py; valid at sf0.01 only."""
+    import pyarrow.parquet as pq
+
+    got = _canon(_to_df(entrymod.queries()[name]("/root/testdata/sf0.01")))
+    want = _canon(pq.read_table(f"/root/repo/goldens/sf0.01/{name}.parquet").to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_simhash_semantic(entrymod, ray_session):
+    """A near-identical pair of texts must land at small hamming distance,
+    an unrelated pair near 32 (the uint64-overflow regression made every
+    simhash ≈ -1, collapsing all distances to ~0)."""
+    import numpy as np
+
+    from cninfo_crawler_ray.functions import dedup as D
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base.replace("tok5 ", "tok5x ")
+    other = " ".join(f"zzz{i}" for i in range(200))
+    h = D.simhash64(pd.Series([base, near, other])).to_numpy()
+    d_near = D.hamming64(h[0:1], h[1:2])[0]
+    d_far = D.hamming64(h[0:1], h[2:3])[0]
+    assert d_near <= 8 < d_far
+    assert 16 <= d_far <= 48
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(entrymod, name):
     df = _to_df(entrymod.queries()[name](SF))

@@ -1,0 +1,262 @@
+"""Generate golden parquet oracles for the deterministic-but-not-SQL text /
+embedding queries (rolling_fingerprint, simhash, minhash_lsh_dedup,
+ann_lsh_topk, ann_ivf_topk) at the driver's correctness scale (sf0.01).
+
+These operators ARE their algorithm — the algorithm is the spec — so the
+oracle re-derives each one from the spec as a SINGLE-PROCESS, ROW-AT-A-TIME
+implementation (plain-Python loops and int bit ops wherever feasible),
+sharing none of the engine's vectorized / distributed execution path:
+
+- rolling_fingerprint: per-row polynomial rolling hash, pure-Python ints
+- simhash: per-row bit-vote with Python integer shifts (no numpy unpackbits)
+- minhash_lsh_dedup: per-row signatures + a dict-of-band-key bucket index +
+  set-based Jaccard verify (no shuffle, no self-join)
+- ann_lsh_topk / ann_ivf_topk: single full-corpus numpy pass on the driver
+  (the engine streams per-batch partial top-k through an actor pool)
+
+Shared SPEC constants (hash seeds, permutation seeds, band/plane/cell
+counts) are re-derived from the documented parameters, not imported from the
+engine. Every golden is cross-checked against the live engine before being
+written; a mismatch aborts generation.
+
+Regenerate with:
+    PYTHONPATH=/root/repo python tools/make_text_goldens.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+GOLDEN_DIR = "/root/repo/goldens/sf0.01"
+SF_DIR = "/root/testdata/sf0.01"
+
+_WORD_RE_PATTERN = r"[a-z0-9]+"
+_MERSENNE = (1 << 61) - 1
+_ROLL_BASE = 1_000_003
+
+
+def _hash64(s: str) -> int:
+    # spec: blake2b(digest_size=8, salt=0) little-endian (functions/dedup.py:28)
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8,
+                        salt=(0).to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def _tokens(text: str) -> list[str]:
+    import re
+
+    return re.findall(_WORD_RE_PATTERN, str(text).lower())
+
+
+def _shingle_set(text: str, k: int = 3) -> set[str]:
+    toks = _tokens(text)
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+# --- rolling fingerprint (pure-Python ints) ---------------------------------
+
+def oracle_rolling(docs: pd.DataFrame, window: int = 16) -> pd.DataFrame:
+    fps = []
+    for t in docs["text"].fillna(""):
+        b = t.encode("utf-8")
+        if len(b) < window:
+            h = 0
+            for ch in b:
+                h = (h * _ROLL_BASE + ch) % _MERSENNE
+            fps.append(h)
+            continue
+        pw = pow(_ROLL_BASE, window - 1, _MERSENNE)
+        h = 0
+        for ch in b[:window]:
+            h = (h * _ROLL_BASE + ch) % _MERSENNE
+        best = h
+        for j in range(window, len(b)):
+            h = ((h - b[j - window] * pw) * _ROLL_BASE + b[j]) % _MERSENNE
+            best = min(best, h)
+        fps.append(best)
+    return pd.DataFrame({"doc_id": docs["doc_id"].astype("int64"),
+                         "fp64": pd.Series(fps, dtype="int64")})
+
+
+# --- simhash (Python integer bit votes) --------------------------------------
+
+def oracle_simhash(docs: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for t in docs["text"].fillna(""):
+        toks = _tokens(t)
+        if not toks:
+            out.append(0)
+            continue
+        votes = [0] * 64
+        for w in toks:
+            h = _hash64(w)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        val = 0
+        for j in range(64):
+            if votes[j] > 0:
+                val |= 1 << j
+        if val >= 1 << 63:
+            val -= 1 << 64
+        out.append(val)
+    return pd.DataFrame({"doc_id": docs["doc_id"].astype("int64"),
+                         "simhash64": pd.Series(out, dtype="int64")})
+
+
+# --- minhash + LSH + Jaccard verify (dict bucket index) ----------------------
+
+def oracle_minhash_pairs(docs: pd.DataFrame, num_perm: int = 64,
+                         bands: int = 16, threshold: float = 0.7) -> pd.DataFrame:
+    # spec permutation table: PCG64(42) universal hashes (functions/dedup.py:54)
+    rng = np.random.Generator(np.random.PCG64(42))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    rows = num_perm // bands
+
+    shingles: dict[int, set[str]] = {}
+    buckets: dict[str, list[int]] = {}
+    for did, text in zip(docs["doc_id"].astype(int), docs["text"].fillna("")):
+        sh = _shingle_set(text)
+        shingles[did] = sh
+        if not sh:
+            sig = np.full(num_perm, _MERSENNE, dtype=np.uint64)
+        else:
+            base = np.array([_hash64(s) for s in sorted(sh)], dtype=np.uint64)
+            sig = ((base[:, None] * a[None, :] + b[None, :])
+                   % np.uint64(_MERSENNE)).min(axis=0)
+        for bi in range(bands):
+            key = hashlib.blake2b(sig[bi * rows:(bi + 1) * rows].tobytes(),
+                                  digest_size=8).hexdigest()
+            buckets.setdefault(f"{bi}:{key}", []).append(did)
+
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+
+    keep = []
+    for x, y in sorted(cand):
+        sa, sb = shingles[x], shingles[y]
+        if not sa and not sb:
+            jac = 1.0
+        else:
+            u = len(sa | sb)
+            jac = len(sa & sb) / u if u else 0.0
+        if jac >= threshold:
+            keep.append((x, y))
+    return pd.DataFrame(keep, columns=["doc_a", "doc_b"]).astype(
+        {"doc_a": "int64", "doc_b": "int64"})
+
+
+# --- ANN variants (single numpy pass) ----------------------------------------
+
+def _emb_matrix(emb: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return emb["vec_id"].to_numpy().astype(np.int64), m
+
+
+def oracle_ann_lsh(emb: pd.DataFrame, k: int = 10, planes: int = 12) -> pd.DataFrame:
+    ids, mn = _emb_matrix(emb)
+    H = np.random.Generator(np.random.PCG64(7)).standard_normal((64, planes))
+    qv = mn[ids == 0][0]
+    qsig = (qv @ H > 0)
+    sig = mn @ H > 0
+    mask = ((sig != qsig[None, :]).sum(axis=1) <= 2) & (ids != 0)
+    s = mn[mask] @ qv
+    top = np.argsort(-s, kind="stable")[:k]
+    if len(s) > k:
+        assert s[top[-1]] > np.sort(s)[::-1][k], "cos tie at the k boundary"
+    return pd.DataFrame({"vec_id": ids[mask][top].astype("int64")})
+
+
+def oracle_ann_ivf(emb: pd.DataFrame, k: int = 10, n_cells: int = 16,
+                   n_probe: int = 4, sample_n: int = 2048) -> pd.DataFrame:
+    ids, mn = _emb_matrix(emb)
+    # spec coarse quantizer: spherical k-means, PCG64(13) init, 3 Lloyd
+    # iterations, over the first sample_n rows in table order
+    sample = np.stack(emb["embedding"].head(sample_n).to_numpy()).astype(np.float64)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(13))
+    C = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(3):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for c in range(len(C)):
+            memb = sample[assign == c]
+            if len(memb):
+                v = memb.mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    qv = mn[ids == 0][0]
+    probe = np.argsort(-(C @ qv))[:n_probe]
+    cell = np.argmax(mn @ C.T, axis=1)
+    mask = np.isin(cell, probe) & (ids != 0)
+    s = mn[mask] @ qv
+    top = np.argsort(-s, kind="stable")[:k]
+    if len(s) > k:
+        assert s[top[-1]] > np.sort(s)[::-1][k], "cos tie at the k boundary"
+    return pd.DataFrame({"vec_id": ids[mask][top].astype("int64")})
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 log_to_driver=False)
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+
+    goldens = {
+        "rolling_fingerprint": oracle_rolling(docs),
+        "simhash": oracle_simhash(docs),
+        "minhash_lsh_dedup": oracle_minhash_pairs(docs),
+        "ann_lsh_topk": oracle_ann_lsh(emb),
+        "ann_ivf_topk": oracle_ann_ivf(emb),
+    }
+
+    # cross-check against the live engine before writing anything
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q = m.queries()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].reset_index(drop=True)
+        return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+    for name, want in goldens.items():
+        got = q[name](SF_DIR)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=True)
+        print(f"engine == spec oracle: {name} ({len(want)} rows)")
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, want in goldens.items():
+        pq.write_table(pa.Table.from_pandas(want, preserve_index=False),
+                       f"{GOLDEN_DIR}/{name}.parquet")
+    print(f"goldens written to {GOLDEN_DIR}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

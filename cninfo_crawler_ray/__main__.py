@@ -43,12 +43,14 @@ def _cmd_crawl(args) -> int:
     t0 = time.time()
     fdir = ensure_fixtures(args.n_images)
     dates = None
+    requested_span = None
     if args.start_date or args.end_date:
         if not (args.start_date and args.end_date):
             raise SystemExit("--start-date and --end-date must be given together")
         a, b = _parse_date(args.start_date), _parse_date(args.end_date)
         if b < a:
             raise SystemExit("--end-date before --start-date")
+        requested_span = (a, b)
         requested = {a + timedelta(days=i) for i in range((b - a).days + 1)}
         dates = sorted(set(stage1.fixture_dates(fdir)) & requested)
         if not dates:
@@ -58,9 +60,21 @@ def _cmd_crawl(args) -> int:
     cfg = CrawlConfig(report_type=args.report_type,
                       probe_sniff_magic=args.sniff_magic)
     frontier = stage1.build_frontier(fdir, cfg, dates=dates)
-    stage1.write_frontier_csv(frontier, args.out)
+    out = args.out
+    if os.path.isdir(out) or out.endswith(os.sep):
+        # reference naming: listed_companies_{start}_{end}_{type}_{ts}.csv
+        # (cninfo_report_crawler.py:402-404)
+        from .functions.files import frontier_csv_name
+
+        # named by the REQUESTED range, like the reference (the crawl may
+        # cover fewer listing dates than asked for)
+        span = requested_span or (min(stage1.fixture_dates(fdir)),
+                                  max(stage1.fixture_dates(fdir)))
+        out = os.path.join(out, frontier_csv_name(
+            span[0], span[1], args.report_type))
+    stage1.write_frontier_csv(frontier, out)
     n = len(stage1.frontier_csv_view(frontier))
-    print(f"crawl: {n} valid reports -> {args.out} ({time.time() - t0:.1f}s)")
+    print(f"crawl: {n} valid reports -> {out} ({time.time() - t0:.1f}s)")
     return 0
 
 
@@ -72,7 +86,34 @@ def _cmd_collect(args) -> int:
     t0 = time.time()
     fdir = ensure_fixtures(args.n_images)
     cfg = CrawlConfig()
-    frontier = stage1.frontier_from_csv(args.csv_file, cfg)
+    csv_file = args.csv_file
+    if not csv_file:
+        # reference auto-discovery: newest listed_companies_*_*.csv by the
+        # filename-embedded timestamp (report_info_collection.py:344-428)
+        from .functions.files import (discover_latest_frontier_csv,
+                                      parse_frontier_csv_name)
+
+        csv_file = discover_latest_frontier_csv(args.csv_dir)
+        if not csv_file:
+            raise SystemExit(
+                f"no listed_companies_*_*.csv found in {args.csv_dir!r}; "
+                "pass --csv-file explicitly")
+        info = parse_frontier_csv_name(csv_file)
+        print(f"collect: discovered {csv_file}"
+              + (f" (dates {info['start_date_str']}-{info['end_date_str']},"
+                 f" type {info['report_type']})" if info else ""))
+    frontier = stage1.frontier_from_csv(csv_file, cfg)
+    if args.save_payloads:
+        from ray.data.aggregate import Count
+
+        acts = (stage2.export_payloads(frontier, f"{fdir}/corpus.parquet",
+                                       args.save_payloads, cfg)
+                .groupby("action").aggregate(Count(alias_name="n")).to_pandas())
+        stats = dict(zip(acts["action"], acts["n"]))
+        print(f"payloads -> {args.save_payloads}: "
+              f"{stats.get('written', 0)} written, "
+              f"{stats.get('exists', 0)} already present, "
+              f"{stats.get('rejected', 0)} rejected")
     decoded = stage2.fetch_decode(frontier, f"{fdir}/corpus.parquet", cfg)
     long_ds = stage2.long_from_decoded(decoded)
     wide_ds = stage2.wide_from_long(long_ds)
@@ -112,10 +153,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", default="frontier.csv")
 
     g = sub.add_parser("collect", help="stage 2: frontier CSV -> reports")
-    g.add_argument("--csv-file", required=True)
+    g.add_argument("--csv-file", default=None,
+                   help="frontier CSV; omit to auto-discover the newest "
+                        "listed_companies_*_*.csv in --csv-dir")
+    g.add_argument("--csv-dir", default=".",
+                   help="directory searched when --csv-file is omitted")
     g.add_argument("--out-dir", required=True)
     g.add_argument("--n-images", type=int, default=1_000)
     g.add_argument("--xlsx", action="store_true")
+    g.add_argument("--save-payloads", default=None, metavar="DIR",
+                   help="also export each payload under the reference's "
+                        "sanitized filename (skip-if-exists resume)")
 
     args = p.parse_args(argv)
 

@@ -226,6 +226,78 @@ def wide_from_long(long_ds: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
 # checkpointed execution
 # ---------------------------------------------------------------------------
 
+class _PayloadExporter:
+    """Actor for ``export_payloads``: one store handle per actor; per batch
+    it writes the payload files its rows name and reports what it did."""
+
+    def __init__(self, corpus_path: str, out_dir: str):
+        from ..sources.store import CorpusStore
+
+        self.store = CorpusStore(corpus_path)
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.files import sanitize_report_filename
+        from ..sources.store import ext_of_url
+
+        urls = t["PDF链接"].to_pylist()
+        exts = ext_of_url(urls)
+        names = [
+            sanitize_report_filename(nm, ti, dt, ext)
+            for nm, ti, dt, ext in zip(
+                t["公司名称"].to_pylist(), t["财报名称"].to_pylist(),
+                t["报告日期"].to_pylist(), exts)
+        ]
+        action = ["exists"] * len(urls)
+        nbytes = [0] * len(urls)
+        missing = [i for i, nm in enumerate(names)
+                   if not os.path.exists(os.path.join(self.out_dir, nm))]
+        if missing:
+            g = self.store.get([urls[i] for i in missing])
+            statuses = g["status"].to_pylist()
+            ctypes = g["content_type"].to_pylist()
+            blobs = g["bytes"]
+            for j, i in enumerate(missing):
+                # the reference's content-type gate (R:257-259): only a
+                # payload whose type matches its extension is saved
+                if statuses[j] != 200 or ctypes[j] != f"image/{exts[i]}":
+                    action[i] = "rejected"
+                    continue
+                blob = blobs[j].as_py()
+                path = os.path.join(self.out_dir, names[i])
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)  # atomic: a killed run never leaves partials
+                action[i] = "written"
+                nbytes[i] = len(blob)
+        return pa.table({
+            "file_name": pa.array(names, pa.string()),
+            "action": pa.array(action, pa.string()),
+            "nbytes": pa.array(nbytes, pa.int64()),
+        })
+
+
+def export_payloads(frontier: rd.Dataset, corpus_path: str, out_dir: str,
+                    cfg: CrawlConfig) -> rd.Dataset:
+    """Payload file sink (S8 + M13): write each validated report's payload
+    under the reference's sanitized filename
+    ``{公司名称}：{财报名称}_[{报告日期}].{ext}`` (report_info_collection.py
+    :237-268), skipping files that already exist — the reference's
+    skip-if-file-exists resume (R:241-249). Distributed: each actor fetches
+    and writes only its own batch's files; a rerun after a kill re-exports
+    only the missing ones. Returns the per-file action table."""
+    return frontier.map_batches(
+        _PayloadExporter,
+        fn_constructor_args=(corpus_path, out_dir),
+        batch_format="pyarrow",
+        batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors,
+        num_cpus=cfg.actor_num_cpus,
+    )
+
+
 def _manifest_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "manifest.json")
 

@@ -46,6 +46,50 @@ def test_cli_crawl_collect_roundtrip(tmp_path):
         os.path.join(out, "report_wide.xlsx"))
 
 
+def test_cli_reference_workflow_discovery_and_payload_export(tmp_path):
+    """The reference's full two-step workflow: crawl names its CSV by the
+    listed_companies_* pattern, collect auto-discovers the newest one and
+    exports payloads under sanitized filenames with skip-if-exists resume."""
+    csv_dir = tmp_path / "csvs"
+    csv_dir.mkdir()
+    out = str(tmp_path / "reports")
+    pdir = tmp_path / "payloads"
+
+    r = _run("crawl", "--start-date", "2025-05-29", "--end-date", "2025-06-01",
+             "--n-images", "800", "--out", str(csv_dir) + os.sep)
+    assert r.returncode == 0, r.stderr[-2000:]
+    csvs = os.listdir(csv_dir)
+    assert len(csvs) == 1 and csvs[0].startswith("listed_companies_20250529_20250601_ndbg_")
+
+    r = _run("collect", "--csv-dir", str(csv_dir), "--out-dir", out,
+             "--n-images", "800", "--save-payloads", str(pdir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"collect: discovered {csv_dir}" in r.stdout
+    wide_df = pq.read_table(os.path.join(out, "report_wide.parquet")).to_pandas()
+    files = os.listdir(pdir)
+    n_written = int(r.stdout.split("payloads -> ")[1].split(": ")[1].split(" written")[0])
+    # rows sharing (公司名称, 财报名称, 报告日期) collide onto one file — the
+    # reference quirk (R:241-249 reuses the existing file) — so written rows
+    # ≥ distinct files
+    assert n_written >= len(files) > 20
+    # sanitized reference pattern: 公司名称：财报名称_[日期].ext, no illegal chars
+    assert all("：" in f and "_[" in f for f in files)
+    assert not any(c in f for f in files for c in '\\/:*?"<>|')
+    # every exported file belongs to a collected document
+    frontier = pd.read_csv(os.path.join(csv_dir, csvs[0]), dtype=str)
+    assert len(files) <= len(frontier)
+    assert len(wide_df) > 20
+
+    # rerun: skip-if-exists resume — nothing rewritten
+    mtimes = {f: os.path.getmtime(pdir / f) for f in files}
+    r = _run("collect", "--csv-dir", str(csv_dir), "--out-dir", out,
+             "--n-images", "800", "--save-payloads", str(pdir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"{n_written} already present" in r.stdout
+    assert " 0 written" in r.stdout
+    assert all(os.path.getmtime(pdir / f) == mtimes[f] for f in files)
+
+
 def test_cli_rejects_bad_dates():
     r = _run("crawl", "--start-date", "2025-06-02", "--end-date", "2025-06-01")
     assert r.returncode != 0

@@ -78,6 +78,20 @@ def _cmd_crawl(args) -> int:
     return 0
 
 
+def _ask_download_mode(input_fn=input) -> bool:
+    """The reference's interactive download-mode prompt
+    (report_info_collection.py:559-584): y → full mode (save payload files),
+    n → fast mode (parse only); re-asks on anything else. Flags skip it; a
+    non-interactive run without flags defaults to fast mode."""
+    while True:
+        choice = input_fn("save payload files locally? (y/n): ").strip().lower()
+        if choice == "y":
+            return True
+        if choice == "n":
+            return False
+        print("invalid choice, enter y or n", file=sys.stderr)
+
+
 def _cmd_collect(args) -> int:
     from .config import CrawlConfig
     from .pipelines import stage1, stage2
@@ -103,14 +117,18 @@ def _cmd_collect(args) -> int:
               + (f" (dates {info['start_date_str']}-{info['end_date_str']},"
                  f" type {info['report_type']})" if info else ""))
     frontier = stage1.frontier_from_csv(csv_file, cfg)
-    if args.save_payloads:
+    save_dir = args.save_payloads
+    if save_dir is None and not args.no_download and sys.stdin.isatty():
+        if _ask_download_mode():
+            save_dir = os.path.join(args.out_dir, "payloads")
+    if save_dir:
         from ray.data.aggregate import Count
 
         acts = (stage2.export_payloads(frontier, f"{fdir}/corpus.parquet",
-                                       args.save_payloads, cfg)
+                                       save_dir, cfg)
                 .groupby("action").aggregate(Count(alias_name="n")).to_pandas())
         stats = dict(zip(acts["action"], acts["n"]))
-        print(f"payloads -> {args.save_payloads}: "
+        print(f"payloads -> {save_dir}: "
               f"{stats.get('written', 0)} written, "
               f"{stats.get('exists', 0)} already present, "
               f"{stats.get('rejected', 0)} rejected")
@@ -164,6 +182,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--save-payloads", default=None, metavar="DIR",
                    help="also export each payload under the reference's "
                         "sanitized filename (skip-if-exists resume)")
+    g.add_argument("--no-download", action="store_true",
+                   help="fast mode: parse only, never save payload files "
+                        "(suppresses the interactive prompt)")
 
     args = p.parse_args(argv)
 

@@ -90,6 +90,23 @@ def test_cli_reference_workflow_discovery_and_payload_export(tmp_path):
     assert all(os.path.getmtime(pdir / f) == mtimes[f] for f in files)
 
 
+def test_download_mode_prompt_parsing():
+    """y/n handling of the interactive download-mode prompt (reference
+    report_info_collection.py:559-584), with re-ask on invalid input."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from cninfo_crawler_ray.__main__ import _ask_download_mode
+
+    def feeder(*answers):
+        it = iter(answers)
+        return lambda _prompt: next(it)
+
+    assert _ask_download_mode(feeder("y")) is True
+    assert _ask_download_mode(feeder(" N ")) is False
+    assert _ask_download_mode(feeder("maybe", "", "Y")) is True
+
+
 def test_cli_rejects_bad_dates():
     r = _run("crawl", "--start-date", "2025-06-02", "--end-date", "2025-06-01")
     assert r.returncode != 0

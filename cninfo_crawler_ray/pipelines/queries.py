@@ -438,8 +438,16 @@ def _ivf_centroids(emb: rd.Dataset, n_cells: int, seed: int = 13,
                    sample_n: int = 2048) -> np.ndarray:
     """Seeded spherical k-means on a driver-side sample (the coarse
     quantizer both IVF operators share). The sample/centroid matrices are
-    tiny and fixed-size regardless of corpus scale."""
-    sample = np.stack(emb.limit(sample_n).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    tiny and fixed-size regardless of corpus scale.
+
+    The sample frame is sorted by its id column before seeding: ``limit()``
+    delivers a deterministic row SET (the first ``sample_n`` logical rows)
+    but ``to_pandas`` concatenates blocks in arrival order, and the k-means
+    init indexes into that order — unsorted, the centroids (and every
+    downstream probe/topk) would vary run to run."""
+    sdf = emb.limit(sample_n).to_pandas()
+    sdf = sdf.sort_values(sdf.columns[0], kind="stable").reset_index(drop=True)
+    sample = np.stack(sdf["embedding"].to_numpy()).astype(np.float64)
     sample = _normalize_rows(sample)
     rng = np.random.Generator(np.random.PCG64(seed))
     C = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]

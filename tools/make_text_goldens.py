@@ -187,8 +187,9 @@ def oracle_ann_ivf(emb: pd.DataFrame, k: int = 10, n_cells: int = 16,
                    n_probe: int = 4, sample_n: int = 2048) -> pd.DataFrame:
     ids, mn = _emb_matrix(emb)
     # spec coarse quantizer: spherical k-means, PCG64(13) init, 3 Lloyd
-    # iterations, over the first sample_n rows in table order
-    sample = np.stack(emb["embedding"].head(sample_n).to_numpy()).astype(np.float64)
+    # iterations, over the first sample_n rows canonicalized by id order
+    sample = np.stack(emb.head(sample_n).sort_values("vec_id", kind="stable")
+                      ["embedding"].to_numpy()).astype(np.float64)
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.Generator(np.random.PCG64(13))
     C = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]

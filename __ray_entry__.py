@@ -177,6 +177,45 @@ def _phash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     return out.drop_duplicates().sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
+def _image_thumbnails(sf_dir: str, out_h: int = 8, out_w: int = 8):
+    """Multimodal resize stage: fetch validated images → decode → area-mean
+    resize → re-encode, all inside one actor pool (bytes never leave the
+    actor between decode and re-encode). Output is the light per-image
+    projection (crc + mean of the thumbnail) so the compare never ships
+    payload bytes; the full thumb bytes stay available via the stage."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.fetch import Fetcher
+    from cninfo_crawler_ray.stages.multimodal import Thumbnailer
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+    fetched = frontier.map_batches(
+        Fetcher, fn_constructor_args=(f"{fdir}/corpus.parquet",),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+
+    def with_image_id(t: pa.Table) -> pa.Table:
+        ids = [u.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+               for u in t["PDF链接"].to_pylist()]
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "bytes": t["bytes"]})
+
+    thumbs = fetched.map_batches(with_image_id, batch_format="pyarrow").map_batches(
+        Thumbnailer, fn_constructor_args=(out_h, out_w),
+        batch_format="pyarrow", batch_size=cfg.decode_batch_size,
+        concurrency=cfg.decode_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    out = thumbs.select_columns(["image_id", "thumb_crc32", "thumb_mean"]).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _scheduled_crawl(sf_dir: str):
     """Round-based execution of the flagship crawl: priority min-heap
     frontier shards + politeness gate drained in admissible waves (north
@@ -227,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_decode_stats": _fetch_decode_stats,
         "wide_report": _wide_report,
         "image_features": _image_features,
+        "image_thumbnails": _image_thumbnails,
         "phash_near_dup": _phash_near_dup,
         "scheduled_crawl": _scheduled_crawl,
     }
@@ -252,6 +292,7 @@ _CRAWL_ORACLE_SQL = {
     # from the algorithm spec by a single-process row-at-a-time implementation
     # (tools/make_text_goldens.py — pure-Python bit ops / dict bucket index /
     # one driver-side numpy pass; engine-cross-checked at generation time)
+    "image_thumbnails": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_thumbnails.parquet')",
     "rolling_fingerprint": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/rolling_fingerprint.parquet')",
     "simhash": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/simhash.parquet')",
     "minhash_lsh_dedup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/minhash_lsh_dedup.parquet')",

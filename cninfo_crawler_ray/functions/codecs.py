@@ -127,6 +127,29 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-average resize of an (h, w, 3) uint8 image.
+
+    Output pixel (i, j) is the mean of the integer pixel box
+    rows [floor(i*h/oh), floor((i+1)*h/oh)) × cols [floor(j*w/ow), ...)
+    (a degenerate box falls back to its single nearest row/col, so upscale
+    degrades to nearest-neighbor). Pure integer boundaries → bit-identical
+    on every platform; vectorized via a float64 summed-area table."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError("output dims must be >= 1")
+    h, w = pixels.shape[:2]
+    # integral image with a zero border: S[i, j] = sum of pixels[:i, :j]
+    S = np.zeros((h + 1, w + 1, 3), dtype=np.float64)
+    np.cumsum(np.cumsum(pixels, axis=0, dtype=np.float64), axis=1, out=S[1:, 1:])
+    r0 = (np.arange(out_h) * h) // out_h
+    r1 = np.maximum((np.arange(1, out_h + 1) * h) // out_h, r0 + 1)
+    c0 = (np.arange(out_w) * w) // out_w
+    c1 = np.maximum((np.arange(1, out_w + 1) * w) // out_w, c0 + 1)
+    box = (S[r1][:, c1] - S[r1][:, c0] - S[r0][:, c1] + S[r0][:, c0])
+    area = ((r1 - r0)[:, None] * (c1 - c0)[None, :]).astype(np.float64)
+    return np.round(box / area[:, :, None]).astype(np.uint8)
+
+
 def phash64(pixels: np.ndarray) -> int:
     """Average-hash perceptual fingerprint: 8×8 block-mean grayscale → 64 bits
     (sign-cast to int64 for the ``phash`` corpus column)."""

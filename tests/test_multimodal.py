@@ -1,0 +1,110 @@
+"""Multimodal stage plumbing: resize kernel, video frame-sampling, audio
+features — real code paths over the deterministic synthetic containers, with
+the real-codec hooks gated behind NotImplementedError."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from cninfo_crawler_ray.functions import codecs
+from cninfo_crawler_ray.stages import multimodal as M
+
+
+def _img(seed: int, h: int = 24, w: int = 32) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# --- resize_area ---------------------------------------------------------------
+
+def test_resize_integer_downscale_is_block_mean():
+    px = _img(1, 16, 16)
+    got = codecs.resize_area(px, 4, 4)
+    want = np.round(
+        px.reshape(4, 4, 4, 4, 3).transpose(0, 2, 1, 3, 4)
+        .reshape(4, 4, 16, 3).astype(np.float64).mean(axis=2)).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_resize_non_integer_and_upscale_dims():
+    px = _img(2, 10, 7)
+    assert codecs.resize_area(px, 3, 5).shape == (3, 5, 3)
+    up = codecs.resize_area(px, 20, 14)  # upscale → nearest-neighbor boxes
+    assert up.shape == (20, 14, 3)
+    assert np.array_equal(up[::2, ::2], px)
+
+
+def test_resize_to_1x1_is_global_mean():
+    px = _img(3)
+    got = codecs.resize_area(px, 1, 1)[0, 0]
+    want = np.round(px.reshape(-1, 3).astype(np.float64).mean(axis=0))
+    assert np.array_equal(got, want.astype(np.uint8))
+
+
+# --- video container + FrameSampler --------------------------------------------
+
+def test_video_roundtrip_and_selective_decode():
+    frames = [_img(i) for i in range(7)]
+    blob = M.encode_video(frames, fps=12.5, frame_fmt="raw")
+    got, fps, n = M.decode_video(blob)
+    assert fps == 12.5 and n == 7
+    assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+    some, _, _ = M.decode_video(blob, frame_indices=[2, 5])
+    assert np.array_equal(some[0], frames[2])
+    assert np.array_equal(some[1], frames[5])
+
+
+def test_video_unknown_magic_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_video(b"MOOVsomething")
+
+
+def test_frame_sampler_stage(ray_session):
+    vids = {f"v{i}": [_img(100 * i + j) for j in range(6 + i)] for i in range(3)}
+    t = pa.table({
+        "video_id": pa.array(list(vids), pa.string()),
+        "bytes": pa.array([M.encode_video(f, fps=10.0, frame_fmt="raw")
+                           for f in vids.values()], pa.large_binary()),
+    })
+    out = (rd.from_arrow(t)
+           .map_batches(M.FrameSampler, fn_constructor_args=(5,),
+                        batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values(["video_id", "frame_index"]))
+    # stride 5 plus the last frame: v0 (6 frames) → {0, 5}; v1 (7) → {0, 5, 6};
+    # v2 (8) → {0, 5, 7}
+    got = {v: g["frame_index"].tolist() for v, g in out.groupby("video_id")}
+    assert got == {"v0": [0, 5], "v1": [0, 5, 6], "v2": [0, 5, 7]}
+    # per-frame phash matches a direct computation on the source frame
+    row = out[(out["video_id"] == "v1") & (out["frame_index"] == 5)].iloc[0]
+    assert row["frame_phash"] == codecs.phash64(vids["v1"][5])
+    assert (out["fps"] == 10.0).all()
+
+
+# --- audio container + AudioFeaturizer ------------------------------------------
+
+def test_audio_roundtrip_and_features(ray_session):
+    rate = 8000
+    tsec = np.arange(rate, dtype=np.float64) / rate  # 1 s
+    sine = (0.5 * np.sin(2 * np.pi * 100 * tsec) * 32767).astype(np.int16)
+    silent = np.zeros(rate // 2, dtype=np.int16)
+    t = pa.table({
+        "audio_id": pa.array(["sine", "silence"], pa.string()),
+        "bytes": pa.array([M.encode_audio(sine, rate), M.encode_audio(silent, rate)],
+                          pa.large_binary()),
+    })
+    out = (rd.from_arrow(t)
+           .map_batches(M.AudioFeaturizer, batch_format="pyarrow", concurrency=1)
+           .to_pandas().set_index("audio_id"))
+    assert out.loc["sine", "duration_sec"] == pytest.approx(1.0)
+    assert out.loc["sine", "rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    # 100 Hz sine crosses zero 200 times per second → zcr ≈ 200/8000
+    assert out.loc["sine", "zcr"] == pytest.approx(200 / rate, rel=0.02)
+    assert out.loc["silence", "duration_sec"] == pytest.approx(0.5)
+    assert out.loc["silence", "rms"] == 0.0
+
+
+def test_audio_unknown_magic_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"RIFFxxxx")

@@ -58,6 +58,52 @@ def _ckpt_paths(ckpt_dir: str) -> tuple[str, str]:
     return os.path.join(ckpt_dir, "state.pkl"), os.path.join(ckpt_dir, "rounds")
 
 
+class _SeedBatch:
+    """Worker-side frontier seeding (scale path): each map task routes its
+    batch's keys to the seen-set shards (exact admission RPC) and pushes the
+    admitted rows straight into the frontier heap shards — the frontier
+    never materializes on the driver. Heap pop order keys on the unique
+    (priority, order_key), so which worker pushed a row never matters."""
+
+    def __init__(self, seen_shards, frontier_shards, columns: list[str],
+                 dtypes: list[str]):
+        self.seen_shards = seen_shards
+        self.frontier_shards = frontier_shards
+        self.columns = columns
+        self.dtypes = dtypes
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        if len(df) == 0:
+            return pd.DataFrame({"admitted": pd.Series([], dtype="int64"),
+                                 "total": pd.Series([], dtype="int64")})
+        df = df[self.columns]  # canonical column order for heap row layout
+        keys = [bytes.fromhex(h) for h in df["url_sha1"]]
+        seqs = df["order_key"].tolist()
+        width = (1 << 32) // len(self.seen_shards) + 1
+        by_shard: dict[int, list[int]] = {}
+        for i, k in enumerate(keys):
+            by_shard.setdefault(int.from_bytes(k[:4], "big") // width, []).append(i)
+        futs = {
+            s: self.seen_shards[s].contains_and_add.remote(
+                [keys[i] for i in idxs], [seqs[i] for i in idxs])
+            for s, idxs in by_shard.items()
+        }
+        is_new = np.zeros(len(keys), dtype=bool)
+        for s, idxs in by_shard.items():
+            for i, new in zip(idxs, ray.get(futs[s])):
+                is_new[i] = new
+        adm = df[is_new]
+        pushes: dict[int, list[list]] = {}
+        n_fr = len(self.frontier_shards)
+        for h, row in zip(adm["url_sha1"], adm.values.tolist()):
+            pushes.setdefault(int(h[:8], 16) % n_fr, []).append(row)
+        ray.get([self.frontier_shards[s].push.remote(self.columns, rows, self.dtypes)
+                 for s, rows in pushes.items()])
+        return pd.DataFrame({"admitted": [len(adm)], "total": [len(df)]})
+
+
 def _write_round(long_round: rd.Dataset, rounds_dir: str, round_no: int) -> None:
     """Workers write the round's long rows; the directory rename is the
     atomic commit marker (a .tmp dir left by a kill is garbage-collected on
@@ -153,13 +199,29 @@ def run_scheduled_crawl(
                 shutil.rmtree(os.path.join(rounds_dir, name))
     else:
         frontier_ds = stage1.build_frontier(fixture_dir, cfg, concurrency=concurrency)
-        fdf = frontier_ds.to_pandas()
-        # seen-set admission (T2): exact, sharded, batch RPC
-        keys = [bytes.fromhex(h) for h in fdf["url_sha1"]]
-        is_new = seen.contains_and_add(keys, fdf["order_key"].tolist())
-        fdf = fdf[np.array(is_new)].reset_index(drop=True)
-        fr.push_pandas(fdf)
-        counters["frontier_rows"] = len(fdf)
+        if use_actors:
+            # distributed seed: admission RPC + heap push happen inside the
+            # map tasks; only per-batch counts (and one metadata row) reach
+            # the driver
+            head = frontier_ds.limit(1).to_pandas()
+            cols = list(head.columns)
+            dtypes = [str(t) for t in head.dtypes]
+            stats = frontier_ds.map_batches(
+                _SeedBatch,
+                fn_constructor_args=(seen.shards, fr.shards, cols, dtypes),
+                batch_format="pandas", batch_size=4096,
+                concurrency=(1, 8), num_cpus=0.5,
+            ).to_pandas()
+            fr.columns, fr.dtypes = cols, dtypes
+            counters["frontier_rows"] = int(stats["admitted"].sum())
+        else:
+            # in-process shards (unit tests): driver-side admission
+            fdf = frontier_ds.to_pandas()
+            keys = [bytes.fromhex(h) for h in fdf["url_sha1"]]
+            is_new = seen.contains_and_add(keys, fdf["order_key"].tolist())
+            fdf = fdf[np.array(is_new)].reset_index(drop=True)
+            fr.push_pandas(fdf)
+            counters["frontier_rows"] = len(fdf)
 
     consecutive_empty = 0
     while fr.total() > 0 and rounds < max_rounds:

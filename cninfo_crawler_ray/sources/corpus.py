@@ -333,7 +333,7 @@ def default_dates(n_days: int = 4) -> list[date]:
     return [start + timedelta(days=i) for i in range(n_days)]
 
 
-FIXTURE_VERSION = 3  # bump when generation logic changes → new cache dirs
+FIXTURE_VERSION = 4  # bump when generation logic changes → new cache dirs
 
 
 def fixture_dir(n_images: int, sizes: str = "default") -> str:
@@ -389,7 +389,16 @@ def ensure_fixtures(n_images: int, n_days: int = 4, use_ray: bool | None = None,
 
     dates = default_dates(n_days)
     category = "category_ndbg_szsh"
-    pq.write_table(announcements_rows(n_images, dates, category), os.path.join(tmp, "announcements.parquet"))
+    anns = announcements_rows(n_images, dates, category)
+    # store layout for predicate pushdown: sorted by stream key with row
+    # groups ≈ one (exchange, date) stream, so the listing enumerator's
+    # filtered scans prune to O(stream) row groups instead of decompressing
+    # the whole store (same rows — layout only)
+    anns = anns.sort_by([("exchange", "ascending"), ("date", "ascending"),
+                         ("page_num", "ascending"), ("index_in_page", "ascending")])
+    n_streams = max(len(dates) * 5, 1)  # ≈ exchanges × dates
+    rg = max(1024, anns.num_rows // n_streams)
+    pq.write_table(anns, os.path.join(tmp, "announcements.parquet"), row_group_size=rg)
     pq.write_table(seeds_rows(dates, category), os.path.join(tmp, "seeds.parquet"))
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"n_images": n_images, "seed": SEED, "n_days": n_days, "sizes": sizes,

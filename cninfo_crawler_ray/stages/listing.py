@@ -47,30 +47,21 @@ class ListingEnumerator:
         self.cfg = config or CrawlConfig()
         self.ds = pads.dataset(announcements_path)
         self.politeness = politeness_handle
-        self._index: dict[tuple, dict[int, pa.Table]] | None = None
-
-    def _build_index(self) -> None:
-        """One scan per ACTOR (not per seed): slice the listing store into
-        one sorted table per (exchange, date) stream. This stands in for the
-        listing API's server-side index; on a real cluster each actor would
-        hold a connection, not the table — the per-stream page loop is
-        unchanged."""
-        t = self.ds.to_table()
-        t = t.sort_by([
-            ("exchange", "ascending"), ("date", "ascending"),
-            ("page_num", "ascending"), ("index_in_page", "ascending"),
-        ])
-        self._index = {}
-        keys = pa.table({"exchange": t["exchange"], "date": t["date"]}).to_pandas()
-        grp = keys.groupby(["exchange", "date"], sort=False).indices
-        for (ex, d), idx in grp.items():
-            lo, hi = int(idx[0]), int(idx[-1]) + 1
-            self._index[(ex, d)] = t.slice(lo, hi - lo)
 
     def _stream_table(self, exchange: str, d) -> pa.Table | None:
-        if self._index is None:
-            self._build_index()
-        return self._index.get((exchange, d))
+        """One predicate-pushdown scan per STREAM: only row groups whose
+        stats intersect (exchange, date) leave storage, so actor memory is
+        bounded by one stream regardless of listing-store size. This stands
+        in for the listing API's server-side index; on a real cluster each
+        actor would hold a connection, not a table — the per-stream page
+        loop is unchanged."""
+        import pyarrow.compute as pc
+
+        t = self.ds.to_table(
+            filter=(pc.field("exchange") == exchange) & (pc.field("date") == d))
+        if t.num_rows == 0:
+            return None
+        return t.sort_by([("page_num", "ascending"), ("index_in_page", "ascending")])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg

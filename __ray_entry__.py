@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup dedup family
         "minhash_lsh_dedup": Q.q_minhash_lsh_dedup,
         "simhash": Q.q_simhash,
+        "simhash_near_dup": Q.q_simhash_near_dup,
         "embedding_topk_pairs": Q.q_embedding_topk_pairs,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         # sort / limit / set ops
@@ -295,6 +296,9 @@ _CRAWL_ORACLE_SQL = {
     "image_thumbnails": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_thumbnails.parquet')",
     "rolling_fingerprint": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/rolling_fingerprint.parquet')",
     "simhash": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/simhash.parquet')",
+    # brute-force hamming over independently-recomputed simhashes; exact vs
+    # banded LSH at max_hamming=3 with 4 bands (pigeonhole)
+    "simhash_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/simhash_near_dup.parquet')",
     "minhash_lsh_dedup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/minhash_lsh_dedup.parquet')",
     "ann_lsh_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
     "ann_ivf_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",

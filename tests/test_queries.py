@@ -96,8 +96,8 @@ def test_embedding_pairs_ivf_mode_recall(entrymod, ray_session):
     assert len(exact & ivf) >= len(exact) // 2
 
 
-GOLDEN_CHECKED = ["rolling_fingerprint", "simhash", "minhash_lsh_dedup",
-                  "ann_lsh_topk", "ann_ivf_topk"]
+GOLDEN_CHECKED = ["rolling_fingerprint", "simhash", "simhash_near_dup",
+                  "minhash_lsh_dedup", "ann_lsh_topk", "ann_ivf_topk"]
 
 
 @pytest.mark.parametrize("name", GOLDEN_CHECKED)

@@ -114,6 +114,20 @@ def oracle_simhash(docs: pd.DataFrame) -> pd.DataFrame:
                          "simhash64": pd.Series(out, dtype="int64")})
 
 
+def oracle_simhash_near_dup(sim: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    """Brute-force hamming over the (independently recomputed) simhashes —
+    exact oracle for the engine's banded LSH at max_hamming ≤ 3/4-bands."""
+    h = sim["simhash64"].to_numpy().view(np.uint64)
+    ids = sim["doc_id"].to_numpy()
+    x = h[:, None] ^ h[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(h), len(h), 8), axis=2).sum(axis=2)
+    ii, jj = np.nonzero(ham <= max_hamming)
+    keep = ii < jj
+    return (pd.DataFrame({"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]]})
+            .astype({"doc_a": "int64", "doc_b": "int64"})
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
 # --- minhash + LSH + Jaccard verify (dict bucket index) ----------------------
 
 def oracle_minhash_pairs(docs: pd.DataFrame, num_perm: int = 64,
@@ -223,9 +237,11 @@ def main() -> None:
     emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                         columns=["vec_id", "embedding"]).to_pandas()
 
+    g_simhash = oracle_simhash(docs)
     goldens = {
         "rolling_fingerprint": oracle_rolling(docs),
-        "simhash": oracle_simhash(docs),
+        "simhash": g_simhash,
+        "simhash_near_dup": oracle_simhash_near_dup(g_simhash),
         "minhash_lsh_dedup": oracle_minhash_pairs(docs),
         "ann_lsh_topk": oracle_ann_lsh(emb),
         "ann_ivf_topk": oracle_ann_ivf(emb),

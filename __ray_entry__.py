@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming-shaped
         "events_hourly": Q.q_events_hourly,
         "sessionize": Q.q_sessionize,
+        "events_sliding_3h": Q.q_events_sliding_3h,
+        # custom relational operators Ray Data lacks as primitives
+        "asof_latest_order": Q.q_asof_latest_order,
         # text analysis
         "token_stats": Q.q_token_stats,
         "quality_features": Q.q_quality_features,

@@ -297,6 +297,91 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     return B.bucketed_map_groups(ds, ["user_id"], sessions_bucket)
 
 
+def q_asof_latest_order(sf_dir: str):
+    """As-of join — a relational operator Ray Data lacks as a primitive:
+    for every event, attach the latest order of the same customer at or
+    before the event time (missing → -1).
+
+    Distributed shape: tag both sides into ONE typed schema, union,
+    hash-bucket on the join key (co-locating each customer's events and
+    orders), then a per-bucket vectorized sort-merge as-of
+    (``pd.merge_asof`` over time-sorted frames). The shuffle moves only the
+    tagged key/time/id triples; no side is broadcast and no bucket holds
+    more than its key range. Tie-break is deterministic: max o_orderdate,
+    then max o_orderkey (time-sorted with orderkey ascending → backward
+    as-of picks the last)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["user_id"].astype("int64"), "t": df["ts"],
+            "event_id": df["event_id"].astype("int64"),
+            "o_orderkey": np.int64(-1), "side": np.int8(0)}),
+        batch_format="pandas")
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["o_custkey"].astype("int64"), "t": df["o_orderdate"],
+            "event_id": np.int64(-1),
+            "o_orderkey": df["o_orderkey"].astype("int64"), "side": np.int8(1)}),
+        batch_format="pandas")
+
+    def asof_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        e = (b[b["side"] == 0][["key", "t", "event_id"]]
+             .sort_values("t", kind="stable"))
+        o = (b[b["side"] == 1][["key", "t", "o_orderkey"]]
+             .sort_values(["t", "o_orderkey"], kind="stable"))
+        if len(e) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "o_orderkey": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(e, o, on="t", by="key", direction="backward")
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "o_orderkey": m["o_orderkey"].fillna(-1).astype("int64"),
+        })
+
+    return B.bucketed_map_groups(ev.union(od), ["key"], asof_bucket)
+
+
+def q_events_sliding_3h(sf_dir: str):
+    """Time-RANGE sliding-window aggregate: per event type, the event count
+    over the trailing 3 hours [hour-2h, hour] at each active hour. Two-level
+    shape: hourly pre-aggregate inside map_batches + a tiny keyed groupby
+    (the shuffle moves ≤ one row per (event_type, hour)), then a per-type
+    vectorized prefix-sum window with ``searchsorted`` on the real hour
+    timeline (RANGE semantics — gaps in the timeline are honored, unlike a
+    ROWS frame)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        g = df.groupby(["event_type", "hour"], as_index=False).size()
+        return _pa_from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def window_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "hour": pd.Series([], dtype=object),
+                                 "n3h": pd.Series([], dtype="int64")})
+        out = []
+        for etype, g in b.groupby("event_type", sort=False):
+            g = g.sort_values("hour", kind="stable")
+            hours = pd.to_datetime(g["hour"]).to_numpy()
+            n = g["n"].to_numpy(dtype=np.int64)
+            csum = np.concatenate([[0], np.cumsum(n)])
+            lo = np.searchsorted(hours, hours - np.timedelta64(2, "h"), side="left")
+            hi = np.arange(1, len(n) + 1)
+            out.append(pd.DataFrame({"event_type": etype, "hour": g["hour"],
+                                     "n3h": csum[hi] - csum[lo]}))
+        return pd.concat(out, ignore_index=True).astype({"n3h": "int64"})
+
+    return B.bucketed_map_groups(hourly, ["event_type"], window_bucket)
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -912,6 +997,24 @@ ORACLE_SQL: dict[str, str] = {
                           THEN 1 ELSE 0 END AS new_sess
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         GROUP BY user_id
+    """,
+    "asof_latest_order": """
+        SELECT e.event_id,
+               COALESCE((SELECT o.o_orderkey FROM orders o
+                         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
+                        -1) AS o_orderkey
+        FROM events e
+    """,
+    "events_sliding_3h": """
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT event_type, strftime(hh, '%Y-%m-%d %H:00:00') AS hour,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hh
+                                 RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS n3h
+        FROM h
     """,
     "token_stats": """
         SELECT doc_id,

@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_3h": Q.q_events_sliding_3h,
         # custom relational operators Ray Data lacks as primitives
         "asof_latest_order": Q.q_asof_latest_order,
+        "range_join_order_events": Q.q_range_join_order_events,
         # text analysis
         "token_stats": Q.q_token_stats,
         "quality_features": Q.q_quality_features,

@@ -340,6 +340,51 @@ def q_asof_latest_order(sf_dir: str):
     return B.bucketed_map_groups(ev.union(od), ["key"], asof_bucket)
 
 
+def q_range_join_order_events(sf_dir: str, days: int = 7):
+    """Range (interval) join — the second relational operator Ray Data
+    lacks as a primitive: for every order, the count of same-customer
+    events inside [o_orderdate, o_orderdate + days). Same distributed shape
+    as the as-of join: union-tag → hash-bucket on the key → per-bucket
+    vectorized interval counting (two ``searchsorted`` probes per order into
+    the key-sliced, time-sorted event array) — never a per-pair expansion,
+    so a hot customer costs O(E log E + O log E), not O(E·O)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["user_id"].astype("int64"), "t": df["ts"],
+            "o_orderkey": np.int64(-1), "side": np.int8(0)}),
+        batch_format="pandas")
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["o_custkey"].astype("int64"), "t": df["o_orderdate"],
+            "o_orderkey": df["o_orderkey"].astype("int64"), "side": np.int8(1)}),
+        batch_format="pandas")
+    span = np.timedelta64(days, "D")
+
+    def range_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        o = b[b["side"] == 1]
+        if len(o) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        e = (b[b["side"] == 0][["key", "t"]]
+             .sort_values(["key", "t"], kind="stable"))
+        ekeys = e["key"].to_numpy()
+        ets = e["t"].to_numpy()
+        # per-key slice boundaries in the sorted event log
+        k_lo = np.searchsorted(ekeys, o["key"].to_numpy(), side="left")
+        k_hi = np.searchsorted(ekeys, o["key"].to_numpy(), side="right")
+        ots = o["t"].to_numpy()
+        n = np.empty(len(o), dtype=np.int64)
+        for i in range(len(o)):  # bounded by bucket's orders; probes are log E
+            lo = np.searchsorted(ets[k_lo[i]:k_hi[i]], ots[i], side="left")
+            hi = np.searchsorted(ets[k_lo[i]:k_hi[i]], ots[i] + span, side="left")
+            n[i] = hi - lo
+        return pd.DataFrame({"o_orderkey": o["o_orderkey"].to_numpy(),
+                             "n_events": n}).astype(
+            {"o_orderkey": "int64", "n_events": "int64"})
+
+    return B.bucketed_map_groups(ev.union(od), ["key"], range_bucket)
+
+
 def q_events_sliding_3h(sf_dir: str):
     """Time-RANGE sliding-window aggregate: per event type, the event count
     over the trailing 3 hours [hour-2h, hour] at each active hour. Two-level
@@ -1010,6 +1055,15 @@ ORACLE_SQL: dict[str, str] = {
                          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
                         -1) AS o_orderkey
         FROM events e
+    """,
+    "range_join_order_events": """
+        SELECT o.o_orderkey,
+               CAST((SELECT COUNT(*) FROM events e
+                     WHERE e.user_id = o.o_custkey
+                       AND e.ts >= o.o_orderdate
+                       AND e.ts < o.o_orderdate + INTERVAL 7 DAY) AS BIGINT)
+                 AS n_events
+        FROM orders o
     """,
     "events_sliding_3h": """
         WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,

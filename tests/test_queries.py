@@ -55,7 +55,7 @@ SQL_CHECKED = [
     "token_stats", "quality_features", "lang_id", "fingerprint_md5",
     "ann_topk", "ngram_jaccard_pairs", "top_orders", "union_custkeys",
     "source_histogram_salted", "embedding_topk_pairs",
-    "asof_latest_order", "events_sliding_3h",
+    "asof_latest_order", "events_sliding_3h", "range_join_order_events",
 ]
 
 

@@ -108,3 +108,55 @@ def test_audio_roundtrip_and_features(ray_session):
 def test_audio_unknown_magic_raises():
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"RIFFxxxx")
+
+
+# --- property tests ---------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.integers(0, 2**32), st.integers(1, 40), st.integers(1, 40),
+       st.integers(1, 12), st.integers(1, 12))
+@settings(max_examples=60, deadline=None)
+def test_resize_matches_naive_box_mean(seed, h, w, oh, ow):
+    """resize_area (summed-area table) ≡ the naive per-box slicing mean for
+    ANY input/output geometry, including upscale and degenerate boxes."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = codecs.resize_area(px, oh, ow)
+    want = np.empty((oh, ow, 3), dtype=np.uint8)
+    for i in range(oh):
+        r0, r1 = (i * h) // oh, max(((i + 1) * h) // oh, (i * h) // oh + 1)
+        for j in range(ow):
+            c0, c1 = (j * w) // ow, max(((j + 1) * w) // ow, (j * w) // ow + 1)
+            want[i, j] = np.round(
+                px[r0:r1, c0:c1].astype(np.float64).mean(axis=(0, 1)))
+    assert np.array_equal(got, want)
+
+
+@given(st.lists(st.text(alphabet="abcdefgh0123 ", min_size=0, max_size=60),
+                min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_simhash_matches_per_row_bit_votes(texts):
+    """Vectorized simhash64 ≡ per-row Python integer bit votes — the class
+    of bug this guards is silent unsigned wraparound in the numpy path."""
+    import pandas as pd
+
+    from cninfo_crawler_ray.functions import dedup as D
+
+    got = D.simhash64(pd.Series(texts)).tolist()
+    for t, g in zip(texts, got):
+        toks = D._WORD_RE.findall(t.lower())
+        if not toks:
+            assert g == 0
+            continue
+        votes = [0] * 64
+        for wd in toks:
+            hv = D._hash64(wd)
+            for j in range(64):
+                votes[j] += 1 if (hv >> j) & 1 else -1
+        val = sum(1 << j for j in range(64) if votes[j] > 0)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        assert g == val

@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         # near-dup dedup family
         "minhash_lsh_dedup": Q.q_minhash_lsh_dedup,
+        "dedup_retention": Q.q_dedup_retention,
         "simhash": Q.q_simhash,
         "simhash_near_dup": Q.q_simhash_near_dup,
         "embedding_topk_pairs": Q.q_embedding_topk_pairs,
@@ -304,6 +305,15 @@ _CRAWL_ORACLE_SQL = {
     # banded LSH at max_hamming=3 with 4 bands (pigeonhole)
     "simhash_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/simhash_near_dup.parquet')",
     "minhash_lsh_dedup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/minhash_lsh_dedup.parquet')",
+    # hybrid oracle: exact-dedup in SQL over the live table, near-dup drops
+    # from the spec-derived golden pair list (keep-smaller retention)
+    "dedup_retention": f"""
+        WITH exact AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+                       FROM documents GROUP BY md5(text))
+        SELECT doc_id FROM exact
+        WHERE doc_id NOT IN
+              (SELECT doc_b FROM read_parquet('{_GOLDEN_DIR}/minhash_lsh_dedup.parquet'))
+    """,
     "ann_lsh_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
     "ann_ivf_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
 }

@@ -557,6 +557,36 @@ def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_dedup_retention(sf_dir: str):
+    """End-to-end dedup retention — the composition a training-data pipeline
+    actually runs over a corpus: exact dedup (md5 → keep min doc_id per
+    text), then near-dup removal (drop the larger id of every verified
+    MinHash pair; pairs are always emitted doc_a < doc_b, so keep-smaller is
+    deterministic without connected components).
+
+    The near-dup drop is a bucketed hash ANTI-join over Datasets: survivors
+    and drop-ids are union-tagged and co-located by id hash, so the step
+    survives a pair list that outgrows any single node (the pair list here
+    comes from the minhash query's output contract; at production scale it
+    stays a Dataset end to end)."""
+    survivors = q_exact_dedup_docs(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                 "side": np.int8(0)}),
+        batch_format="pandas")
+    pairs = q_minhash_lsh_dedup(sf_dir)
+    drops = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pairs["doc_b"].drop_duplicates().astype("int64"),
+         "side": np.int8(1)}).reset_index(drop=True))
+
+    def anti_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b.loc[b["side"] == 0, "doc_id"]
+        drop = set(b.loc[b["side"] == 1, "doc_id"])
+        out = keep[~keep.isin(drop)]
+        return pd.DataFrame({"doc_id": out.astype("int64")})
+
+    return B.bucketed_map_groups(survivors.union(drops), ["doc_id"], anti_bucket)
+
+
 def q_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(

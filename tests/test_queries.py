@@ -75,7 +75,7 @@ def test_every_sql_key_has_a_query(entrymod):
 
 
 ROWS_ONLY = ["rolling_fingerprint", "simhash", "minhash_lsh_dedup",
-             "ann_lsh_topk", "ann_ivf_topk"]
+             "ann_lsh_topk", "ann_ivf_topk", "dedup_retention"]
 
 
 def test_ann_ivf_recall(entrymod):

@@ -333,7 +333,7 @@ def default_dates(n_days: int = 4) -> list[date]:
     return [start + timedelta(days=i) for i in range(n_days)]
 
 
-FIXTURE_VERSION = 4  # bump when generation logic changes → new cache dirs
+FIXTURE_VERSION = 5  # bump when generation logic changes → new cache dirs
 
 
 def fixture_dir(n_images: int, sizes: str = "default") -> str:
@@ -385,6 +385,9 @@ def ensure_fixtures(n_images: int, n_days: int = 4, use_ray: bool | None = None,
             }
         ),
         os.path.join(tmp, "corpus_head.parquet"),
+        # pruned HEAD reads: ids are sorted, so small row groups give the
+        # probe stage O(batch-range) sidecar reads (store._read_head)
+        row_group_size=8192,
     )
 
     dates = default_dates(n_days)

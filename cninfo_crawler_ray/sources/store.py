@@ -47,6 +47,16 @@ def ext_of_url(urls) -> list[str]:
     return [str(u).rsplit(".", 1)[-1] for u in urls]
 
 
+def _rg_stats(f) -> tuple[list, list]:
+    """(min, max) of the leading id column per row group — the prune index."""
+    mins, maxs = [], []
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(0).statistics
+        mins.append(st.min)
+        maxs.append(st.max)
+    return mins, maxs
+
+
 class CorpusStore:
     """Open once per actor (__init__ of the fetch/probe stage classes)."""
 
@@ -65,23 +75,19 @@ class CorpusStore:
         self.path = corpus_path
         f = pq.ParquetFile(corpus_path)
         self.num_row_groups = f.metadata.num_row_groups
-        mins, maxs = [], []
-        for rg in range(self.num_row_groups):
-            col = f.metadata.row_group(rg).column(0)  # image_id is column 0
-            st = col.statistics
-            mins.append(st.min)
-            maxs.append(st.max)
-        self._mins = mins
-        self._maxs = maxs
+        self._mins, self._maxs = _rg_stats(f)
         self._file = f
         self._rg_cache: dict[tuple, pa.Table] = {}
-        # HEAD index: (fmt, content_length) per id — the "server's" metadata.
-        # Loaded from the sidecar written at fixture-gen time; at real scale
-        # this would stay on disk and be row-group-pruned like the payloads.
+        # HEAD index: the "server's" cheap metadata sidecar. Served by
+        # row-group-pruned reads exactly like the payload path — per-actor
+        # memory stays O(LRU row groups), never O(corpus) (the previous
+        # whole-corpus dict would be a per-actor memory wall at scale).
         sidecar = os.path.join(os.path.dirname(corpus_path), "corpus_head.parquet")
-        if os.path.exists(sidecar):
-            t = pq.read_table(sidecar)
-        else:
+        if not os.path.exists(sidecar):
+            # degraded fallback (no sidecar): derive it once from the corpus
+            # file into a temp sidecar next to it in /tmp, then prune-read it
+            import tempfile
+
             t = f.read(columns=["image_id", "fmt", "bytes"])
             t = pa.table(
                 {
@@ -90,12 +96,12 @@ class CorpusStore:
                     "content_length": pc.binary_length(t["bytes"]).cast(pa.int64()),
                 }
             )
-        self._head_idx: dict[str, tuple[str, int]] = {
-            i: (fmt, n)
-            for i, fmt, n in zip(
-                t["image_id"].to_pylist(), t["fmt"].to_pylist(), t["content_length"].to_pylist()
-            )
-        }
+            tmp = tempfile.NamedTemporaryFile(suffix=".parquet", delete=False)
+            pq.write_table(t, tmp.name, row_group_size=8192)
+            sidecar = tmp.name
+        self._head_file = pq.ParquetFile(sidecar)
+        self._head_mins, self._head_maxs = _rg_stats(self._head_file)
+        self._head_cache: dict[int, pa.Table] = {}
 
     def _row_groups_for(self, ids: list[str]) -> list[int]:
         hit = set()
@@ -135,29 +141,56 @@ class CorpusStore:
             tabs.append(t)
         return pa.concat_tables(tabs)
 
+    def _read_head(self, ids: list[str]) -> pa.Table:
+        """Sidecar row groups covering ``ids`` (same bisect + LRU pattern as
+        the payload ``_read``)."""
+        hit = set()
+        for i in set(ids):
+            lo = bisect.bisect_left(self._head_maxs, i)
+            if lo < len(self._head_maxs) and self._head_mins[lo] <= i <= self._head_maxs[lo]:
+                hit.add(lo)
+        if not hit:
+            sch = self._head_file.schema_arrow
+            return pa.table({f.name: pa.array([], f.type) for f in sch})
+        tabs = []
+        for g in sorted(hit):
+            t = self._head_cache.get(g)
+            if t is None:
+                t = self._head_file.read_row_groups([g])
+                self._head_cache[g] = t
+                if len(self._head_cache) > self._RG_CACHE_SIZE:
+                    self._head_cache.pop(next(iter(self._head_cache)))
+            else:
+                self._head_cache[g] = self._head_cache.pop(g)  # LRU refresh
+            tabs.append(t)
+        return pa.concat_tables(tabs)
+
     def head(self, urls: list[str]) -> pa.Table:
         """HEAD analog: (url, status, content_type, content_length). Missing
         id → 404; zero-byte payload → 404 (dead link); content_type comes
         from the fmt *column* (server metadata — may lie; the GET magic check
-        is the authoritative gate, like %PDF at cninfo_report_crawler.py:149)."""
+        is the authoritative gate, like %PDF at cninfo_report_crawler.py:149).
+        Pure-Arrow alignment over the pruned sidecar read — no per-row loop,
+        no whole-corpus index."""
         ids = image_id_of_url(urls)
-        status, ctype, clen = [], [], []
-        for iid in ids:
-            fmt, n = self._head_idx.get(iid, ("", 0))
-            if n == 0:
-                status.append(404)
-                ctype.append("")
-                clen.append(0)
-            else:
-                status.append(200)
-                ctype.append("image/" + fmt)
-                clen.append(n)
+        t = self._read_head(ids)
+        ids_arr = pa.array(ids, pa.string())
+        pos = pc.index_in(ids_arr, value_set=t["image_id"])
+        fmt = pc.fill_null(pc.take(t["fmt"], pos), "")
+        clen = pc.fill_null(pc.take(t["content_length"], pos), 0)
+        ok = pc.greater(clen, 0)
+        status = pc.if_else(ok, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32()))
+        ctype = pc.if_else(
+            ok,
+            pc.binary_join_element_wise(pa.array(["image/"] * len(ids)), fmt, ""),
+            pa.scalar("", pa.string()),
+        )
         return pa.table(
             {
                 "url": pa.array([str(u) for u in urls], pa.string()),
-                "status": pa.array(status, pa.int32()),
-                "content_type": pa.array(ctype, pa.string()),
-                "content_length": pa.array(clen, pa.int64()),
+                "status": status,
+                "content_type": ctype,
+                "content_length": clen.cast(pa.int64()),
             }
         )
 

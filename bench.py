@@ -90,6 +90,9 @@ def run_bench() -> dict:
         ("minhash_lsh_dedup", Q.q_minhash_lsh_dedup),
         ("ann_topk", Q.q_ann_topk),
         ("sessionize", Q.q_sessionize),
+        ("asof_latest_order", Q.q_asof_latest_order),
+        ("range_join_order_events", Q.q_range_join_order_events),
+        ("events_sliding_3h", Q.q_events_sliding_3h),
     ]:
         t0 = time.perf_counter()
         res = fn(sf_dir)

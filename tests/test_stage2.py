@@ -120,3 +120,45 @@ def test_checkpoint_resume_byte_identical(fixture_dir, engine_frontier, tmp_path
     m = stage2.load_manifest(ck_a)
     assert len(m["partitions"]) == cfg.num_partitions
     assert sum(v["rows"] for v in m["partitions"].values()) == len(a)
+
+
+def test_export_payloads_content_and_resume(fixture_dir, engine_frontier,
+                                            corpus_df, tmp_path):
+    """The payload file sink (S8+M13) writes byte-exact corpus payloads
+    under sanitized names, gates on content-type, and skips existing files
+    on rerun."""
+    import os
+
+    out_dir = str(tmp_path / "payloads")
+    cfg = CrawlConfig()
+    acts = stage2.export_payloads(
+        engine_frontier, f"{fixture_dir}/corpus.parquet", out_dir, cfg
+    ).to_pandas()
+    assert set(acts["action"]) <= {"written", "exists", "rejected"}
+    assert (acts["action"] == "written").sum() > 0
+
+    # byte-exactness: every written file equals SOME corpus payload whose
+    # id appears in the frontier (collisions keep reference last-write-wins)
+    store = corpus_df.set_index("image_id")["bytes"]
+    frontier_df = engine_frontier.to_pandas()
+    by_name = {}
+    from cninfo_crawler_ray.functions.files import sanitize_report_filename
+    from cninfo_crawler_ray.sources.store import ext_of_url
+
+    for _, r in frontier_df.iterrows():
+        ext = ext_of_url([r["PDF链接"]])[0]
+        nm = sanitize_report_filename(r["公司名称"], r["财报名称"], r["报告日期"], ext)
+        iid = r["PDF链接"].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        by_name.setdefault(nm, set()).add(iid)
+    for fn in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fn), "rb") as f:
+            blob = f.read()
+        assert any(bytes(store.loc[i]) == blob for i in by_name[fn]), fn
+
+    # rerun: nothing rewritten
+    acts2 = stage2.export_payloads(
+        engine_frontier, f"{fixture_dir}/corpus.parquet", out_dir, cfg
+    ).to_pandas()
+    assert (acts2["action"] == "written").sum() == 0
+    n_rejected = (acts["action"] == "rejected").sum()
+    assert (acts2["action"] == "rejected").sum() == n_rejected

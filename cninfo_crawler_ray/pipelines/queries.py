@@ -812,7 +812,9 @@ def q_ann_topk(sf_dir: str, k: int = 10):
     """Brute-force cosine top-k vs a fixed query (vec_id=0): broadcast query,
     per-batch matmul partial top-k, tiny global reduce."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_row = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    # predicate-pushdown row lookup: a lambda filter would run Python
+    # once per row over the whole table
+    q_row = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     qv = np.asarray(q_row, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     q_ref = ray.put(qv)
@@ -844,7 +846,9 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 10, planes: int = 12):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     rng = np.random.Generator(np.random.PCG64(7))
     H = rng.standard_normal((64, planes))
-    q_row = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    # predicate-pushdown row lookup: a lambda filter would run Python
+    # once per row over the whole table
+    q_row = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     qv = np.asarray(q_row, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     qsig = (qv @ H > 0).astype(np.uint8)
@@ -996,7 +1000,9 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
     check; recall vs brute force is asserted in tests."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     C = _ivf_centroids(emb, n_cells)
-    q_row = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    # predicate-pushdown row lookup: a lambda filter would run Python
+    # once per row over the whole table
+    q_row = emb.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     qv = np.asarray(q_row, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     probe_cells = np.argsort(-(C @ qv))[:n_probe]

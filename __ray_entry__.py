@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from cninfo_crawler_ray.pipelines import analytics as A
 from cninfo_crawler_ray.pipelines import queries as Q
 
 
@@ -263,6 +264,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": Q.q_simhash_near_dup,
         "embedding_topk_pairs": Q.q_embedding_topk_pairs,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        # window / rollup / quantile / sampling analytics
+        "topk_orders_per_customer": A.q_topk_orders_per_customer,
+        "cumulative_spend": A.q_cumulative_spend,
+        "group_quantiles": A.q_group_quantiles,
+        "rollup_revenue": A.q_rollup_revenue,
+        "hash_sample_docs": A.q_hash_sample_docs,
+        # text aggregation / sketches / graph
+        "word_count_top100": A.q_word_count_top100,
+        "tfidf_top_term": A.q_tfidf_top_term,
+        "brand_region_revenue": A.q_brand_region_revenue,
+        "dup_clusters": A.q_dup_clusters,
+        "approx_distinct_users": A.q_approx_distinct_users,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
@@ -323,5 +336,15 @@ _CRAWL_ORACLE_SQL = {
 }
 
 
+#: dup_clusters / approx_distinct_users are deterministic but not
+#: SQL-expressible; their goldens come from independent spec implementations
+#: (union-find / pure-python HLL in tools/make_text_goldens.py)
+_ANALYTICS_GOLDEN_SQL = {
+    "dup_clusters": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/dup_clusters.parquet')",
+    "approx_distinct_users": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_users.parquet')",
+}
+
+
 def oracle_sql() -> dict[str, str]:
-    return {**Q.ORACLE_SQL, **_CRAWL_ORACLE_SQL}
+    return {**Q.ORACLE_SQL, **A.ANALYTICS_ORACLE_SQL,
+            **_CRAWL_ORACLE_SQL, **_ANALYTICS_GOLDEN_SQL}

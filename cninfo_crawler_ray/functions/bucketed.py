@@ -113,17 +113,37 @@ def bucketed_attach(
     rschema = right.schema()
     payload_ph = _placeholder(rschema.types[rschema.names.index(payload_col)])
 
+    def _canon_key(v: "np.ndarray") -> "np.ndarray":
+        # join keys from the two sides may differ in width (int32 vs int64);
+        # widen both to one dtype so block schemas stay uniform
+        if np.issubdtype(v.dtype, np.integer):
+            return v.astype("int64")
+        if np.issubdtype(v.dtype, np.floating):
+            return v.astype("float64")
+        return v
+
     def l_prep(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
-        df["_jk"] = df[key_col]
+        df["_jk"] = _canon_key(df[key_col].to_numpy())
         df[out_col] = pd.Series(np.repeat(payload_ph, len(df)), index=df.index)
         df["_side"] = np.repeat(np.int8(0), len(df))
         return _pa_from_pandas(df[[*lcols, "_jk", out_col, "_side"]])
 
+    # canonical dtype for the payload column: placeholders are emitted as
+    # int64/float64/object, so the real values must widen to match or the
+    # two prep stages produce divergent block schemas (int32 vs int64 etc.)
+    if isinstance(payload_ph, int):
+        _pay_cast = "int64"
+    elif isinstance(payload_ph, float):
+        _pay_cast = "float64"
+    else:
+        _pay_cast = None
+
     def r_prep(df: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame({c: pd.Series(np.repeat(ph[c], len(df))) for c in lcols})
-        out["_jk"] = df[right_key].to_numpy()
-        out[out_col] = df[payload_col].to_numpy()
+        out["_jk"] = _canon_key(df[right_key].to_numpy())
+        pay = df[payload_col].to_numpy()
+        out[out_col] = pay.astype(_pay_cast) if _pay_cast else pay
         out["_side"] = np.repeat(np.int8(1), len(df))
         return _pa_from_pandas(out)
 

@@ -1,0 +1,545 @@
+"""Analytics operator families beyond the crawl core: window ranks, running
+totals, exact distributed quantiles, rollup aggregates, deterministic
+sampling, wordcount/TF-IDF text aggregation, chained distributed hash joins,
+connected-component dup clustering, and a HyperLogLog distinct sketch.
+
+Same conventions as ``pipelines/queries.py``: Ray-Data-first, pruned reads,
+vectorized per-batch kernels, keyed shuffles only where semantics require
+co-location, money reduced to integer cents before any sum, and every output
+column named identically to its oracle twin.
+
+Reference parity note: the reference has no analytics beyond §2's A/O rows
+(``report_info_collection.py:431-548`` is its widest reduction); these are
+the training-data-pipeline extensions the driver grades as first-class.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import bucketed as B
+from ..functions.bucketed import _pa_from_pandas
+from .queries import _cents, _read
+
+
+# ---------------------------------------------------------------------------
+# Window rank — top-k per group (ROW_NUMBER analog)
+# ---------------------------------------------------------------------------
+
+def q_topk_orders_per_customer(sf_dir: str, k: int = 3):
+    """Top-k orders per customer by (total_cents desc, o_orderkey asc), with
+    the rank column. Per-batch partial top-k shrinks the shuffle to
+    ≤ k rows/key/batch before the bucketed exact reduce."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["total_cents"] = _cents(df["o_totalprice"])
+        df = df.drop(columns=["o_totalprice"])
+        df = df.sort_values(["o_custkey", "total_cents", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        return _pa_from_pandas(df.groupby("o_custkey", sort=False).head(k))
+
+    def topk_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "total_cents", "o_orderkey"],
+                          ascending=[True, False, True], kind="stable")
+        b = b.groupby("o_custkey", sort=False).head(k).copy()
+        b["rk"] = b.groupby("o_custkey", sort=False).cumcount().astype("int64") + 1
+        return b
+
+    return B.bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_custkey"], topk_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Running total per key (SUM OVER PARTITION ... ROWS UNBOUNDED PRECEDING)
+# ---------------------------------------------------------------------------
+
+def q_cumulative_spend(sf_dir: str):
+    """Per-customer running total of order value in admission order
+    (o_orderdate, o_orderkey). One keyed shuffle co-locates each customer's
+    history; the per-bucket kernel is a vectorized sort + grouped cumsum —
+    no partial aggregation exists for running totals, so this is the minimal
+    data movement for exact semantics."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df["o_totalprice"])
+        return _pa_from_pandas(df[["o_custkey", "o_orderkey", "o_orderdate", "cents"]])
+
+    def cum_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+        b["cum_cents"] = b.groupby("o_custkey", sort=False)["cents"].cumsum().astype("int64")
+        return b[["o_custkey", "o_orderkey", "cum_cents"]]
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_custkey"], cum_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles — two-phase bin-select (no global sort)
+# ---------------------------------------------------------------------------
+
+def q_group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Exact per-group quantiles without a global sort: phase A aggregates
+    per-(group, coarse-bin) counts (bins are $100 wide, so the aggregate is
+    O(groups × price-range/100) — small and bounded regardless of row
+    count); the driver walks the tiny cumulative histogram to locate the
+    target bin + offset for each quantile; phase B re-reads ONLY the rows in
+    target bins (a vectorized mask per batch) and selects positionally.
+    Phase-B volume is one bin's occupancy per (group, q) — bounded by the
+    value distribution, not the dataset. Index rule matches DuckDB
+    quantile_disc: idx = ceil(q*n) - 1 in IEEE double, clamped to [0, n-1]."""
+    BIN = 10_000  # cents per coarse bin
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df["o_totalprice"])
+        df["bin"] = df["cents"] // BIN
+        g = df.groupby(["o_orderpriority", "bin"], as_index=False).agg(
+            n=("cents", "size"))
+        return _pa_from_pandas(g)
+
+    hist = (
+        ds.map_batches(binned, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(groups × bins) — small by construction
+        .sort_values(["o_orderpriority", "bin"])
+    )
+
+    # driver-side walk of the tiny histogram: find (bin, offset) per (group, q)
+    targets: list[tuple[str, str, int, int]] = []  # (prio, label, bin, offset)
+    for prio, g in hist.groupby("o_orderpriority"):
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        for q in qs:
+            idx = min(max(math.ceil(q * n) - 1, 0), n - 1)  # 0-based target
+            pos = int(np.searchsorted(cum.to_numpy(), idx + 1, side="left"))
+            bin_id = int(g["bin"].iloc[pos])
+            before = int(cum.iloc[pos - 1]) if pos > 0 else 0
+            targets.append((str(prio), f"p{int(q * 100)}", bin_id, idx - before))
+
+    need = {}  # (prio, bin) -> [(label, offset)]
+    for prio, label, bin_id, off in targets:
+        need.setdefault((prio, bin_id), []).append((label, off))
+
+    def in_target_bins(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df["o_totalprice"])
+        df["bin"] = df["cents"] // BIN
+        key = list(zip(df["o_orderpriority"], df["bin"]))
+        mask = pd.Series(key, index=df.index).isin(need)
+        return _pa_from_pandas(df.loc[mask, ["o_orderpriority", "bin", "cents"]])
+
+    hits = ds.map_batches(in_target_bins, batch_format="pyarrow").to_pandas()
+
+    rows = []
+    for (prio, bin_id), wants in need.items():
+        vals = np.sort(hits.loc[(hits["o_orderpriority"] == prio)
+                                & (hits["bin"] == bin_id), "cents"].to_numpy())
+        for label, off in wants:
+            rows.append((prio, label, int(vals[off])))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "q", "value_cents"])
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out.sort_values(["o_orderpriority", "q"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Rollup aggregate (GROUP BY ROLLUP analog)
+# ---------------------------------------------------------------------------
+
+def q_rollup_revenue(sf_dir: str):
+    """Order revenue by (region, nation) with ROLLUP totals. The fact-side
+    join (orders → customer, both large at scale) is a distributed bucketed
+    hash join; nation→region (25/5 rows, fixed) is a closure-broadcast map.
+    Rollup levels are derived from the nation-level aggregate — a ≤25-row
+    table — so subtotals cost nothing extra at any scale."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nk_to_nation = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    rk_by_nk = dict(zip(nation["n_nationkey"],
+                        nation["n_regionkey"].map(dict(zip(region["r_regionkey"],
+                                                           region["r_name"])))))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = B.bucketed_attach(orders, "o_custkey", customer, "c_custkey",
+                               "c_nationkey", "nationkey")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["revenue_cents"] = _cents(df["o_totalprice"])
+        df["nation"] = df["nationkey"].map(nk_to_nation)
+        df["region"] = df["nationkey"].map(rk_by_nk)
+        g = df.groupby(["region", "nation"], as_index=False)["revenue_cents"].sum()
+        return _pa_from_pandas(g)
+
+    base = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["region", "nation"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()  # ≤ #nations rows
+    )
+    sub = base.groupby("region", as_index=False)["revenue_cents"].sum()
+    sub["nation"] = "ALL"
+    total = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
+                          "revenue_cents": [base["revenue_cents"].sum()]})
+    out = pd.concat([base, sub, total], ignore_index=True)[
+        ["region", "nation", "revenue_cents"]]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (reproducible, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q_hash_sample_docs(sf_dir: str, pct: int = 10):
+    """Deterministic 10% sample via a Knuth multiplicative hash on doc_id —
+    reproducible across runs/cluster sizes and expressible in exact integer
+    SQL (unlike random_shuffle/random_sample). Purely per-batch: no shuffle,
+    no state. Arithmetic stays exact while doc_id < 2^32 (the int64 product
+    never wraps); beyond that, widen to uint64 wrap on both sides."""
+    threshold = (pct * (1 << 32)) // 100
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = (ids.astype(np.int64) * 2654435761) % (1 << 32)
+        return _pa_from_pandas(pd.DataFrame({"doc_id": ids[h < threshold]}))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Wordcount — canonical two-level aggregation with top-k
+# ---------------------------------------------------------------------------
+
+def q_word_count_top100(sf_dir: str, k: int = 100):
+    """Global token frequencies, top-k by (count desc, token asc). Per-batch
+    value_counts is the combiner (shuffle moves O(vocab/batch) partials, not
+    O(tokens)); the final sort is over vocabulary-sized data only."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (t["text"].to_pandas().str.lower()
+                .str.findall(r"[a-z0-9]+").explode().dropna())
+        vc = toks.value_counts()
+        return _pa_from_pandas(pd.DataFrame(
+            {"tok": vc.index.astype(str), "n": vc.to_numpy().astype(np.int64)}))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — per-doc top term (two aggregations + a distributed join)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_term(sf_dir: str):
+    """Per-document argmax TF-IDF term: tf from an in-batch groupby (a doc's
+    text lives in one row, so per-doc term counts are complete per batch), df
+    via a token-keyed aggregate, joined back with the bucketed hash join, and
+    the per-doc argmax via a doc-keyed bucketed reduce. Scores are rounded to
+    1e-6 before ranking so the float argmax is libm-independent; ties break
+    on token asc."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = df.assign(tok=df["text"].str.lower().str.findall(r"[a-z0-9]+"))[
+            ["doc_id", "tok"]].explode("tok").dropna(subset=["tok"])
+        g = toks.groupby(["doc_id", "tok"], as_index=False).agg(tf=("tok", "size"))
+        g["tf"] = g["tf"].astype("int64")
+        return _pa_from_pandas(g)
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+    df_counts = (tf.groupby("tok").aggregate(Count(alias_name="df")))
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+
+    scored = B.bucketed_attach(tf, "tok", df_counts, "tok", "df", "df")
+
+    def argmax_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["s"] = np.round(b["tf"].to_numpy(np.float64)
+                          * np.log(float(n_docs) / b["df"].to_numpy(np.float64)), 6)
+        b = b.sort_values(["doc_id", "s", "tok"],
+                          ascending=[True, False, True], kind="stable")
+        top = b.drop_duplicates("doc_id")
+        return pd.DataFrame({"doc_id": top["doc_id"].astype("int64"),
+                             "top_term": top["tok"].astype(str)})
+
+    return B.bucketed_map_groups(scored, ["doc_id"], argmax_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Chained distributed hash joins + broadcast dims (multi-table revenue)
+# ---------------------------------------------------------------------------
+
+def q_brand_region_revenue(sf_dir: str):
+    """Lineitem revenue by (part brand, supplier region): two chained
+    bucketed hash joins for the scale-growing sides (part, supplier both
+    grow with SF) and a closure broadcast for the fixed-size dims
+    (nation/region, 25/5 rows). Per-batch partial aggregation shrinks the
+    final shuffle to O(brands × regions) per batch."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_by_nk = dict(zip(nation["n_nationkey"],
+                            nation["n_regionkey"].map(dict(zip(region["r_regionkey"],
+                                                               region["r_name"])))))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    j1 = B.bucketed_attach(li, "l_partkey", part, "p_partkey", "p_brand", "brand")
+    j2 = B.bucketed_attach(j1, "l_suppkey", supp, "s_suppkey", "s_nationkey", "nationkey")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["revenue_cents"] = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        df["region"] = df["nationkey"].map(region_by_nk)
+        g = df.groupby(["brand", "region"], as_index=False)["revenue_cents"].sum()
+        return _pa_from_pandas(g)
+
+    return (
+        j2.map_batches(partial, batch_format="pandas")
+        .groupby(["brand", "region"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components — near-dup pair graph → dup clusters
+# ---------------------------------------------------------------------------
+
+def q_dup_clusters(sf_dir: str, max_iters: int = 30):
+    """Duplicate clusters over the verified MinHash near-dup pair graph:
+    every document is labeled with the minimum doc_id reachable through
+    near-dup edges (singletons label themselves). Iterative min-label
+    propagation over Datasets — per round, one bucketed hash join pulls each
+    neighbor's label across edges and one keyed groupby takes the min; the
+    driver sees only a convergence checksum (sum of labels, strictly
+    decreasing until fixpoint). Rounds = graph diameter, which for near-dup
+    clusters is tiny; for adversarial long-chain graphs swap the propagation
+    step for large-star/small-star to get O(log n) rounds — the data layout
+    (edge + label Datasets keyed by node) is unchanged."""
+    from .queries import q_minhash_lsh_dedup
+
+    pairs = q_minhash_lsh_dedup(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    labels = docs.map_batches(
+        lambda t: _pa_from_pandas(pd.DataFrame(
+            {"doc_id": t["doc_id"].to_numpy().astype(np.int64),
+             "label": t["doc_id"].to_numpy().astype(np.int64)})),
+        batch_format="pyarrow").materialize()
+
+    if len(pairs) == 0:
+        return labels.map_batches(
+            lambda df: df.rename(columns={"label": "cluster_id"}),
+            batch_format="pandas")
+
+    sym = pd.DataFrame({
+        "node": pd.concat([pairs["doc_a"], pairs["doc_b"]]).astype("int64"),
+        "nbr": pd.concat([pairs["doc_b"], pairs["doc_a"]]).astype("int64"),
+    }).reset_index(drop=True)
+    edges = rd.from_pandas(sym).map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # each node's neighbors' labels, via the distributed hash join
+        nbr_labels = B.bucketed_attach(edges, "nbr", labels, "doc_id",
+                                       "label", "nbr_label")
+        cand = nbr_labels.map_batches(
+            lambda df: _pa_from_pandas(pd.DataFrame(
+                {"doc_id": df["node"].astype("int64"),
+                 "label": df["nbr_label"].astype("int64")})),
+            batch_format="pandas")
+        labels = (labels.union(cand)
+                  .groupby("doc_id")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                 "cluster_id": df["label"].astype("int64")}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — approximate distinct count sketch
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants), vectorized
+    with uint64 wraparound."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_partial(ids: np.ndarray, p: int = _HLL_P) -> pd.DataFrame:
+    """Per-batch HLL combiner: (register, max rank) pairs — ≤ 2^p rows per
+    batch regardless of batch size, so the shuffle is O(registers)."""
+    h = _splitmix64(ids)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = (h << np.uint64(p)) >> np.uint64(p)  # low 64-p bits, as uint64
+    width = 64 - p
+    # rank = leading-zeros-within-width + 1; exact for ints < 2^53
+    bits = np.zeros(len(rem), dtype=np.int64)
+    nz = rem > 0
+    bits[nz] = np.floor(np.log2(rem[nz].astype(np.float64))).astype(np.int64) + 1
+    rank = width - bits + 1
+    df = pd.DataFrame({"reg": reg, "rank": rank})
+    return df.groupby("reg", as_index=False)["rank"].max()
+
+
+def hll_estimate(regs: pd.DataFrame, p: int = _HLL_P) -> int:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (deterministic given the hash)."""
+    m = 1 << p
+    M = np.zeros(m, dtype=np.int64)
+    M[regs["reg"].to_numpy()] = regs["rank"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -M.astype(np.float64)))
+    zeros = int(np.sum(M == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return int(round(e))
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate distinct users over events via a distributed HyperLogLog
+    sketch (p=12): per-batch register partials → groupby max → a 4096-row
+    table on the driver → estimate. The exact count runs alongside (groupby
+    user_id → count of groups) for calibration. Deterministic (splitmix64,
+    no seeds), so golden-checkable."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _pa_from_pandas(hll_partial(t["user_id"].to_numpy()))
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()
+    )
+    approx = hll_estimate(regs)
+    exact = (ds.groupby("user_id").aggregate(Count(alias_name="_n"))).count()
+    return pd.DataFrame({"n_users_approx": pd.Series([approx], dtype="int64"),
+                         "n_users_exact": pd.Series([exact], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
+# ---------------------------------------------------------------------------
+
+ANALYTICS_ORACLE_SQL: dict[str, str] = {
+    "topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, total_cents, rk FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) DESC,
+                                o_orderkey ASC) AS rk
+            FROM orders)
+        WHERE rk <= 3
+    """,
+    "cumulative_spend": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM orders
+    """,
+    "group_quantiles": """
+        SELECT o_orderpriority, q, value_cents FROM (
+            SELECT o_orderpriority, 'p50' AS q,
+                   CAST(quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.5) AS BIGINT) AS value_cents
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT o_orderpriority, 'p90' AS q,
+                   CAST(quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.9) AS BIGINT) AS value_cents
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT o_orderpriority, 'p99' AS q,
+                   CAST(quantile_disc(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.99) AS BIGINT) AS value_cents
+            FROM orders GROUP BY o_orderpriority)
+    """,
+    "rollup_revenue": """
+        SELECT COALESCE(r.r_name, 'ALL') AS region,
+               COALESCE(n.n_name, 'ALL') AS nation,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    "hash_sample_docs": """
+        SELECT doc_id FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+    """,
+    "word_count_top100": """
+        WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                   FROM documents)
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM t GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 100
+    """,
+    "tfidf_top_term": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS s
+            FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok AS top_term FROM (
+            SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, tok ASC) AS rn
+            FROM scored)
+        WHERE rn = 1
+    """,
+    "brand_region_revenue": """
+        SELECT p.p_brand AS brand, r.r_name AS region,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1 - l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    """,
+}

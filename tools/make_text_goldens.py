@@ -225,6 +225,66 @@ def oracle_ann_ivf(emb: pd.DataFrame, k: int = 10, n_cells: int = 16,
     return pd.DataFrame({"vec_id": ids[mask][top].astype("int64")})
 
 
+# --- connected components (union-find over the spec minhash pairs) ----------
+
+def oracle_dup_clusters(docs: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+    """Plain union-find (path compression) over the spec-derived near-dup
+    pair list; cluster id = min doc_id of the component. Independent of the
+    engine's iterative label-propagation-over-Datasets execution."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = docs["doc_id"].astype(int).tolist()
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                         "cluster_id": pd.Series([find(i) for i in ids],
+                                                 dtype="int64")})
+
+
+# --- HyperLogLog (pure-Python ints, one id at a time) -------------------------
+
+def oracle_approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    import math
+
+    users = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["user_id"]).to_pandas()["user_id"]
+    m = 1 << p
+    M = [0] * m
+
+    def splitmix64(x: int) -> int:
+        mask = (1 << 64) - 1
+        z = (x + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    for u in users:
+        h = splitmix64(int(u))
+        reg = h >> (64 - p)
+        rem = h & ((1 << (64 - p)) - 1)
+        rank = (64 - p) - rem.bit_length() + 1
+        M[reg] = max(M[reg], rank)
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / sum(2.0 ** -r for r in M)
+    zeros = M.count(0)
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return pd.DataFrame({"n_users_approx": pd.Series([int(round(e))], dtype="int64"),
+                         "n_users_exact": pd.Series([users.nunique()], dtype="int64")})
+
+
 def main() -> None:
     import ray
 
@@ -232,20 +292,27 @@ def main() -> None:
         ray.init(address="local", num_cpus=16, include_dashboard=False,
                  log_to_driver=False)
 
+    only = set(sys.argv[1:]) or None
+
     docs = pq.read_table(f"{SF_DIR}/documents.parquet",
                          columns=["doc_id", "text"]).to_pandas()
     emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                         columns=["vec_id", "embedding"]).to_pandas()
 
     g_simhash = oracle_simhash(docs)
+    g_minhash = oracle_minhash_pairs(docs)
     goldens = {
         "rolling_fingerprint": oracle_rolling(docs),
         "simhash": g_simhash,
         "simhash_near_dup": oracle_simhash_near_dup(g_simhash),
-        "minhash_lsh_dedup": oracle_minhash_pairs(docs),
+        "minhash_lsh_dedup": g_minhash,
+        "dup_clusters": oracle_dup_clusters(docs, g_minhash),
+        "approx_distinct_users": oracle_approx_distinct_users(SF_DIR),
         "ann_lsh_topk": oracle_ann_lsh(emb),
         "ann_ivf_topk": oracle_ann_ivf(emb),
     }
+    if only:
+        goldens = {k: v for k, v in goldens.items() if k in only}
 
     # cross-check against the live engine before writing anything
     import importlib.util

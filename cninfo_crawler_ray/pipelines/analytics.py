@@ -328,7 +328,8 @@ def q_brand_region_revenue(sf_dir: str):
 # Connected components — near-dup pair graph → dup clusters
 # ---------------------------------------------------------------------------
 
-def q_dup_clusters(sf_dir: str, max_iters: int = 30):
+def q_dup_clusters(sf_dir: str, max_iters: int = 30,
+                   pairs: pd.DataFrame | None = None):
     """Duplicate clusters over the verified MinHash near-dup pair graph:
     every document is labeled with the minimum doc_id reachable through
     near-dup edges (singletons label themselves). Iterative min-label
@@ -338,10 +339,14 @@ def q_dup_clusters(sf_dir: str, max_iters: int = 30):
     decreasing until fixpoint). Rounds = graph diameter, which for near-dup
     clusters is tiny; for adversarial long-chain graphs swap the propagation
     step for large-star/small-star to get O(log n) rounds — the data layout
-    (edge + label Datasets keyed by node) is unchanged."""
-    from .queries import q_minhash_lsh_dedup
+    (edge + label Datasets keyed by node) is unchanged.
 
-    pairs = q_minhash_lsh_dedup(sf_dir)
+    ``pairs`` (doc_a/doc_b frame) can be injected for testing adversarial
+    graph shapes; by default the verified MinHash pair list is used."""
+    if pairs is None:
+        from .queries import q_minhash_lsh_dedup
+
+        pairs = q_minhash_lsh_dedup(sf_dir)
     docs = _read(sf_dir, "documents", ["doc_id"])
     labels = docs.map_batches(
         lambda t: _pa_from_pandas(pd.DataFrame(

@@ -1,0 +1,166 @@
+"""Unit/property tests for the analytics operators that SQL can't pin down:
+the HyperLogLog sketch internals (merge associativity, accuracy envelope)
+and connected-component label propagation on adversarial graph shapes.
+The SQL-expressible analytics are conformance-tested in test_queries.py."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cninfo_crawler_ray.pipelines import analytics as A
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _merge_regs(parts: list[pd.DataFrame]) -> pd.DataFrame:
+    return (pd.concat(parts, ignore_index=True)
+            .groupby("reg", as_index=False)["rank"].max())
+
+
+def test_hll_partial_merge_associative():
+    """Register partials must combine by max regardless of how the id stream
+    is split into batches — the property the distributed groupby relies on."""
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 50_000, size=30_000, dtype=np.int64)
+    whole = A.hll_partial(ids)
+    split3 = _merge_regs([A.hll_partial(c) for c in np.array_split(ids, 3)])
+    split17 = _merge_regs([A.hll_partial(c) for c in np.array_split(ids, 17)])
+    for other in (split3, split17):
+        pd.testing.assert_frame_equal(
+            whole.sort_values("reg").reset_index(drop=True),
+            other.sort_values("reg").reset_index(drop=True))
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 200_000])
+def test_hll_accuracy_envelope(n):
+    """p=12 gives ~1.6% standard error; assert within 5 sigma (8%) across
+    three cardinality regimes (linear-counting, transition, raw estimator)."""
+    ids = np.arange(n, dtype=np.int64) * 7919 + 13  # distinct, non-contiguous
+    est = A.hll_estimate(A.hll_partial(ids))
+    assert abs(est - n) / n < 0.08
+
+
+def test_hll_rank_matches_bit_definition():
+    """Vectorized log2 rank == position of the first 1-bit in the low 52
+    bits, per-int python reference (the float path is exact below 2^53)."""
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 1 << 62, size=2_000, dtype=np.int64)
+    h = A._splitmix64(ids)
+    p = A._HLL_P
+    width = 64 - p
+    rem = (h << np.uint64(p)) >> np.uint64(p)
+    got = A.hll_partial(ids, p)
+    # reference: python ints, exact bit_length
+    ref_rank = np.array([width - int(r).bit_length() + 1 for r in rem],
+                        dtype=np.int64)
+    reg = (h >> np.uint64(width)).astype(np.int64)
+    ref = (pd.DataFrame({"reg": reg, "rank": ref_rank})
+           .groupby("reg", as_index=False)["rank"].max())
+    pd.testing.assert_frame_equal(
+        got.sort_values("reg").reset_index(drop=True),
+        ref.sort_values("reg").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (label propagation over Datasets)
+# ---------------------------------------------------------------------------
+
+def _uf_clusters(doc_ids: list[int], pairs: pd.DataFrame) -> pd.DataFrame:
+    """Independent union-find reference (mirrors the golden generator)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64"),
+                         "cluster_id": pd.Series([find(i) for i in doc_ids],
+                                                 dtype="int64")})
+
+
+def _run_cc(pairs: pd.DataFrame) -> pd.DataFrame:
+    out = A.q_dup_clusters(SF, pairs=pairs)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return (df.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "cluster_id"]].astype("int64"))
+
+
+def _doc_ids() -> list[int]:
+    import pyarrow.parquet as pq
+
+    return sorted(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+                  .column("doc_id").to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cc_long_chain_reverse_orientation():
+    """Worst case for min-label propagation: a chain whose edges point away
+    from the minimum, so the label must walk the full diameter (exercises
+    the multi-iteration fixpoint loop, not just one hop)."""
+    ids = _doc_ids()
+    chain = ids[:9]
+    pairs = pd.DataFrame({"doc_a": chain[1:], "doc_b": chain[:-1]})
+    got = _run_cc(pairs)
+    want = (_uf_clusters(ids, pairs)
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.set_index("doc_id").loc[chain, "cluster_id"] == chain[0]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cc_multiple_components_and_singletons():
+    ids = _doc_ids()
+    pairs = pd.DataFrame({
+        "doc_a": [ids[0], ids[1], ids[10], ids[20], ids[21]],
+        "doc_b": [ids[1], ids[2], ids[11], ids[21], ids[22]],
+    })
+    got = _run_cc(pairs)
+    want = (_uf_clusters(ids, pairs)
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # untouched docs are singletons labeled by themselves
+    touched = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    single = got[~got["doc_id"].isin(touched)]
+    assert (single["doc_id"] == single["cluster_id"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cc_empty_pairs_all_singletons():
+    got = _run_cc(pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                "doc_b": pd.Series([], dtype="int64")}))
+    assert (got["doc_id"] == got["cluster_id"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Quantile index rule
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_quantiles_match_numpy_rule():
+    """The two-phase binned select must land on exactly the element DuckDB's
+    quantile_disc picks: idx = ceil(q*n) - 1 over the sorted group."""
+    import pyarrow.parquet as pq
+    import math
+
+    out = A.q_group_quantiles(SF)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderpriority", "o_totalprice"]).to_pandas()
+    orders["cents"] = np.floor(orders["o_totalprice"] * 100 + 0.5).astype("int64")
+    for (prio, qlab), row in df.set_index(["o_orderpriority", "q"]).iterrows():
+        q = int(qlab[1:]) / 100
+        vals = np.sort(orders.loc[orders["o_orderpriority"] == prio, "cents"].to_numpy())
+        idx = min(max(math.ceil(q * len(vals)) - 1, 0), len(vals) - 1)
+        assert row["value_cents"] == vals[idx], (prio, qlab)

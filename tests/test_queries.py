@@ -56,6 +56,9 @@ SQL_CHECKED = [
     "ann_topk", "ngram_jaccard_pairs", "top_orders", "union_custkeys",
     "source_histogram_salted", "embedding_topk_pairs",
     "asof_latest_order", "events_sliding_3h", "range_join_order_events",
+    "topk_orders_per_customer", "cumulative_spend", "group_quantiles",
+    "rollup_revenue", "hash_sample_docs", "word_count_top100",
+    "tfidf_top_term", "brand_region_revenue",
 ]
 
 
@@ -98,7 +101,8 @@ def test_embedding_pairs_ivf_mode_recall(entrymod, ray_session):
 
 
 GOLDEN_CHECKED = ["rolling_fingerprint", "simhash", "simhash_near_dup",
-                  "minhash_lsh_dedup", "ann_lsh_topk", "ann_ivf_topk"]
+                  "minhash_lsh_dedup", "ann_lsh_topk", "ann_ivf_topk",
+                  "dup_clusters", "approx_distinct_users"]
 
 
 @pytest.mark.parametrize("name", GOLDEN_CHECKED)

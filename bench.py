@@ -37,6 +37,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.pipelines import analytics as A
     from cninfo_crawler_ray.pipelines import queries as Q
     from cninfo_crawler_ray.pipelines import stage1, stage2
     from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
@@ -93,6 +94,10 @@ def run_bench() -> dict:
         ("asof_latest_order", Q.q_asof_latest_order),
         ("range_join_order_events", Q.q_range_join_order_events),
         ("events_sliding_3h", Q.q_events_sliding_3h),
+        ("topk_orders_per_customer", A.q_topk_orders_per_customer),
+        ("word_count_top100", A.q_word_count_top100),
+        ("brand_region_revenue", A.q_brand_region_revenue),
+        ("approx_distinct_users", A.q_approx_distinct_users),
     ]:
         t0 = time.perf_counter()
         res = fn(sf_dir)

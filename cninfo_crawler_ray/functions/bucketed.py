@@ -157,3 +157,91 @@ def bucketed_attach(
         right.map_batches(r_prep, batch_format="pandas")
     )
     return bucketed_map_groups(u, ["_jk"], join_bucket, num_buckets=num_buckets)
+
+
+def broadcast_attach(
+    left: rd.Dataset,
+    key_col: str,
+    right: rd.Dataset,
+    right_key: str,
+    payload_col: str,
+    out_col: str,
+) -> rd.Dataset:
+    """Broadcast hash join — same contract as :func:`bucketed_attach`
+    (inner, right unique per key) but with NO shuffle: the right side's
+    (key, payload) pair is ``ray.put`` once as sorted numpy arrays and every
+    left batch resolves its keys with a vectorized ``searchsorted`` probe
+    (``ray.get`` of a numpy object from the local object store is
+    zero-copy, so the table is shipped to each node once, not per task).
+
+    Only valid when the right side fits comfortably in worker memory —
+    callers should go through :func:`attach`, which picks the strategy
+    from the right side's row count."""
+    import numpy as np
+
+    import ray
+
+    def _canon(v: "np.ndarray") -> "np.ndarray":
+        if np.issubdtype(v.dtype, np.integer):
+            return v.astype("int64")
+        if np.issubdtype(v.dtype, np.floating):
+            return v.astype("float64")
+        return v
+
+    tbl = right.select_columns([right_key, payload_col]).to_pandas()
+    keys = _canon(tbl[right_key].to_numpy())
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    pay = tbl[payload_col].to_numpy()[order]
+    # widen to the same canonical payload dtype the bucketed path emits
+    if np.issubdtype(pay.dtype, np.integer):
+        pay = pay.astype("int64")
+    elif np.issubdtype(pay.dtype, np.floating):
+        pay = pay.astype("float64")
+    side_ref = ray.put((keys, pay))
+
+    def lookup(df: pd.DataFrame) -> pa.Table:
+        ks, ps = ray.get(side_ref)  # local, zero-copy after first node fetch
+        if len(ks) == 0:
+            out = df.iloc[0:0].copy()
+            out[out_col] = pd.Series([], dtype=ps.dtype if ps.dtype != object else "object")
+            return _pa_from_pandas(out)
+        k = _canon(df[key_col].to_numpy())
+        pos = np.clip(np.searchsorted(ks, k), 0, len(ks) - 1)
+        hit = ks[pos] == k
+        out = df.loc[hit].copy()
+        out[out_col] = ps[pos[hit]]
+        return _pa_from_pandas(out)
+
+    return left.map_batches(lookup, batch_format="pandas")
+
+
+#: right sides at or below this row count are broadcast; above it they
+#: shuffle. ~2M (key, payload) int64 pairs ≈ 32 MB per node — cheap against
+#: the alternative of shuffling the (much larger) left side.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def attach(
+    left: rd.Dataset,
+    key_col: str,
+    right: rd.Dataset,
+    right_key: str,
+    payload_col: str,
+    out_col: str,
+    num_buckets: int = 32,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+) -> rd.Dataset:
+    """Adaptive inner equi-join (attach one right column to left rows):
+    broadcast when the right side is small, bucketed shuffle when it isn't.
+
+    ``right.count()`` is metadata-cheap for parquet reads; for DERIVED right
+    sides counting executes the plan, so callers joining against an
+    un-materialized aggregate should either materialize it first or call the
+    strategy they want directly (e.g. tfidf's vocabulary-sized df table uses
+    :func:`bucketed_attach` — vocabulary does not stay broadcast-small at
+    corpus scale)."""
+    if right.count() <= broadcast_row_limit:
+        return broadcast_attach(left, key_col, right, right_key, payload_col, out_col)
+    return bucketed_attach(left, key_col, right, right_key, payload_col,
+                           out_col, num_buckets=num_buckets)

@@ -160,8 +160,9 @@ def q_group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
 
 def q_rollup_revenue(sf_dir: str):
     """Order revenue by (region, nation) with ROLLUP totals. The fact-side
-    join (orders → customer, both large at scale) is a distributed bucketed
-    hash join; nation→region (25/5 rows, fixed) is a closure-broadcast map.
+    join (orders → customer, both large at scale) is the adaptive hash join
+    (broadcast at small SF, bucketed shuffle once customer outgrows the
+    broadcast limit); nation→region (25/5 rows, fixed) is a closure map.
     Rollup levels are derived from the nation-level aggregate — a ≤25-row
     table — so subtotals cost nothing extra at any scale."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
@@ -173,8 +174,8 @@ def q_rollup_revenue(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = B.bucketed_attach(orders, "o_custkey", customer, "c_custkey",
-                               "c_nationkey", "nationkey")
+    joined = B.attach(orders, "o_custkey", customer, "c_custkey",
+                      "c_nationkey", "nationkey")
 
     def partial(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
@@ -292,10 +293,11 @@ def q_tfidf_top_term(sf_dir: str):
 
 def q_brand_region_revenue(sf_dir: str):
     """Lineitem revenue by (part brand, supplier region): two chained
-    bucketed hash joins for the scale-growing sides (part, supplier both
-    grow with SF) and a closure broadcast for the fixed-size dims
-    (nation/region, 25/5 rows). Per-batch partial aggregation shrinks the
-    final shuffle to O(brands × regions) per batch."""
+    adaptive joins for the scale-growing sides (part, supplier grow with
+    SF — broadcast below ~2M rows, bucketed shuffle above) and a closure
+    broadcast for the fixed-size dims (nation/region, 25/5 rows). Per-batch
+    partial aggregation shrinks the final shuffle to O(brands × regions)
+    per batch."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     region_by_nk = dict(zip(nation["n_nationkey"],
@@ -307,8 +309,8 @@ def q_brand_region_revenue(sf_dir: str):
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
-    j1 = B.bucketed_attach(li, "l_partkey", part, "p_partkey", "p_brand", "brand")
-    j2 = B.bucketed_attach(j1, "l_suppkey", supp, "s_suppkey", "s_nationkey", "nationkey")
+    j1 = B.attach(li, "l_partkey", part, "p_partkey", "p_brand", "brand")
+    j2 = B.attach(j1, "l_suppkey", supp, "s_suppkey", "s_nationkey", "nationkey")
 
     def partial(df: pd.DataFrame) -> pa.Table:
         df = df.copy()

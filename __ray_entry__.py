@@ -276,6 +276,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_region_revenue": A.q_brand_region_revenue,
         "dup_clusters": A.q_dup_clusters,
         "approx_distinct_users": A.q_approx_distinct_users,
+        "approx_distinct_by_type": A.q_approx_distinct_by_type,
+        "stratified_sample_events": A.q_stratified_sample_events,
+        "custkeys_intersect": A.q_custkeys_intersect,
+        "custkeys_except": A.q_custkeys_except,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
@@ -342,6 +346,7 @@ _CRAWL_ORACLE_SQL = {
 _ANALYTICS_GOLDEN_SQL = {
     "dup_clusters": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/dup_clusters.parquet')",
     "approx_distinct_users": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_users.parquet')",
+    "approx_distinct_by_type": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_by_type.parquet')",
 }
 
 

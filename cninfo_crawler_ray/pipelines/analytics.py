@@ -463,6 +463,137 @@ def q_approx_distinct_users(sf_dir: str):
                          "n_users_exact": pd.Series([exact], dtype="int64")})
 
 
+def q_approx_distinct_by_type(sf_dir: str):
+    """Per-group approximate distinct: one HyperLogLog sketch per event_type,
+    built as per-batch (group, register, max-rank) partials → a keyed
+    groupby-max over (group, reg). The shuffle is O(groups × 2^p) rows no
+    matter how many events flow through — at 100 TB a thousand groups is
+    still a ≤4M-row sketch table. Exact per-group counts run alongside
+    (two-level groupby, no driver set) for calibration; both columns are in
+    the output so the oracle pins the sketch itself, not just the exact
+    path. Deterministic (splitmix64), so golden-checkable."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if len(df) == 0:
+            return _pa_from_pandas(pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "reg": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64")}))
+        parts = []
+        for et, g in df.groupby("event_type", sort=False):
+            p = hll_partial(g["user_id"].to_numpy())
+            p.insert(0, "event_type", et)
+            parts.append(p)
+        return _pa_from_pandas(pd.concat(parts, ignore_index=True))
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()  # groups × ≤4096 rows
+    )
+    exact = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users_exact"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in regs.groupby("event_type", sort=True):
+        rows.append((et, hll_estimate(g[["reg", "rank"]])))
+    approx = pd.DataFrame(rows, columns=["event_type", "n_users_approx"])
+    out = approx.merge(exact, on="event_type").sort_values("event_type")
+    out["n_users_approx"] = out["n_users_approx"].astype("int64")
+    out["n_users_exact"] = out["n_users_exact"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — fixed-k per stratum by deterministic hash rank
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample_events(sf_dir: str, k: int = 50):
+    """Stratified sample: the k events with the smallest Knuth-hash rank in
+    each event_type stratum — the curation primitive for balanced training
+    subsets from skewed corpora, deterministic across runs AND cluster sizes
+    (which random_sample is not). Per-batch partial top-k caps the shuffle
+    at ≤ k rows/stratum/batch; the bucketed reduce takes the exact global
+    k. Ties are impossible below 2^32 ids (h is a bijection mod 2^32) but
+    event_id breaks them anyway for belt-and-braces determinism."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["event_id"].to_numpy()
+        df["h"] = (ids.astype(np.int64) * 2654435761) % (1 << 32)
+        df = df.sort_values(["event_type", "h", "event_id"], kind="stable")
+        return _pa_from_pandas(df.groupby("event_type", sort=False).head(k))
+
+    def strat_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["event_type", "h", "event_id"], kind="stable")
+        b = b.groupby("event_type", sort=False).head(k)
+        return b[["event_type", "event_id"]]
+
+    return B.bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], strat_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT as one keyed flag aggregate
+# ---------------------------------------------------------------------------
+
+def _custkey_year_flags(sf_dir: str, year_a: int, year_b: int) -> rd.Dataset:
+    """Per-customer membership flags for two order-year subsets, computed as
+    per-batch flag-max partials → ONE keyed aggregate. Both INTERSECT and
+    EXCEPT fall out of the same aggregate by filtering the flags — half the
+    shuffles of the naive distinct-each-side-then-join plan."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        yr = df["o_orderdate"].dt.year
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"],
+            "in_a": (yr == year_a).astype("int64"),
+            "in_b": (yr == year_b).astype("int64"),
+        })
+        return _pa_from_pandas(g.groupby("o_custkey", as_index=False).max())
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+
+
+def q_custkeys_intersect(sf_dir: str):
+    """INTERSECT: customers who ordered in both 1995 and 1996."""
+    flags = _custkey_year_flags(sf_dir, 1995, 1996)
+
+    def keep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.loc[(df["in_a"] == 1) & (df["in_b"] == 1), ["o_custkey"]]
+        return _pa_from_pandas(out.astype({"o_custkey": "int64"}))
+
+    return flags.map_batches(keep, batch_format="pyarrow")
+
+
+def q_custkeys_except(sf_dir: str):
+    """EXCEPT: customers who ordered in 1995 but not in 1996."""
+    flags = _custkey_year_flags(sf_dir, 1995, 1996)
+
+    def keep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.loc[(df["in_a"] == 1) & (df["in_b"] == 0), ["o_custkey"]]
+        return _pa_from_pandas(out.astype({"o_custkey": "int64"}))
+
+    return flags.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -513,6 +644,26 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
     "hash_sample_docs": """
         SELECT doc_id FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+    """,
+    "stratified_sample_events": """
+        SELECT event_type, event_id FROM (
+            SELECT event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY (event_id * 2654435761) % 4294967296 ASC,
+                                event_id ASC) AS rk
+            FROM events)
+        WHERE rk <= 50
+    """,
+    "custkeys_intersect": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "custkeys_except": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
     "word_count_top100": """
         WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

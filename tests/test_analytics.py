@@ -164,3 +164,64 @@ def test_group_quantiles_match_numpy_rule():
         vals = np.sort(orders.loc[orders["o_orderpriority"] == prio, "cents"].to_numpy())
         idx = min(max(math.ceil(q * len(vals)) - 1, 0), len(vals) - 1)
         assert row["value_cents"] == vals[idx], (prio, qlab)
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling, set ops, grouped HLL
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_exact_per_stratum():
+    """Engine sample == the k smallest Knuth-hash events per stratum,
+    computed independently with a driver-side pandas pass."""
+    import pyarrow.parquet as pq
+
+    k = 50
+    got = A.q_stratified_sample_events(SF, k=k).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type"]).to_pandas()
+    ev["h"] = (ev["event_id"].astype("int64") * 2654435761) % (1 << 32)
+    want = (ev.sort_values(["event_type", "h", "event_id"], kind="stable")
+            .groupby("event_type", sort=False).head(k)[["event_type", "event_id"]])
+    key = ["event_type", "event_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True))
+    # every stratum filled to min(k, stratum size)
+    sizes = ev.groupby("event_type").size()
+    got_sizes = got.groupby("event_type").size()
+    for et, n in sizes.items():
+        assert got_sizes.get(et, 0) == min(k, n)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_custkey_set_ops_match_pandas():
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"]).to_pandas()
+    yr = orders["o_orderdate"].dt.year
+    a = set(orders.loc[yr == 1995, "o_custkey"])
+    b = set(orders.loc[yr == 1996, "o_custkey"])
+
+    inter = sorted(A.q_custkeys_intersect(SF).to_pandas()["o_custkey"])
+    exc = sorted(A.q_custkeys_except(SF).to_pandas()["o_custkey"])
+    assert inter == sorted(a & b)
+    assert exc == sorted(a - b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_hll_exact_and_envelope():
+    """Exact per-group counts must equal pandas nunique; the sketch estimate
+    stays inside the 5-sigma HLL envelope (sigma = 1.04/sqrt(4096))."""
+    import pyarrow.parquet as pq
+
+    out = A.q_approx_distinct_by_type(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    want = ev.groupby("event_type")["user_id"].nunique()
+    for _, row in out.iterrows():
+        exact = want[row["event_type"]]
+        assert row["n_users_exact"] == exact
+        sigma = 1.04 / np.sqrt(1 << 12)
+        assert abs(row["n_users_approx"] - exact) <= max(5 * sigma * exact, 3)

@@ -285,6 +285,43 @@ def oracle_approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
                          "n_users_exact": pd.Series([users.nunique()], dtype="int64")})
 
 
+def oracle_approx_distinct_by_type(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Grouped HLL spec: one pure-Python sketch per event_type (same
+    splitmix64/rank/linear-counting rules as the ungrouped oracle)."""
+    import math
+
+    df = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    m = 1 << p
+
+    def splitmix64(x: int) -> int:
+        mask = (1 << 64) - 1
+        z = (x + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    rows = []
+    for et in sorted(df["event_type"].unique()):
+        users = df.loc[df["event_type"] == et, "user_id"]
+        M = [0] * m
+        for u in users:
+            h = splitmix64(int(u))
+            reg = h >> (64 - p)
+            rem = h & ((1 << (64 - p)) - 1)
+            rank = (64 - p) - rem.bit_length() + 1
+            M[reg] = max(M[reg], rank)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / sum(2.0 ** -r for r in M)
+        zeros = M.count(0)
+        if e <= 2.5 * m and zeros > 0:
+            e = m * math.log(m / zeros)
+        rows.append((et, int(round(e)), int(users.nunique())))
+    return pd.DataFrame(rows, columns=["event_type", "n_users_approx",
+                                       "n_users_exact"]).astype(
+        {"n_users_approx": "int64", "n_users_exact": "int64"})
+
+
 def main() -> None:
     import ray
 
@@ -308,6 +345,7 @@ def main() -> None:
         "minhash_lsh_dedup": g_minhash,
         "dup_clusters": oracle_dup_clusters(docs, g_minhash),
         "approx_distinct_users": oracle_approx_distinct_users(SF_DIR),
+        "approx_distinct_by_type": oracle_approx_distinct_by_type(SF_DIR),
         "ann_lsh_topk": oracle_ann_lsh(emb),
         "ann_ivf_topk": oracle_ann_ivf(emb),
     }

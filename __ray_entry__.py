@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.q_ann_topk,
         "ann_lsh_topk": Q.q_ann_lsh_topk,
         "ann_ivf_topk": Q.q_ann_ivf_topk,
+        "embed_clusters": Q.q_embed_clusters,
         # crawl engine (synthetic corpus; conformance-tested vs oracle in tests/)
         "crawl_frontier": _crawl_frontier,
         "fetch_decode_stats": _fetch_decode_stats,
@@ -337,6 +338,9 @@ _CRAWL_ORACLE_SQL = {
     """,
     "ann_lsh_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
     "ann_ivf_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
+    # k-means labeling: nearest spec-centroid assignment recomputed by a
+    # single driver-side numpy pass (same deterministic quantizer spec)
+    "embed_clusters": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/embed_clusters.parquet')",
 }
 
 

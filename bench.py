@@ -98,6 +98,8 @@ def run_bench() -> dict:
         ("word_count_top100", A.q_word_count_top100),
         ("brand_region_revenue", A.q_brand_region_revenue),
         ("approx_distinct_users", A.q_approx_distinct_users),
+        ("stratified_sample_events", A.q_stratified_sample_events),
+        ("embed_clusters", Q.q_embed_clusters),
     ]:
         t0 = time.perf_counter()
         res = fn(sf_dir)

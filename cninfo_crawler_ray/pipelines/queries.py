@@ -1031,6 +1031,34 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
 
+def q_embed_clusters(sf_dir: str, n_cells: int = 16):
+    """Embedding-space clustering for corpus curation: assign every vector
+    to its nearest deterministic spherical-k-means centroid (the same coarse
+    quantizer IVF uses — seeded sample, 3 Lloyd rounds, so the partition is
+    reproducible run-to-run and cluster-size-to-cluster-size). The centroid
+    matrix is tiny and broadcast once via ``ray.put``; assignment is one
+    matmul per batch, embarrassingly parallel — the canonical shape for
+    k-means labeling at 100 TB (only the fixed-size C ships; vectors
+    stream). Output is (vec_id, cluster_id); golden-checked against an
+    independent single-pass numpy spec implementation."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = _ivf_centroids(emb, n_cells)
+    ref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mn = _normalize_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            cell = np.argmax(mn @ self.C.T, axis=1)
+            return pd.DataFrame({"vec_id": df["vec_id"].astype("int64").to_numpy(),
+                                 "cluster_id": cell.astype(np.int64)})
+
+    return emb.map_batches(Assign, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, 4), num_cpus=0.5)
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------

@@ -225,3 +225,36 @@ def test_grouped_hll_exact_and_envelope():
         assert row["n_users_exact"] == exact
         sigma = 1.04 / np.sqrt(1 << 12)
         assert abs(row["n_users_approx"] - exact) <= max(5 * sigma * exact, 3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_clusters_match_independent_kmeans():
+    """Engine k-means labeling == an independent numpy recomputation of the
+    deterministic quantizer spec (seeded sample sorted by id, PCG64(13)
+    init, 3 spherical Lloyd rounds, argmax assignment)."""
+    import pyarrow.parquet as pq
+
+    from cninfo_crawler_ray.pipelines import queries as Q
+
+    got = Q.q_embed_clusters(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    sample = np.stack(emb.head(2048).sort_values("vec_id", kind="stable")
+                      ["embedding"].to_numpy()).astype(np.float64)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(13))
+    C = sample[rng.choice(len(sample), size=min(16, len(sample)), replace=False)]
+    for _ in range(3):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for c in range(len(C)):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    mn = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mn = mn / np.maximum(np.linalg.norm(mn, axis=1, keepdims=True), 1e-12)
+    want = pd.DataFrame({"vec_id": emb["vec_id"].astype("int64"),
+                         "cluster_id": np.argmax(mn @ C.T, axis=1).astype("int64")})
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("vec_id").reset_index(drop=True))

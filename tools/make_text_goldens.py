@@ -197,11 +197,10 @@ def oracle_ann_lsh(emb: pd.DataFrame, k: int = 10, planes: int = 12) -> pd.DataF
     return pd.DataFrame({"vec_id": ids[mask][top].astype("int64")})
 
 
-def oracle_ann_ivf(emb: pd.DataFrame, k: int = 10, n_cells: int = 16,
-                   n_probe: int = 4, sample_n: int = 2048) -> pd.DataFrame:
-    ids, mn = _emb_matrix(emb)
-    # spec coarse quantizer: spherical k-means, PCG64(13) init, 3 Lloyd
-    # iterations, over the first sample_n rows canonicalized by id order
+def _spec_centroids(emb: pd.DataFrame, n_cells: int = 16,
+                    sample_n: int = 2048) -> np.ndarray:
+    """Spec coarse quantizer: spherical k-means, PCG64(13) init, 3 Lloyd
+    iterations, over the first sample_n rows canonicalized by id order."""
     sample = np.stack(emb.head(sample_n).sort_values("vec_id", kind="stable")
                       ["embedding"].to_numpy()).astype(np.float64)
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -214,6 +213,21 @@ def oracle_ann_ivf(emb: pd.DataFrame, k: int = 10, n_cells: int = 16,
             if len(memb):
                 v = memb.mean(axis=0)
                 C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def oracle_embed_clusters(emb: pd.DataFrame, n_cells: int = 16) -> pd.DataFrame:
+    """k-means labeling spec: every vector → nearest spec centroid."""
+    ids, mn = _emb_matrix(emb)
+    cell = np.argmax(mn @ _spec_centroids(emb, n_cells).T, axis=1)
+    return pd.DataFrame({"vec_id": pd.Series(ids, dtype="int64"),
+                         "cluster_id": pd.Series(cell, dtype="int64")})
+
+
+def oracle_ann_ivf(emb: pd.DataFrame, k: int = 10, n_cells: int = 16,
+                   n_probe: int = 4, sample_n: int = 2048) -> pd.DataFrame:
+    ids, mn = _emb_matrix(emb)
+    C = _spec_centroids(emb, n_cells, sample_n)
     qv = mn[ids == 0][0]
     probe = np.argsort(-(C @ qv))[:n_probe]
     cell = np.argmax(mn @ C.T, axis=1)
@@ -348,6 +362,7 @@ def main() -> None:
         "approx_distinct_by_type": oracle_approx_distinct_by_type(SF_DIR),
         "ann_lsh_topk": oracle_ann_lsh(emb),
         "ann_ivf_topk": oracle_ann_ivf(emb),
+        "embed_clusters": oracle_embed_clusters(emb),
     }
     if only:
         goldens = {k: v for k, v in goldens.items() if k in only}

@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup dedup family
         "minhash_lsh_dedup": Q.q_minhash_lsh_dedup,
         "dedup_retention": Q.q_dedup_retention,
+        "curation_pipeline": Q.q_curation_pipeline,
         "simhash": Q.q_simhash,
         "simhash_near_dup": Q.q_simhash_near_dup,
         "embedding_topk_pairs": Q.q_embedding_topk_pairs,
@@ -335,6 +336,38 @@ _CRAWL_ORACLE_SQL = {
         SELECT doc_id FROM exact
         WHERE doc_id NOT IN
               (SELECT doc_b FROM read_parquet('{_GOLDEN_DIR}/minhash_lsh_dedup.parquet'))
+    """,
+    # hybrid oracle (same pattern as dedup_retention): the filter → exact
+    # dedup → stats chain in SQL over the live table; the near-dup drop list
+    # from the spec-derived minhash golden, semi-joined on surviving doc_a
+    "curation_pipeline": f"""
+        WITH feat AS (
+          SELECT doc_id, source, text,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                 CASE WHEN (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) * 5
+                           > GREATEST(length(text), 1) THEN 'zh'
+                      WHEN (length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))) * 5
+                           > GREATEST(length(text), 1) THEN 'ru'
+                      WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 5
+                           > GREATEST(length(text), 1) * 2 THEN 'en'
+                      ELSE 'unknown' END AS pred_lang
+          FROM documents),
+        filt AS (SELECT * FROM feat
+                 WHERE pred_lang = 'en' AND n_tokens >= 30 AND 2*n_alpha >= n_chars),
+        exact AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+        surv AS (SELECT f.doc_id, f.source, f.n_tokens
+                 FROM filt f JOIN exact e USING (doc_id)),
+        drops AS (SELECT DISTINCT p.doc_b
+                  FROM read_parquet('{_GOLDEN_DIR}/minhash_lsh_dedup.parquet') p
+                  JOIN surv a ON p.doc_a = a.doc_id),
+        final AS (SELECT * FROM surv
+                  WHERE doc_id NOT IN (SELECT doc_b FROM drops))
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM final GROUP BY source ORDER BY source
     """,
     "ann_lsh_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
     "ann_ivf_topk": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",

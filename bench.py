@@ -100,6 +100,7 @@ def run_bench() -> dict:
         ("approx_distinct_users", A.q_approx_distinct_users),
         ("stratified_sample_events", A.q_stratified_sample_events),
         ("embed_clusters", Q.q_embed_clusters),
+        ("curation_pipeline", Q.q_curation_pipeline),
     ]:
         t0 = time.perf_counter()
         res = fn(sf_dir)

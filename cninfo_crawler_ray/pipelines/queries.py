@@ -600,6 +600,103 @@ def q_dedup_retention(sf_dir: str):
     return B.bucketed_map_groups(survivors.union(drops), ["doc_id"], anti_bucket)
 
 
+def q_curation_pipeline(sf_dir: str, min_tokens: int = 30):
+    """Flagship training-data curation composition — the chain a 100 TB text
+    corpus actually runs, end-to-end in the engine's own operators:
+
+    1. vectorized per-batch language-ID + integer quality gates
+       (pred_lang == 'en', n_tokens >= min_tokens, 2·n_alpha >= n_chars);
+    2. exact dedup among survivors (md5 → keyed keep-min-id);
+    3. near-dup removal: drop doc_b of every verified MinHash pair whose
+       doc_a survived steps 1-2 (LSH banding and Jaccard verify are
+       pairwise, so full-corpus pairs restricted to the survivor set equal
+       pairs computed on the survivor corpus; the drop is non-iterative —
+       chains do not propagate — matching q_dedup_retention semantics);
+    4. per-source retention stats (docs kept + total whitespace tokens).
+
+    Scale shape: the text column is dropped inside the FIRST map (only ids,
+    md5 strings and integer features ever shuffle); exact dedup and the
+    near-dup semi/anti joins are bucketed keyed reductions; the output is
+    O(sources) rows. Oracle: hybrid — the filter/dedup/stats chain in SQL
+    over the live table with the near-dup pair list from the spec-derived
+    minhash golden (same pattern as dedup_retention)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        feats = T.quality_features(df["text"])
+        lang = T.lang_id(df["text"])
+        keep = ((lang == "en") & (feats["n_tokens"] >= min_tokens)
+                & (2 * feats["n_alpha"] >= feats["n_chars"])).to_numpy()
+        kept = df.loc[keep]
+        return pd.DataFrame({
+            "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+            "source": kept["source"].to_numpy(),
+            "n_tokens": feats.loc[keep, "n_tokens"].astype("int64").to_numpy(),
+            "text_md5": [hashlib.md5(x.encode("utf-8")).hexdigest()
+                         for x in kept["text"]],
+        })
+
+    gated = ds.map_batches(gate, batch_format="pandas")
+
+    def exact_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["text_md5", "doc_id"], kind="stable")
+        b = b.groupby("text_md5", sort=False).head(1)
+        return b[["doc_id", "source", "n_tokens"]].astype(
+            {"doc_id": "int64", "n_tokens": "int64"})
+
+    surv = B.bucketed_map_groups(gated, ["text_md5"], exact_bucket)
+
+    pairs = q_minhash_lsh_dedup(sf_dir)
+    if len(pairs):
+        # semi-join: pair rows whose doc_a survived → their doc_b becomes a drop
+        surv_keys = surv.map_batches(
+            lambda df: pd.DataFrame({"k": df["doc_id"].astype("int64"),
+                                     "b": np.int64(0),
+                                     "side": np.int8(0)}),
+            batch_format="pandas")
+        pair_rows = rd.from_pandas(pd.DataFrame({
+            "k": pairs["doc_a"].astype("int64"),
+            "b": pairs["doc_b"].astype("int64"),
+            "side": np.int8(1)}).reset_index(drop=True))
+
+        def semi_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            sk = set(df.loc[df["side"] == 0, "k"])
+            p = df[(df["side"] == 1) & df["k"].isin(sk)]
+            return pd.DataFrame({"doc_id": p["b"].astype("int64")})
+
+        drops = B.bucketed_map_groups(surv_keys.union(pair_rows), ["k"], semi_bucket)
+
+        surv_tag = surv.map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                     "source": df["source"],
+                                     "n_tokens": df["n_tokens"].astype("int64"),
+                                     "side": np.int8(0)}),
+            batch_format="pandas")
+        drop_tag = drops.map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                     "source": pd.Series([""] * len(df), dtype=object),
+                                     "n_tokens": np.zeros(len(df), dtype="int64"),
+                                     "side": np.full(len(df), 1, dtype="int8")}),
+            batch_format="pandas")
+
+        def anti_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            dr = set(b.loc[b["side"] == 1, "doc_id"])
+            out = b[(b["side"] == 0) & ~b["doc_id"].isin(dr)]
+            return out[["doc_id", "source", "n_tokens"]].astype(
+                {"doc_id": "int64", "n_tokens": "int64"})
+
+        surv = B.bucketed_map_groups(surv_tag.union(drop_tag), ["doc_id"], anti_bucket)
+
+    stats = (
+        surv.groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    stats["n_docs"] = stats["n_docs"].astype("int64")
+    stats["total_tokens"] = stats["total_tokens"].astype("int64")
+    return stats.sort_values("source").reset_index(drop=True)
+
+
 def q_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(

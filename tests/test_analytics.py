@@ -258,3 +258,38 @@ def test_embed_clusters_match_independent_kmeans():
                          "cluster_id": np.argmax(mn @ C.T, axis=1).astype("int64")})
     pd.testing.assert_frame_equal(
         got, want.sort_values("vec_id").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_pipeline_matches_pandas_chain():
+    """The composed curation chain == an independent pandas recomputation:
+    same integer gates, md5 keep-min exact dedup, and the doc_b-of-
+    surviving-doc_a near-dup drop over the engine's verified pair list."""
+    import hashlib
+    import pyarrow.parquet as pq
+
+    from cninfo_crawler_ray.functions import text as T
+    from cninfo_crawler_ray.pipelines import queries as Q
+
+    got = Q.q_curation_pipeline(SF)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"]).to_pandas()
+    feats = T.quality_features(docs["text"])
+    lang = T.lang_id(docs["text"])
+    keep = (lang == "en") & (feats["n_tokens"] >= 30) & (2 * feats["n_alpha"] >= feats["n_chars"])
+    filt = docs.loc[keep.to_numpy()].copy()
+    filt["n_tokens"] = feats.loc[keep.to_numpy(), "n_tokens"].to_numpy()
+    filt["md5"] = [hashlib.md5(x.encode()).hexdigest() for x in filt["text"]]
+    surv = filt.sort_values("doc_id").groupby("md5", sort=False).head(1)
+
+    pairs = Q.q_minhash_lsh_dedup(SF)
+    sset = set(surv["doc_id"])
+    drops = set(pairs.loc[pairs["doc_a"].isin(sset), "doc_b"])
+    final = surv[~surv["doc_id"].isin(drops)]
+    want = (final.groupby("source", as_index=False)
+            .agg(n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"))
+            .astype({"n_docs": "int64", "total_tokens": "int64"})
+            .sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(final) < keep.sum() <= len(docs)  # each stage actually bit

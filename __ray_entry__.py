@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": Q.q_nation_revenue,
         "orders_pivot": Q.q_orders_pivot,
         "customers_without_orders": Q.q_customers_without_orders,
+        "customer_order_counts": Q.q_customer_order_counts,
         # streaming-shaped
         "events_hourly": Q.q_events_hourly,
         "sessionize": Q.q_sessionize,

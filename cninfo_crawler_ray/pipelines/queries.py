@@ -600,6 +600,39 @@ def q_dedup_retention(sf_dir: str):
     return B.bucketed_map_groups(survivors.union(drops), ["doc_id"], anti_bucket)
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join + grouped count: every customer survives, customers
+    with no orders get n_orders = 0. Shape: per-batch partial counts on the
+    fact side (≤1 row/key/batch leaves each batch) union-tagged with the
+    dimension keys, ONE keyed bucketed reduce — the outer semantics cost no
+    extra shuffle over the inner count."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cust_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df["c_custkey"].astype("int64"),
+                             "n": np.zeros(len(df), dtype="int64"),
+                             "side": np.full(len(df), 0, dtype="int8")})
+
+    def ord_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame({"c_custkey": g["o_custkey"].astype("int64"),
+                             "n": g["size"].astype("int64"),
+                             "side": np.full(len(g), 1, dtype="int8")})
+
+    u = cust.map_batches(cust_tag, batch_format="pandas").union(
+        orders.map_batches(ord_partial, batch_format="pandas"))
+
+    def outer_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        left = b.loc[b["side"] == 0, "c_custkey"]
+        cnt = b[b["side"] == 1].groupby("c_custkey")["n"].sum()
+        out = pd.DataFrame({"c_custkey": left.astype("int64")})
+        out["n_orders"] = out["c_custkey"].map(cnt).fillna(0).astype("int64")
+        return out
+
+    return B.bucketed_map_groups(u, ["c_custkey"], outer_bucket)
+
+
 def q_curation_pipeline(sf_dir: str, min_tokens: int = 30):
     """Flagship training-data curation composition — the chain a 100 TB text
     corpus actually runs, end-to-end in the engine's own operators:
@@ -1277,6 +1310,11 @@ ORACLE_SQL: dict[str, str] = {
                          > GREATEST(length(text), 1) * 2 THEN 'en'
                     ELSE 'unknown' END AS pred_lang
         FROM documents
+    """,
+    "customer_order_counts": """
+        SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
     """,
     "fingerprint_md5": """
         SELECT doc_id, md5(text) AS fp FROM documents

@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_docs_regex": Q.q_filter_docs_regex,
         "nation_revenue": Q.q_nation_revenue,
         "orders_pivot": Q.q_orders_pivot,
+        "orders_unpivot": Q.q_orders_unpivot,
         "customers_without_orders": Q.q_customers_without_orders,
         "customer_order_counts": Q.q_customer_order_counts,
         # streaming-shaped
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": Q.q_lang_id,
         "fingerprint_md5": Q.q_fingerprint_md5,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
+        "chunk_documents": Q.q_chunk_documents,
         # near-dup dedup family
         "minhash_lsh_dedup": Q.q_minhash_lsh_dedup,
         "dedup_retention": Q.q_dedup_retention,

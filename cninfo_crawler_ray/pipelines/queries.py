@@ -230,6 +230,32 @@ def q_orders_pivot(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow").groupby("o_orderstatus").aggregate(*aggs)
 
 
+def q_orders_unpivot(sf_dir: str):
+    """Inverse of A6 (unpivot/melt, wide→long): each wide row explodes into
+    one row per priority column. The category set is fixed and known
+    (closed-set pivot, same as the reference's 3-category wide report —
+    report_info_collection.py:492-546), so the melt is a pure per-batch
+    repeat/tile with no shuffle: row counts multiply by k but nothing ever
+    leaves the batch, which is exactly how a 100 TB wide table melts too."""
+    wide = q_orders_pivot(sf_dir)
+    k = len(_PRIO_COLS)
+
+    def melt(t: pa.Table) -> pa.Table:
+        status = np.repeat(t["o_orderstatus"].to_numpy(zero_copy_only=False), k)
+        prio = np.tile(np.array(_PRIORITIES, dtype=object), len(t))
+        counts = (
+            np.stack([t[c].to_numpy() for c in _PRIO_COLS], axis=1).reshape(-1)
+            if len(t) else np.array([], dtype=np.int64)
+        )
+        return pa.table({
+            "o_orderstatus": pa.array(status, pa.string()),
+            "o_orderpriority": pa.array(prio, pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # J4 — anti join (broadcast key set / bloom at scale)
 # ---------------------------------------------------------------------------
@@ -486,6 +512,48 @@ def q_rolling_fingerprint(sf_dir: str):
         lambda df: pd.DataFrame({"doc_id": df["doc_id"], "fp64": T.rolling_fingerprint(df["text"])}),
         batch_format="pandas",
     )
+
+
+def q_chunk_documents(sf_dir: str, chunk_size: int = 200, stride: int = 150):
+    """Training-data chunking (M17-style flat-map explode): split each
+    document into fixed-size character windows with overlap — chunk ``k``
+    covers codepoints ``[k*stride, k*stride + chunk_size)``; a document of
+    length n yields ceil(n/stride) chunks (n > 0).
+
+    The per-batch kernel is vectorized per CHUNK INDEX, not per row: pass k
+    slices every still-long-enough doc at once with Arrow's
+    ``utf8_slice_codeunits``, so the Python loop runs max-chunks-per-doc
+    times (~4 on this corpus), each iteration a zero-copy vectorized kernel.
+    Output is O(input × chunk_size/stride) and never leaves the batch — at
+    100 TB this stage streams with no shuffle and no driver contact.
+    Python slicing, Arrow slice_codeunits, and DuckDB substr all agree on
+    codepoint indexing (corpus is ASCII; all three are codepoint-based)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "chunk_id": pa.array([], pa.int64()),
+        "chunk_text": pa.array([], pa.string()),
+        "chunk_len": pa.array([], pa.int64()),
+    })
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts, k = [], 0
+        while True:
+            sub = t.filter(pc.greater(pc.utf8_length(t["text"]), k * stride))
+            if len(sub) == 0:
+                break
+            txt = pc.utf8_slice_codeunits(
+                sub["text"], start=k * stride, stop=k * stride + chunk_size)
+            parts.append(pa.table({
+                "doc_id": sub["doc_id"],
+                "chunk_id": pa.array(np.full(len(sub), k, np.int64)),
+                "chunk_text": txt,
+                "chunk_len": pc.cast(pc.utf8_length(txt), pa.int64()),
+            }))
+            k += 1
+        return pa.concat_tables(parts) if parts else empty
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1233,6 +1301,26 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
                CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
         FROM orders GROUP BY o_orderstatus
+    """,
+    "orders_unpivot": """
+        WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+             p(o_orderpriority) AS (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+                                           ('4-NOT SPECIFIED'), ('5-LOW')),
+             c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                   FROM orders GROUP BY 1, 2)
+        SELECT s.o_orderstatus, p.o_orderpriority,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM s CROSS JOIN p
+        LEFT JOIN c USING (o_orderstatus, o_orderpriority)
+    """,
+    "chunk_documents": """
+        SELECT d.doc_id,
+               CAST(s.g AS BIGINT) AS chunk_id,
+               substr(d.text, CAST(s.g*150 + 1 AS BIGINT), 200) AS chunk_text,
+               CAST(length(substr(d.text, CAST(s.g*150 + 1 AS BIGINT), 200)) AS BIGINT)
+                 AS chunk_len
+        FROM documents d
+        JOIN generate_series(0, 1023) s(g) ON s.g*150 < length(d.text)
     """,
     "customers_without_orders": """
         SELECT c_custkey FROM customer

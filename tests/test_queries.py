@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "topk_orders_per_customer", "cumulative_spend", "group_quantiles",
     "rollup_revenue", "hash_sample_docs", "word_count_top100",
     "tfidf_top_term", "brand_region_revenue",
+    "orders_unpivot", "chunk_documents",
 ]
 
 
@@ -79,6 +80,25 @@ def test_every_sql_key_has_a_query(entrymod):
 
 ROWS_ONLY = ["rolling_fingerprint", "simhash", "minhash_lsh_dedup",
              "ann_lsh_topk", "ann_ivf_topk", "dedup_retention"]
+
+
+def test_chunk_documents_reconstructs(entrymod):
+    """Chunk k must equal text[k*stride : k*stride+size], and stitching the
+    first `stride` chars of every chunk in order must reconstruct each doc."""
+    import pyarrow.parquet as pq
+
+    chunks = _to_df(entrymod.queries()["chunk_documents"](SF))
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]
+                         ).to_pandas().set_index("doc_id")["text"]
+    stride, size = 150, 200
+    for did, g in chunks.groupby("doc_id"):
+        text = docs[did]
+        g = g.sort_values("chunk_id")
+        assert list(g["chunk_id"]) == list(range(len(g)))
+        rebuilt = "".join(c[:stride] for c in g["chunk_text"])
+        assert rebuilt == text
+        for k, c in zip(g["chunk_id"], g["chunk_text"]):
+            assert c == text[k * stride: k * stride + size]
 
 
 def test_ann_ivf_recall(entrymod):

@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": A.q_group_quantiles,
         "rollup_revenue": A.q_rollup_revenue,
         "hash_sample_docs": A.q_hash_sample_docs,
+        "pps_sample_orders": A.q_pps_sample_orders,
+        "source_doc_concat": A.q_source_doc_concat,
         # text aggregation / sketches / graph
         "word_count_top100": A.q_word_count_top100,
         "tfidf_top_term": A.q_tfidf_top_term,

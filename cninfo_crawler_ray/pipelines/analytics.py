@@ -595,10 +595,109 @@ def q_custkeys_except(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Distributed ordered prefix scan — systematic PPS sampling
+# ---------------------------------------------------------------------------
+
+def q_pps_sample_orders(sf_dir: str, interval: int = 1_000_000_000,
+                        bucket_width: int = 8192):
+    """Systematic probability-proportional-to-size sample: walk orders in
+    o_orderkey order accumulating price cents; keep every row whose
+    [cum-cents, cum) interval crosses a multiple of ``interval``. Exact
+    integer math, so selection is identical on any cluster size.
+
+    This is the distributed ORDERED PREFIX SCAN pattern (running totals over
+    a global order, unlike q_cumulative_spend's per-key scan): rows bucket by
+    key RANGE (order-preserving, not hashed), a tiny per-bucket Sum aggregate
+    reaches the driver, the driver exclusive-scans the O(buckets) sums into
+    per-bucket offsets (the only driver state — ~1 row per 8k keyspace), and
+    a second pass computes within-bucket cumsums + offset and filters, all
+    vectorized. Data crosses the wire once (the bucket shuffle); the scan
+    itself never moves rows."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df["o_totalprice"])
+        df["kbucket"] = (df["o_orderkey"] // bucket_width).astype("int64")
+        return _pa_from_pandas(df[["kbucket", "o_orderkey", "cents"]])
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    sums = (prepped.groupby("kbucket").aggregate(Sum("cents", alias_name="s"))
+            .to_pandas().sort_values("kbucket"))  # O(key-range/8192) rows
+    offsets = dict(zip(
+        sums["kbucket"],
+        np.concatenate([[0], np.cumsum(sums["s"].to_numpy())[:-1]]),
+    ))
+
+    def scan_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["kbucket", "o_orderkey"], kind="stable")
+        within = b.groupby("kbucket", sort=False)["cents"].cumsum().to_numpy()
+        base = b["kbucket"].map(offsets).to_numpy(dtype=np.int64)
+        cum = base + within
+        keep = (cum // interval) > ((cum - b["cents"].to_numpy()) // interval)
+        out = b.loc[keep, ["o_orderkey", "cents"]].astype("int64")
+        return out
+
+    return B.bucketed_map_groups(prepped, ["kbucket"], scan_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Ordered grouped collect — string_agg of the top-k keys per group
+# ---------------------------------------------------------------------------
+
+def q_source_doc_concat(sf_dir: str, k: int = 3):
+    """Per source: the k smallest doc_ids joined into one ordered string
+    (collect_list/string_agg analog). Per-batch partial top-k caps the
+    shuffle at k rows per (source, batch); the bucketed reduce takes the
+    exact global top-k and joins — the collected list is bounded by
+    construction (k), which is the only way an ordered-collect stays safe
+    at 100 TB (unbounded string_agg of a hot group OOMs any engine)."""
+    ds = _read(sf_dir, "documents", ["source", "doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["source", "doc_id"], kind="stable")
+        return _pa_from_pandas(df.groupby("source", sort=False).head(k))
+
+    def concat_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["source", "doc_id"], kind="stable")
+        b = b.groupby("source", sort=False).head(k)
+        g = b.groupby("source", sort=False)["doc_id"].agg(
+            top_docs=lambda s: ",".join(str(v) for v in s),
+            n_listed="size",
+        ).reset_index()
+        g["n_listed"] = g["n_listed"].astype("int64")
+        return g
+
+    return B.bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source"], concat_bucket)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
 ANALYTICS_ORACLE_SQL: dict[str, str] = {
+    "pps_sample_orders": """
+        WITH c AS (
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+                   SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                       OVER (ORDER BY o_orderkey) AS cum
+            FROM orders)
+        SELECT o_orderkey, cents FROM c
+        WHERE cum // 1000000000 > (cum - cents) // 1000000000
+    """,
+    "source_doc_concat": """
+        WITH r AS (SELECT source, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY doc_id) AS rn
+                   FROM documents)
+        SELECT source,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS top_docs,
+               COUNT(*) AS n_listed
+        FROM r WHERE rn <= 3 GROUP BY source
+    """,
     "topk_orders_per_customer": """
         SELECT o_custkey, o_orderkey, total_cents, rk FROM (
             SELECT o_custkey, o_orderkey,

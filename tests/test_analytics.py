@@ -166,6 +166,28 @@ def test_group_quantiles_match_numpy_rule():
         assert row["value_cents"] == vals[idx], (prio, qlab)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_pps_sample_matches_sequential_scan():
+    """The distributed range-bucketed prefix scan must select exactly the
+    rows a single sequential walk in o_orderkey order selects, at more than
+    one bucket width (partitioning must never change the sample)."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    orders = orders.sort_values("o_orderkey")
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    cum = np.cumsum(cents)
+    W = 1_000_000_000
+    keep = (cum // W) > ((cum - cents) // W)
+    want = set(orders.loc[keep, "o_orderkey"])
+    assert want, "fixture too small for the sampling interval"
+    for width in (512, 8192):
+        out = A.q_pps_sample_orders(SF, bucket_width=width)
+        got = set((out.to_pandas() if hasattr(out, "to_pandas") else out)["o_orderkey"])
+        assert got == want, f"bucket_width={width}"
+
+
 # ---------------------------------------------------------------------------
 # Stratified sampling, set ops, grouped HLL
 # ---------------------------------------------------------------------------

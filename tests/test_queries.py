@@ -59,7 +59,8 @@ SQL_CHECKED = [
     "topk_orders_per_customer", "cumulative_spend", "group_quantiles",
     "rollup_revenue", "hash_sample_docs", "word_count_top100",
     "tfidf_top_term", "brand_region_revenue",
-    "orders_unpivot", "chunk_documents",
+    "orders_unpivot", "chunk_documents", "pps_sample_orders",
+    "source_doc_concat",
 ]
 
 

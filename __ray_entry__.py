@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_histogram_salted": Q.q_source_histogram_salted,
         # similarity search
         "ann_topk": Q.q_ann_topk,
+        "ann_multi_topk": Q.q_ann_multi_topk,
         "ann_lsh_topk": Q.q_ann_lsh_topk,
         "ann_ivf_topk": Q.q_ann_ivf_topk,
         "embed_clusters": Q.q_embed_clusters,

@@ -1037,6 +1037,48 @@ def q_ann_topk(sf_dir: str, k: int = 10):
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
 
+def q_ann_multi_topk(sf_dir: str, k: int = 10, n_queries: int = 8):
+    """Batched brute-force ANN: top-k neighbors for EVERY query in a query
+    MATRIX (vec_id 0..n_queries-1), one (batch × dim) @ (dim × n_queries)
+    matmul per batch against the matrix broadcast once via ray.put. The
+    per-batch partial keeps k rows per query, so the reduce sees
+    O(batches × n_queries × k) tiny rows — per-query cost amortizes to one
+    GEMM column, which is why inference-style ANN serving batches queries."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_rows = emb.filter(expr=f"vec_id < {n_queries}").take(n_queries)
+    q_rows.sort(key=lambda r: r["vec_id"])
+    Qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    Qm = Qm / np.maximum(np.linalg.norm(Qm, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(Qm)
+
+    class MultiTopK:
+        def __init__(self):
+            self.Q = ray.get(q_ref)  # (n_queries, dim), broadcast once
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            s = m @ self.Q.T  # (batch, n_queries) — one GEMM for all queries
+            ids = df["vec_id"].to_numpy()
+            parts = []
+            for qi in range(self.Q.shape[0]):
+                keep = ids != qi  # a query is not its own neighbor
+                sq, idq = s[keep, qi], ids[keep]
+                top = np.argsort(-sq)[:k]
+                parts.append(pd.DataFrame({
+                    "query_id": np.full(len(top), qi, np.int64),
+                    "vec_id": idq[top], "cos": sq[top]}))
+            return pd.concat(parts, ignore_index=True)
+
+    part = emb.map_batches(MultiTopK, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, 4), num_cpus=0.5)
+    final = (part.to_pandas()
+             .sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True], kind="stable")
+             .groupby("query_id", sort=False).head(k))
+    return final[["query_id", "vec_id"]].astype("int64").reset_index(drop=True)
+
+
 def q_ann_lsh_topk(sf_dir: str, k: int = 10, planes: int = 12):
     """LSH-bucketed ANN (the scale path): random-hyperplane bucket per
     vector; search only buckets within hamming ≤ 2 of the query's bucket.
@@ -1459,5 +1501,17 @@ ORACLE_SQL: dict[str, str] = {
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE e.vec_id != 0)
         ORDER BY s DESC LIMIT 10
+    """,
+    "ann_multi_topk": """
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding)
+                                DESC, e.vec_id ASC) AS rk
+            FROM embeddings e
+            JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+              ON e.vec_id != q.vec_id)
+        WHERE rk <= 10
     """,
 }

@@ -56,6 +56,11 @@ class MinHasher:
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
+        # per-(band,row) odd mixing weights + per-band salt for band_keys_batch
+        # (sized for the largest supported banding: one weight per perm)
+        self._band_w = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+                        * np.uint64(2) + np.uint64(1))
+        self._band_salt_base = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
 
     def signature(self, text: str, cache: dict | None = None) -> np.ndarray:
         """``cache`` (per-actor dict) memoizes shingle→hash64 across docs —
@@ -80,6 +85,64 @@ class MinHasher:
             f"{b}:{hashlib.blake2b(sig[b * rows:(b + 1) * rows].tobytes(), digest_size=8).hexdigest()}"
             for b in range(bands)
         ]
+
+    def signatures_batch(self, texts, cache: dict | None = None) -> np.ndarray:
+        """Batch-vectorized ``signature``: MATH-IDENTICAL per-doc output
+        (same blake2b per shingle, same (a·x+b) mod p row minima — asserted
+        equal in tests), but blake2b runs once per UNIQUE shingle in the
+        batch (pd.factorize dedups across docs, where the per-doc path
+        memo-checks every occurrence) and the (shingle × perm) minima reduce
+        in ONE ``np.minimum.reduceat`` over the whole batch instead of a
+        tiny per-doc matrix op. Shingle extraction stays per doc (regex +
+        set — inherently per string); everything downstream of it is one
+        vectorized pass."""
+        n = len(texts)
+        counts = np.zeros(n, dtype=np.int64)
+        all_sh: list[str] = []
+        for i, t in enumerate(texts):
+            sh = _shingles(t)
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        out = np.full((n, self.num_perm), _MERSENNE, dtype=np.uint64)
+        if not all_sh:
+            return out
+        codes, uniques = pd.factorize(np.asarray(all_sh, dtype=object))
+        if cache is None:
+            uh = np.array([_hash64(s) for s in uniques], dtype=np.uint64)
+        else:
+            _capped(cache)
+            for s in uniques:
+                if s not in cache:  # setdefault would re-hash hits eagerly
+                    cache[s] = _hash64(s)
+            uh = np.fromiter((cache[s] for s in uniques), dtype=np.uint64,
+                             count=len(uniques))
+        # permute UNIQUES only (uint64 modulo is the dominant cost — uniques
+        # are typically ~10x fewer than occurrences), then gather by code
+        vals_u = (uh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        vals = vals_u[codes]
+        nz = counts > 0
+        starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+        out[nz] = np.minimum.reduceat(vals, starts, axis=0)
+        return out
+
+    def band_keys_batch(self, sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+        """Vectorized LSH band keys for a (n, num_perm) signature matrix →
+        (n, bands) int64. The key encoding differs from ``band_keys`` (a
+        wrapped modular dot per band instead of blake2b hex), which is
+        immaterial to the OPERATOR's output: equal band rows still map to
+        equal keys, and the ~2⁻⁶¹-rate cross-band collisions only add
+        candidate pairs that the Jaccard verify drops — the verified pair
+        set is bit-identical (golden-checked). Integer keys also shuffle 8
+        bytes instead of an 18-char string."""
+        rows = self.num_perm // bands
+        n = sigs.shape[0]
+        v = sigs.reshape(n, bands, rows)
+        w = self._band_w.reshape(bands, rows)
+        salt = self._band_salt_base[:bands]
+        with np.errstate(over="ignore"):
+            mixed = (v * w[None, :, :]).sum(axis=2)  # uint64 wrap is the mix
+            mixed = mixed * np.uint64(0x9E3779B97F4A7C15) + salt[None, :]
+        return mixed.view(np.int64)
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:

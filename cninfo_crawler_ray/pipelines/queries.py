@@ -572,12 +572,14 @@ def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
             self.cache: dict[str, int] = {}  # shingle→hash64, per actor
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for did, text in zip(df["doc_id"], df["text"]):
-                sig = self.mh.signature(text, cache=self.cache)
-                for bk in self.mh.band_keys(sig, bands):
-                    rows.append((bk, did))
-            return _pa_from_pandas(pd.DataFrame(rows, columns=["band_key", "doc_id"]))
+            # batch-vectorized: one factorize+reduceat for all signatures,
+            # one modular-dot for all band keys — no per-row Python loop
+            sigs = self.mh.signatures_batch(df["text"].tolist(), cache=self.cache)
+            keys = self.mh.band_keys_batch(sigs, bands)  # (n, bands) int64
+            return _pa_from_pandas(pd.DataFrame({
+                "band_key": keys.reshape(-1),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+            }))
 
     def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
         # band keys are hashed whole into one bucket → vectorized self-join

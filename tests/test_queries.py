@@ -137,6 +137,30 @@ def test_query_matches_spec_golden(entrymod, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_minhash_batch_matches_per_doc():
+    """signatures_batch must be bit-identical to the per-doc signature()
+    path (the golden tables were generated from per-doc semantics), and
+    band_keys_batch must key equal signatures equally."""
+    import pyarrow.parquet as pq
+    from cninfo_crawler_ray.functions import dedup as D
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    texts += ["", "a", "one two", "x y z w " * 50, "one two"]
+    mh = D.MinHasher(64)
+    per_doc = np.stack([mh.signature(t, cache={}) for t in texts])
+    batch = mh.signatures_batch(texts, cache={})
+    cache: dict = {}
+    warm1 = mh.signatures_batch(texts, cache=cache)
+    warm2 = mh.signatures_batch(texts, cache=cache)
+    assert np.array_equal(per_doc, batch)
+    assert np.array_equal(per_doc, warm1) and np.array_equal(per_doc, warm2)
+    keys = mh.band_keys_batch(batch, 16)
+    assert keys.shape == (len(texts), 16) and keys.dtype == np.int64
+    # the two identical "one two" docs must share every band key
+    assert np.array_equal(keys[-1], keys[-3])
+
+
 def test_simhash_semantic(entrymod, ray_session):
     """A near-identical pair of texts must land at small hamming distance,
     an unrelated pair near 32 (the uint64-overflow regression made every

@@ -155,23 +155,43 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 
 # --- SimHash ---------------------------------------------------------------
 
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word features (charikar). Vectorized inner loop
-    via numpy bit unpacking."""
+def simhash64(texts: pd.Series, cache: dict | None = None) -> pd.Series:
+    """64-bit SimHash over word features (charikar), batch-vectorized: every
+    token OCCURRENCE votes ±1 per bit (reference semantics — no per-doc
+    dedup), so the per-doc bit sums are one ``np.add.reduceat`` over the
+    batch's token stream; blake2b and bit-unpacking run once per UNIQUE
+    token (factorize), then gather by code. ``cache`` memoizes token→hash64
+    across batches in a long-lived actor (capped)."""
     out = np.zeros(len(texts), dtype=np.int64)
-    weights_cache: dict[str, int] = {}
+    counts = np.zeros(len(texts), dtype=np.int64)
+    all_toks: list[str] = []
     for i, t in enumerate(texts.fillna("")):
         toks = _WORD_RE.findall(str(t).lower())
-        if not toks:
-            out[i] = 0
-            continue
-        _capped(weights_cache)
-        hashes = np.array([weights_cache.setdefault(w, _hash64(w)) for w in toks], dtype=np.uint64)
-        bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        # int64: unpackbits sums are uint64 and negative votes would wrap
-        score = bits.sum(axis=0).astype(np.int64) * 2 - len(hashes)  # +1/-1 vote per bit
-        val = np.packbits((score > 0).astype(np.uint8), bitorder="little").tobytes()
-        out[i] = int.from_bytes(val, "little", signed=True)
+        counts[i] = len(toks)
+        all_toks.extend(toks)
+    if not all_toks:
+        return pd.Series(out, index=texts.index)
+    codes, uniques = pd.factorize(np.asarray(all_toks, dtype=object))
+    if cache is None:
+        uh = np.array([_hash64(w) for w in uniques], dtype=np.uint64)
+    else:
+        _capped(cache)
+        for w in uniques:
+            if w not in cache:
+                cache[w] = _hash64(w)
+        uh = np.fromiter((cache[w] for w in uniques), dtype=np.uint64,
+                         count=len(uniques))
+    ubits = np.unpackbits(uh.view(np.uint8).reshape(-1, 8), axis=1,
+                          bitorder="little").astype(np.int64)
+    bits = ubits[codes]  # (occurrences, 64)
+    nz = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    sums = np.add.reduceat(bits, starts, axis=0)
+    # int64 throughout: negative votes would wrap in unsigned dtypes
+    score = sums * 2 - counts[nz][:, None]  # +1/-1 vote per bit
+    packed = np.packbits((score > 0).astype(np.uint8), axis=1,
+                         bitorder="little")
+    out[nz] = packed.view(np.int64).reshape(-1)
     return pd.Series(out, index=texts.index)
 
 

@@ -145,12 +145,15 @@ class MinHasher:
         return mixed.view(np.int64)
 
 
-def jaccard(a: str, b: str, k: int = 3) -> float:
-    sa, sb = _shingles(a, k), _shingles(b, k)
+def jaccard_sets(sa: set, sb: set) -> float:
     if not sa and not sb:
         return 1.0
     u = len(sa | sb)
     return len(sa & sb) / u if u else 0.0
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    return jaccard_sets(_shingles(a, k), _shingles(b, k))
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -622,8 +622,11 @@ def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
             ids = sorted(pd.concat([df["doc_a"], df["doc_b"]]).unique())
             t = self._pq.read_table(self.path, columns=["doc_id", "text"],
                                     filters=[("doc_id", "in", ids)])
-            texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-            keep = [D.jaccard(texts[a], texts[b]) >= threshold
+            # shingle each unique doc once per batch — docs recur across
+            # pairs, and shingling dominates the per-pair set intersection
+            shs = {i: D._shingles(tx) for i, tx in
+                   zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+            keep = [D.jaccard_sets(shs[a], shs[b]) >= threshold
                     for a, b in zip(df["doc_a"], df["doc_b"])]
             return df.loc[keep, ["doc_a", "doc_b"]].astype(
                 {"doc_a": "int64", "doc_b": "int64"})

@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_customer": A.q_topk_orders_per_customer,
         "cumulative_spend": A.q_cumulative_spend,
         "group_quantiles": A.q_group_quantiles,
+        "group_quantiles_cont": A.q_group_quantiles_cont,
         "rollup_revenue": A.q_rollup_revenue,
         "hash_sample_docs": A.q_hash_sample_docs,
         "pps_sample_orders": A.q_pps_sample_orders,

@@ -294,9 +294,25 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def first_touch_probe() -> float:
+        """Host-health probe: seconds to first-touch a fresh 133 MB
+        allocation. This VM's documented degradation mode (BASELINE.md
+        measurement notes) slows FRESH page mapping ~100x (≈0.07 s healthy,
+        ≈7 s degraded) while leaving warm pages and raw CPU normal — the
+        exact resource a Ray pipeline leans on hardest. Recorded with every
+        scaling run so each figure carries its host state."""
+        import numpy as np
+
+        t0 = time.perf_counter()
+        a = np.zeros((260_000, 64), dtype=np.uint64)
+        a[::512] = 1
+        return round(time.perf_counter() - t0, 3)
+
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    probe_before = first_touch_probe()
     r_lo, r_hi = one(lo), one(hi)
+    probe_after = first_touch_probe()
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     s_lo = r_lo.get("sustained_urls_per_sec") or r_lo["urls_per_sec"]
     s_hi = r_hi.get("sustained_urls_per_sec") or r_hi["urls_per_sec"]
@@ -317,6 +333,7 @@ def run_scaling() -> dict:
         f"sustained_{hi}": s_hi,
         "scaling_efficiency": round(eff_wall, 3),
         "scaling_efficiency_sustained": round(eff_sustained, 3),
+        "host_first_touch_probe_sec": [probe_before, probe_after],
     }
 
 

@@ -154,6 +154,77 @@ def q_group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
     return out.sort_values(["o_orderpriority", "q"]).reset_index(drop=True)
 
 
+def q_group_quantiles_cont(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)):
+    """Interpolated per-group quantiles (PERCENTILE_CONT / quantile_cont
+    analog) with the same two-phase binned select as q_group_quantiles — no
+    global sort. The continuous rule needs the TWO order statistics
+    straddling idx = (n-1)·q; phase A's (group, $100-bin) histogram locates
+    both positions, phase B re-reads only the target bins, and the driver
+    interpolates v_lo + (v_hi − v_lo)·frac in float64 (bit-identical to
+    DuckDB's formula on integer cents; rounded to 1e-6 for hash safety)."""
+    BIN = 10_000  # cents per coarse bin
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df["o_totalprice"])
+        df["bin"] = df["cents"] // BIN
+        g = df.groupby(["o_orderpriority", "bin"], as_index=False).agg(
+            n=("cents", "size"))
+        return _pa_from_pandas(g)
+
+    hist = (
+        ds.map_batches(binned, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(groups × bins) — small by construction
+        .sort_values(["o_orderpriority", "bin"])
+    )
+
+    def locate(g: pd.DataFrame, cum: np.ndarray, pos: int) -> tuple[int, int]:
+        """0-based order statistic `pos` → (bin, offset within bin)."""
+        p = int(np.searchsorted(cum, pos + 1, side="left"))
+        before = int(cum[p - 1]) if p > 0 else 0
+        return int(g["bin"].iloc[p]), pos - before
+
+    # (prio, label) → (lo_bin, lo_off, hi_bin, hi_off, frac)
+    plan: dict[tuple[str, str], tuple[int, int, int, int, float]] = {}
+    need: dict[tuple[str, int], bool] = {}
+    for prio, g in hist.groupby("o_orderpriority"):
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        for q in qs:
+            idx = (n - 1) * q
+            lo_i, hi_i = int(math.floor(idx)), int(math.ceil(idx))
+            lb, lo_off = locate(g, cum, lo_i)
+            hb, hi_off = locate(g, cum, hi_i)
+            plan[(str(prio), f"p{int(q * 100)}")] = (lb, lo_off, hb, hi_off, idx - lo_i)
+            need[(str(prio), lb)] = True
+            need[(str(prio), hb)] = True
+
+    def in_target_bins(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df["o_totalprice"])
+        df["bin"] = df["cents"] // BIN
+        key = list(zip(df["o_orderpriority"], df["bin"]))
+        mask = pd.Series(key, index=df.index).isin(need)
+        return _pa_from_pandas(df.loc[mask, ["o_orderpriority", "bin", "cents"]])
+
+    hits = ds.map_batches(in_target_bins, batch_format="pyarrow").to_pandas()
+    sorted_bins = {
+        k: np.sort(v["cents"].to_numpy())
+        for k, v in hits.groupby(["o_orderpriority", "bin"])
+    }
+
+    rows = []
+    for (prio, label), (lb, lo_off, hb, hi_off, frac) in plan.items():
+        v_lo = float(sorted_bins[(prio, lb)][lo_off])
+        v_hi = float(sorted_bins[(prio, hb)][hi_off])
+        rows.append((prio, label, round(v_lo + (v_hi - v_lo) * frac, 6)))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "q", "value"])
+    return out.sort_values(["o_orderpriority", "q"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Rollup aggregate (GROUP BY ROLLUP analog)
 # ---------------------------------------------------------------------------
@@ -678,6 +749,18 @@ def q_source_doc_concat(sf_dir: str, k: int = 3):
 # ---------------------------------------------------------------------------
 
 ANALYTICS_ORACLE_SQL: dict[str, str] = {
+    "group_quantiles_cont": """
+        WITH c AS (SELECT o_orderpriority,
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+                   FROM orders)
+        SELECT o_orderpriority, 'p50' AS q,
+               ROUND(quantile_cont(cents, 0.5), 6) AS value
+        FROM c GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'p90' AS q,
+               ROUND(quantile_cont(cents, 0.9), 6) AS value
+        FROM c GROUP BY o_orderpriority
+    """,
     "pps_sample_orders": """
         WITH c AS (
             SELECT o_orderkey,

@@ -60,7 +60,7 @@ SQL_CHECKED = [
     "rollup_revenue", "hash_sample_docs", "word_count_top100",
     "tfidf_top_term", "brand_region_revenue",
     "orders_unpivot", "chunk_documents", "pps_sample_orders",
-    "source_doc_concat", "ann_multi_topk",
+    "source_doc_concat", "ann_multi_topk", "group_quantiles_cont",
 ]
 
 

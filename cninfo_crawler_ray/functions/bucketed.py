@@ -241,7 +241,10 @@ def attach(
     strategy they want directly (e.g. tfidf's vocabulary-sized df table uses
     :func:`bucketed_attach` — vocabulary does not stay broadcast-small at
     corpus scale)."""
-    if right.count() <= broadcast_row_limit:
+    n_right = getattr(right, "_graft_nrows", None)
+    if n_right is None:
+        n_right = right.count()
+    if n_right <= broadcast_row_limit:
         return broadcast_attach(left, key_col, right, right_key, payload_col, out_col)
     return bucketed_attach(left, key_col, right, right_key, payload_col,
                            out_col, num_buckets=num_buckets)

@@ -369,8 +369,15 @@ def q_brand_region_revenue(sf_dir: str):
     broadcast for the fixed-size dims (nation/region, 25/5 rows). Per-batch
     partial aggregation shrinks the final shuffle to O(brands × regions)
     per batch."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    import pyarrow.parquet as pq
+
+    # fixed-cardinality dimension tables (25 nations / 5 regions at ANY
+    # scale): a direct footer read costs ~1 ms where spinning up a Ray
+    # pipeline per table costs ~0.3 s of scheduler latency each
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
     region_by_nk = dict(zip(nation["n_nationkey"],
                             nation["n_regionkey"].map(dict(zip(region["r_regionkey"],
                                                                region["r_name"])))))

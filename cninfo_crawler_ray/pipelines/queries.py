@@ -54,10 +54,16 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     # strip the pandas schema metadata the testdata files carry: pyarrow 16
     # schemas with metadata are unhashable, defeating Ray's schema-dedup fast
     # path on every downstream batch concat (zero-copy; fused into the read)
-    return rd.read_parquet(path, columns=columns, **kwargs).map_batches(
+    ds = rd.read_parquet(path, columns=columns, **kwargs).map_batches(
         lambda t: t.replace_schema_metadata(None),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    # carry the footer row count: count() on a mapped dataset EXECUTES the
+    # plan (Ray can't know the map is row-preserving), so consumers that
+    # only need cardinality — attach()'s broadcast-vs-shuffle decision —
+    # would otherwise pay a full read per join side
+    ds._graft_nrows = n
+    return ds
 
 
 # ---------------------------------------------------------------------------

@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": A.q_stratified_sample_events,
         "custkeys_intersect": A.q_custkeys_intersect,
         "custkeys_except": A.q_custkeys_except,
+        "full_outer_activity": A.q_full_outer_activity,
+        "group_variance": A.q_group_variance,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

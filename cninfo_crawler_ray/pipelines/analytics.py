@@ -672,6 +672,81 @@ def q_custkeys_except(sf_dir: str):
     return flags.map_batches(keep, batch_format="pyarrow")
 
 
+def q_full_outer_activity(sf_dir: str):
+    """FULL OUTER join of two per-key aggregates (urgent-order counts vs
+    event counts per customer key; both sides have orphan keys). Same
+    union-tag shape as the left-outer join: each side emits per-batch
+    partial counts into ONE schema with the other side's column zeroed,
+    union, one keyed Sum reduce. Full-outer totality falls out of the
+    union — every key from either side reaches the reduce — so the cost
+    is one shuffle of pre-aggregated partials, no null-handling join pass."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.loc[df["o_orderpriority"] == "1-URGENT"]
+             .groupby("o_custkey", as_index=False).size())
+        return _pa_from_pandas(pd.DataFrame({
+            "custkey": g["o_custkey"].astype("int64"),
+            "n_orders": g["size"].astype("int64"),
+            "n_events": np.zeros(len(g), dtype=np.int64)}))
+
+    def e_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("user_id", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "custkey": g["user_id"].astype("int64"),
+            "n_orders": np.zeros(len(g), dtype=np.int64),
+            "n_events": g["size"].astype("int64")}))
+
+    both = (orders.map_batches(o_partial, batch_format="pyarrow")
+            .union(events.map_batches(e_partial, batch_format="pyarrow")))
+    return both.groupby("custkey").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("n_events", alias_name="n_events"))
+
+
+def q_group_variance(sf_dir: str):
+    """Per-group sample variance via EXACT integer sufficient statistics:
+    each batch contributes (n, Σx, Σx²) partials in int64 (x = floor
+    dollars, so Σx² stays within int64 beyond sf1), one keyed Sum reduce
+    combines them, and the driver evaluates (n·Σx² − (Σx)²)/(n(n−1)) per
+    group with arbitrary-precision Python ints before ONE float64 divide —
+    the same exact-integer→double rounding DuckDB performs on its HUGEINT
+    sums, so the doubles agree bit-for-bit with no epsilon. Streaming
+    float variance (Welford) would NOT hash-match across engines; exact
+    sufficient statistics are also the only formulation whose partials
+    merge associatively across any partitioning."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        d = np.floor(df["o_totalprice"].to_numpy()).astype(np.int64)
+        g = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                          "n": 1, "sd": d, "sdd": d * d})
+        out = g.groupby("o_orderpriority", as_index=False).sum()
+        return _pa_from_pandas(out.astype({"n": "int64", "sd": "int64",
+                                           "sdd": "int64"}))
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("o_orderpriority")
+             .aggregate(Sum("n", alias_name="n"), Sum("sd", alias_name="sd"),
+                        Sum("sdd", alias_name="sdd"))
+             .to_pandas())  # O(groups)
+
+    rows = []
+    for _, r in stats.iterrows():
+        n, sd, sdd = int(r["n"]), int(r["sd"]), int(r["sdd"])  # exact ints
+        if n < 2:  # sample variance undefined; mirror the oracle's n>1 gate
+            continue
+        var = float(n * sdd - sd * sd) / (n * (n - 1))
+        rows.append((r["o_orderpriority"], n, var))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n", "var_dollars"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Distributed ordered prefix scan — systematic PPS sampling
 # ---------------------------------------------------------------------------
@@ -756,6 +831,25 @@ def q_source_doc_concat(sf_dir: str, k: int = 3):
 # ---------------------------------------------------------------------------
 
 ANALYTICS_ORACLE_SQL: dict[str, str] = {
+    "group_variance": """
+        WITH s AS (SELECT o_orderpriority, COUNT(*) AS n,
+                          SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS sd,
+                          SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              * CAST(FLOOR(o_totalprice) AS BIGINT)) AS sdd
+                   FROM orders GROUP BY 1)
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+               CAST(n*sdd - sd*sd AS DOUBLE) / (n*(n-1)) AS var_dollars
+        FROM s WHERE n > 1
+    """,
+    "full_outer_activity": """
+        WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+                   WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+             e AS (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1)
+        SELECT COALESCE(o.k, e.k) AS custkey,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+        FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
     "group_quantiles_cont": """
         WITH c AS (SELECT o_orderpriority,
                           CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents

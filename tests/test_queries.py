@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "tfidf_top_term", "brand_region_revenue",
     "orders_unpivot", "chunk_documents", "pps_sample_orders",
     "source_doc_concat", "ann_multi_topk", "group_quantiles_cont",
+    "full_outer_activity", "group_variance",
 ]
 
 

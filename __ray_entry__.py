@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": Q.q_minhash_lsh_dedup,
         "dedup_retention": Q.q_dedup_retention,
         "curation_pipeline": Q.q_curation_pipeline,
+        "redact_docs": Q.q_redact_docs,
+        "decontaminate_docs": Q.q_decontaminate_docs,
+        "shuffle_shards": Q.q_shuffle_shards,
         "simhash": Q.q_simhash,
         "simhash_near_dup": Q.q_simhash_near_dup,
         "embedding_topk_pairs": Q.q_embedding_topk_pairs,

@@ -118,3 +118,33 @@ def rolling_fingerprint(texts: pd.Series, window: int = 16) -> pd.Series:
                 best = h
         out[i] = best
     return pd.Series(out, index=texts.index)
+
+
+# --- word n-grams ----------------------------------------------------------
+
+def word_grams(texts: pd.Series, n: int = 8) -> pd.DataFrame:
+    """All word ``n``-grams of every row, vectorized across the batch.
+
+    One explode of the token stream, then ``n`` shifted views of the flat
+    token array joined with a single vectorized ``str.cat`` — no per-row
+    Python loop. Returns columns ``(row, gram)`` where ``row`` is the
+    positional index into ``texts``. Rows shorter than ``n`` tokens emit
+    nothing. Used by benchmark decontamination (the GPT-3/PaLM-style
+    n-gram-overlap contamination check)."""
+    toks = texts.fillna("").str.split(" ")
+    ex = toks.reset_index(drop=True).explode()
+    flat = ex.to_numpy(dtype=object)
+    m = len(flat) - n + 1
+    empty = pd.DataFrame({"row": pd.Series([], dtype="int64"),
+                          "gram": pd.Series([], dtype="object")})
+    if m <= 0:
+        return empty
+    row = ex.index.to_numpy().astype(np.int64)
+    valid = row[:m] == row[n - 1:]
+    if not valid.any():
+        return empty
+    base = pd.Series(flat[:m], dtype="string")
+    gram = base.str.cat([pd.Series(flat[k:m + k], dtype="string")
+                         for k in range(1, n)], sep=" ")
+    return pd.DataFrame({"row": row[:m][valid],
+                         "gram": gram.to_numpy(dtype=object)[valid]})

@@ -1311,6 +1311,99 @@ def q_embed_clusters(sf_dir: str, n_cells: int = 16):
 
 
 # ---------------------------------------------------------------------------
+# curation: redaction / decontamination / export sharding
+# ---------------------------------------------------------------------------
+
+def q_redact_docs(sf_dir: str):
+    """PII-style pattern redaction: vectorized regex replace + match count
+    per batch — the scrubbing stage every training corpus runs (emails,
+    phones, IDs). Pure per-batch map: no shuffle, no state, so it streams at
+    any scale. The pattern is a parameter; here a fixed entity alternation
+    so the DuckDB oracle can mirror it exactly (Python re and DuckDB RE2
+    agree on this subset: literal alternation + \\b)."""
+    pat = r"\b(customer|spark)\b"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "clean_text": s.str.replace(pat, "<ENT>", regex=True).to_numpy(dtype=object),
+            "n_redacted": s.str.count(pat).astype("int64").to_numpy(),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_decontaminate_docs(sf_dir: str, n: int = 8, bench_source: str = "src0"):
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap check): count
+    each corpus doc's DISTINCT word ``n``-grams shared with a benchmark set,
+    so contaminated docs can be dropped before training.
+
+    Scale shape: the benchmark side (here source == 'src0') is small by
+    nature (eval sets are KBs-MBs, not TBs) → read once with predicate
+    pushdown, shingled on the driver, broadcast via ``ray.put`` as a frozen
+    set; the 100 TB corpus side streams through a stateless actor pool that
+    shingles each batch vectorized (functions/text.word_grams — one explode
+    + n shifted str.cat views) and counts set hits per doc. No shuffle at
+    all: each doc's text lives in one row, so per-batch distinct counts are
+    exact."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    bt = docs.filter(expr=f"source == '{bench_source}'").select_columns(["text"]).to_pandas()
+    bench_set = frozenset(T.word_grams(bt["text"], n)["gram"].unique().tolist())
+    ref = ray.put(bench_set)
+
+    class Flag:
+        def __init__(self):
+            self.bench = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df["source"] != bench_source]
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                  "n_shared": pd.Series([], dtype="int64")})
+            if sub.empty:
+                return empty
+            g = T.word_grams(sub["text"].reset_index(drop=True), n).drop_duplicates()
+            g = g[g["gram"].isin(self.bench)]
+            if g.empty:
+                return empty
+            cnt = g.groupby("row").size()
+            ids = sub["doc_id"].to_numpy()
+            return pd.DataFrame({"doc_id": ids[cnt.index.to_numpy()].astype("int64"),
+                                 "n_shared": cnt.to_numpy().astype("int64")})
+
+    return docs.map_batches(Flag, batch_format="pandas", batch_size=2048,
+                            concurrency=(1, 4), num_cpus=0.5)
+
+
+def q_shuffle_shards(sf_dir: str, n_shards: int = 8):
+    """Deterministic training-data export shuffle: Knuth-hash each doc_id,
+    shard = h % n_shards, rank within shard by (h, doc_id) — a seeded global
+    shuffle with reproducible order, i.e. the write-side of a sharded export
+    (each rank is the doc's position in its output shard file). Only
+    (doc_id, h) pairs move through the one keyed shuffle — at 100 TB the
+    payload columns stay put and are joined back by doc_id per shard after
+    assignment, so the exchange is O(rows × 16 bytes), not O(corpus)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def hashes(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        h = (ids * 2654435761) % (1 << 32)
+        return pd.DataFrame({"doc_id": ids, "shard": (h % n_shards).astype(np.int64),
+                             "h": h.astype(np.int64)})
+
+    hd = ds.map_batches(hashes, batch_format="pandas")
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shard", "h", "doc_id"], kind="stable")
+        out = df[["doc_id", "shard"]].copy()
+        out["rk"] = df.groupby("shard").cumcount().to_numpy() + 1
+        return out.astype({"doc_id": "int64", "shard": "int64", "rk": "int64"})
+
+    return B.bucketed_map_groups(hd, ["shard"], rank_bucket, num_buckets=n_shards)
+
+
+# ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
@@ -1524,5 +1617,33 @@ ORACLE_SQL: dict[str, str] = {
             JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
               ON e.vec_id != q.vec_id)
         WHERE rk <= 10
+    """,
+    "redact_docs": r"""
+        SELECT doc_id,
+               regexp_replace(text, '\b(customer|spark)\b', '<ENT>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '\b(customer|spark)\b')) AS BIGINT) AS n_redacted
+        FROM documents
+    """,
+    "decontaminate_docs": """
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l
+                      FROM documents),
+        grams AS (
+            SELECT doc_id, source, array_to_string(l[i:i+7], ' ') AS g
+            FROM toks, (SELECT unnest(range(1, 700)) AS i) s
+            WHERE i + 7 <= len(l)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+        SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_shared
+        FROM grams g JOIN bench b ON g.g = b.g
+        WHERE g.source <> 'src0'
+        GROUP BY g.doc_id
+    """,
+    "shuffle_shards": """
+        WITH h AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hh
+                   FROM documents)
+        SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8
+                                       ORDER BY hh, doc_id) AS BIGINT) AS rk
+        FROM h
     """,
 }

@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "orders_unpivot", "chunk_documents", "pps_sample_orders",
     "source_doc_concat", "ann_multi_topk", "group_quantiles_cont",
     "full_outer_activity", "group_variance",
+    "redact_docs", "decontaminate_docs", "shuffle_shards",
 ]
 
 
@@ -190,3 +191,69 @@ def test_rows_only_queries_run(entrymod, name):
         df.reset_index(drop=True).sort_index(axis=1),
         df2.reset_index(drop=True).sort_index(axis=1),
     )
+
+
+def test_word_grams_matches_naive():
+    """Vectorized word_grams vs a per-row reference implementation."""
+    from cninfo_crawler_ray.functions import text as T
+
+    texts = pd.Series(["a b c d e", "x y", "", "p q r s", "a b c d e f"])
+    got = T.word_grams(texts, n=4)
+    want = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for j in range(len(toks) - 3):
+            want.append((i, " ".join(toks[j:j + 4])))
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(want)
+
+
+def test_decontaminate_semantics(entrymod):
+    """Every flagged doc must genuinely share >=1 word 8-gram with the
+    benchmark source, with the exact distinct-overlap count; no benchmark
+    doc may be flagged; every non-benchmark doc with overlap must appear."""
+    import pyarrow.parquet as pq
+
+    flagged = _to_df(entrymod.queries()["decontaminate_docs"](SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"]).to_pandas()
+
+    def grams(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}
+
+    bench = set()
+    for t in docs[docs["source"] == "src0"]["text"]:
+        bench |= grams(t)
+    want = {}
+    for _, r in docs[docs["source"] != "src0"].iterrows():
+        n = len(grams(r["text"]) & bench)
+        if n:
+            want[r["doc_id"]] = n
+    got = dict(zip(flagged["doc_id"], flagged["n_shared"]))
+    assert got == want and len(want) > 0
+
+
+def test_redact_docs_clean(entrymod):
+    """Redacted output must contain no surviving pattern matches, and the
+    per-doc counts must sum to the corpus-wide original match count."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    out = _to_df(entrymod.queries()["redact_docs"](SF))
+    pat = re.compile(r"\b(customer|spark)\b")
+    assert not out["clean_text"].str.contains(pat).any()
+    orig = pq.read_table(f"{SF}/documents.parquet", columns=["text"]
+                         ).to_pandas()["text"]
+    assert out["n_redacted"].sum() == orig.str.count(pat).sum() > 0
+
+
+def test_shuffle_shards_ranks(entrymod):
+    """Each shard's ranks must be exactly 1..n_shard with no gaps, shards
+    must match the Knuth hash, and every doc appears exactly once."""
+    out = _to_df(entrymod.queries()["shuffle_shards"](SF))
+    assert out["doc_id"].is_unique
+    h = (out["doc_id"].astype("int64") * 2654435761) % (1 << 32)
+    assert (out["shard"] == h % 8).all()
+    for _, g in out.groupby("shard"):
+        assert sorted(g["rk"]) == list(range(1, len(g) + 1))

@@ -129,6 +129,8 @@ def run_bench() -> dict:
         ("stratified_sample_events", A.q_stratified_sample_events),
         ("embed_clusters", Q.q_embed_clusters),
         ("curation_pipeline", Q.q_curation_pipeline),
+        ("decontaminate_docs", Q.q_decontaminate_docs),
+        ("shuffle_shards", Q.q_shuffle_shards),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

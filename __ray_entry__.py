@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": A.q_rollup_revenue,
         "hash_sample_docs": A.q_hash_sample_docs,
         "pps_sample_orders": A.q_pps_sample_orders,
+        "pack_sequences": A.q_pack_sequences,
         "source_doc_concat": A.q_source_doc_concat,
         # text aggregation / sketches / graph
         "word_count_top100": A.q_word_count_top100,

@@ -131,6 +131,7 @@ def run_bench() -> dict:
         ("curation_pipeline", Q.q_curation_pipeline),
         ("decontaminate_docs", Q.q_decontaminate_docs),
         ("shuffle_shards", Q.q_shuffle_shards),
+        ("pack_sequences", A.q_pack_sequences),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -795,6 +795,54 @@ def q_pps_sample_orders(sf_dir: str, interval: int = 1_000_000_000,
     return B.bucketed_map_groups(prepped, ["kbucket"], scan_bucket)
 
 
+def q_pack_sequences(sf_dir: str, budget: int = 2048, bucket_width: int = 8192):
+    """Sequence packing for training-data export: lay documents end-to-end
+    in doc_id order and cut fixed-token-budget bins — each doc's bin_id /
+    bin_offset say exactly where it starts in the packed token stream
+    (bin = exclusive-prefix // budget, offset = exclusive-prefix % budget),
+    so writers can emit packed training sequences independently per bin.
+
+    Same distributed ordered-prefix-scan shape as q_pps_sample_orders:
+    range-bucket by doc_id, O(buckets) per-bucket token sums to the driver,
+    exclusive scan of the tiny sums vector, then a vectorized second pass
+    computes within-bucket cumsums + offsets. Token counts use the
+    whitespace-token definition (separator count + 1), exactly
+    len(string_split(text, ' ')) in the SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = df["text"].fillna("").str.count(" ").to_numpy() + 1
+        return _pa_from_pandas(pd.DataFrame({
+            "kbucket": (df["doc_id"] // bucket_width).astype("int64"),
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": n.astype("int64"),
+        }))
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    sums = (prepped.groupby("kbucket").aggregate(Sum("n_tokens", alias_name="s"))
+            .to_pandas().sort_values("kbucket"))  # O(key-range/8192) rows
+    offsets = dict(zip(
+        sums["kbucket"],
+        np.concatenate([[0], np.cumsum(sums["s"].to_numpy())[:-1]]),
+    ))
+
+    def scan_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["kbucket", "doc_id"], kind="stable")
+        within = b.groupby("kbucket", sort=False)["n_tokens"].cumsum().to_numpy()
+        prev = (b["kbucket"].map(offsets).to_numpy(dtype=np.int64)
+                + within - b["n_tokens"].to_numpy())
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": b["n_tokens"].to_numpy(),
+            "bin_id": prev // budget,
+            "bin_offset": prev % budget,
+        }).astype("int64")
+
+    return B.bucketed_map_groups(prepped, ["kbucket"], scan_bucket)
+
+
 # ---------------------------------------------------------------------------
 # Ordered grouped collect — string_agg of the top-k keys per group
 # ---------------------------------------------------------------------------
@@ -927,6 +975,18 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
     "hash_sample_docs": """
         SELECT doc_id FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+    """,
+    "pack_sequences": """
+        WITH c AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                   FROM documents),
+        s AS (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS prev
+              FROM c)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(prev // 2048 AS BIGINT) AS bin_id,
+               CAST(prev % 2048 AS BIGINT) AS bin_offset
+        FROM s
     """,
     "stratified_sample_events": """
         SELECT event_type, event_id FROM (

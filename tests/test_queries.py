@@ -63,6 +63,7 @@ SQL_CHECKED = [
     "source_doc_concat", "ann_multi_topk", "group_quantiles_cont",
     "full_outer_activity", "group_variance",
     "redact_docs", "decontaminate_docs", "shuffle_shards",
+    "pack_sequences",
 ]
 
 
@@ -257,3 +258,19 @@ def test_shuffle_shards_ranks(entrymod):
     assert (out["shard"] == h % 8).all()
     for _, g in out.groupby("shard"):
         assert sorted(g["rk"]) == list(range(1, len(g) + 1))
+
+
+def test_pack_sequences_invariants(entrymod):
+    """Packing must be a consistent exclusive prefix layout: sorted by
+    doc_id, each doc's global start == cumsum of all earlier docs' tokens,
+    bin_id/bin_offset decompose that start exactly, offsets stay < budget,
+    and bin ids are non-decreasing with no skipped bins."""
+    out = _to_df(entrymod.queries()["pack_sequences"](SF)).sort_values(
+        "doc_id").reset_index(drop=True)
+    budget = 2048
+    prev = out["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
+    start = out["bin_id"].to_numpy() * budget + out["bin_offset"].to_numpy()
+    assert (start == prev).all()
+    assert (out["bin_offset"] < budget).all()
+    b = out["bin_id"].to_numpy()
+    assert (np.diff(b) >= 0).all() and set(np.diff(b)) <= {0, 1}

@@ -182,6 +182,46 @@ def _phash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     return out.drop_duplicates().sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
+def _image_dup_clusters(sf_dir: str):
+    """Transitive closure of image near-duplicates: connected components
+    (analytics.connected_components — bucketed-join min-label propagation)
+    over the phash-LSH verified pair graph, labeling every corpus image with
+    the smallest image number reachable through near-dup edges. This is the
+    retention side of image dedup at 100 TB: keep rows where
+    image number == cluster_id, drop the rest — a per-batch filter once
+    labels exist. Fixture image ids are img_%08d, so id ↔ int is bijective."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from cninfo_crawler_ray.functions.bucketed import _pa_from_pandas
+    from cninfo_crawler_ray.pipelines.analytics import connected_components
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+
+    pairs = _phash_near_dup(sf_dir)
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{fdir}/corpus.parquet").metadata.num_rows
+    nodes = rd.read_parquet(
+        f"{fdir}/corpus.parquet", columns=["image_id"],
+        override_num_blocks=max(1, min(64, -(-n_rows // 8192)))
+    ).map_batches(
+        lambda t: _pa_from_pandas(pd.DataFrame(
+            {"node": np.asarray([int(s[4:]) for s in t["image_id"].to_pylist()],
+                                dtype=np.int64)})),
+        batch_format="pyarrow")
+    edge = pd.DataFrame({
+        "a": pairs["image_a"].str[4:].astype("int64"),
+        "b": pairs["image_b"].str[4:].astype("int64"),
+    }) if len(pairs) else pd.DataFrame({"a": [], "b": []})
+    out = connected_components(nodes, edge).to_pandas()
+    return (pd.DataFrame({
+        "image_id": "img_" + out["node"].astype("int64").astype(str).str.zfill(8),
+        "cluster_id": out["cluster_id"].astype("int64"),
+    }).sort_values("image_id").reset_index(drop=True))
+
+
 def _image_thumbnails(sf_dir: str, out_h: int = 8, out_w: int = 8):
     """Multimodal resize stage: fetch validated images → decode → area-mean
     resize → re-encode, all inside one actor pool (bytes never leave the
@@ -310,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _image_features,
         "image_thumbnails": _image_thumbnails,
         "phash_near_dup": _phash_near_dup,
+        "image_dup_clusters": _image_dup_clusters,
         "scheduled_crawl": _scheduled_crawl,
     }
 
@@ -329,6 +370,9 @@ _CRAWL_ORACLE_SQL = {
     # ≤ 3 shares an untouched band (pigeonhole), so banded LSH provably
     # equals brute force at the query's max_hamming=2
     "phash_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/phash_near_dup.parquet')",
+    # union-find golden over the brute-force pair list — independent
+    # algorithm family from the engine's min-label propagation
+    "image_dup_clusters": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dup_clusters.parquet')",
     "image_features": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_features.parquet')",
     # deterministic-but-not-SQL text/embedding operators: goldens re-derived
     # from the algorithm spec by a single-process row-at-a-time implementation

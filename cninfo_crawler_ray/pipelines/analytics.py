@@ -408,30 +408,22 @@ def q_brand_region_revenue(sf_dir: str):
 # Connected components — near-dup pair graph → dup clusters
 # ---------------------------------------------------------------------------
 
-def q_dup_clusters(sf_dir: str, max_iters: int = 30,
-                   pairs: pd.DataFrame | None = None):
-    """Duplicate clusters over the verified MinHash near-dup pair graph:
-    every document is labeled with the minimum doc_id reachable through
-    near-dup edges (singletons label themselves). Iterative min-label
-    propagation over Datasets — per round, one bucketed hash join pulls each
-    neighbor's label across edges and one keyed groupby takes the min; the
-    driver sees only a convergence checksum (sum of labels, strictly
-    decreasing until fixpoint). Rounds = graph diameter, which for near-dup
-    clusters is tiny; for adversarial long-chain graphs swap the propagation
-    step for large-star/small-star to get O(log n) rounds — the data layout
-    (edge + label Datasets keyed by node) is unchanged.
-
-    ``pairs`` (doc_a/doc_b frame) can be injected for testing adversarial
-    graph shapes; by default the verified MinHash pair list is used."""
-    if pairs is None:
-        from .queries import q_minhash_lsh_dedup
-
-        pairs = q_minhash_lsh_dedup(sf_dir)
-    docs = _read(sf_dir, "documents", ["doc_id"])
-    labels = docs.map_batches(
+def connected_components(nodes: rd.Dataset, pairs: pd.DataFrame,
+                         max_iters: int = 30) -> rd.Dataset:
+    """Connected components by iterative min-label propagation over
+    Datasets: ``nodes`` has one int64 ``node`` column, ``pairs`` is an edge
+    list (int64 columns ``a``/``b``). Per round, one bucketed hash join
+    pulls each neighbor's label across edges and one keyed groupby takes
+    the min; the driver sees only a convergence checksum (sum of labels,
+    strictly decreasing until fixpoint). Rounds = graph diameter, which for
+    near-dup clusters is tiny; for adversarial long-chain graphs swap the
+    propagation step for large-star/small-star to get O(log n) rounds —
+    the data layout (edge + label Datasets keyed by node) is unchanged.
+    Returns ``(node, cluster_id)``; singletons label themselves."""
+    labels = nodes.map_batches(
         lambda t: _pa_from_pandas(pd.DataFrame(
-            {"doc_id": t["doc_id"].to_numpy().astype(np.int64),
-             "label": t["doc_id"].to_numpy().astype(np.int64)})),
+            {"node": t["node"].to_numpy().astype(np.int64),
+             "label": t["node"].to_numpy().astype(np.int64)})),
         batch_format="pyarrow").materialize()
 
     if len(pairs) == 0:
@@ -440,8 +432,8 @@ def q_dup_clusters(sf_dir: str, max_iters: int = 30,
             batch_format="pandas")
 
     sym = pd.DataFrame({
-        "node": pd.concat([pairs["doc_a"], pairs["doc_b"]]).astype("int64"),
-        "nbr": pd.concat([pairs["doc_b"], pairs["doc_a"]]).astype("int64"),
+        "node": pd.concat([pairs["a"], pairs["b"]]).astype("int64"),
+        "nbr": pd.concat([pairs["b"], pairs["a"]]).astype("int64"),
     }).reset_index(drop=True)
     edges = rd.from_pandas(sym).map_batches(
         lambda t: t.replace_schema_metadata(None),
@@ -450,15 +442,15 @@ def q_dup_clusters(sf_dir: str, max_iters: int = 30,
     prev_sum = None
     for _ in range(max_iters):
         # each node's neighbors' labels, via the distributed hash join
-        nbr_labels = B.bucketed_attach(edges, "nbr", labels, "doc_id",
+        nbr_labels = B.bucketed_attach(edges, "nbr", labels, "node",
                                        "label", "nbr_label")
         cand = nbr_labels.map_batches(
             lambda df: _pa_from_pandas(pd.DataFrame(
-                {"doc_id": df["node"].astype("int64"),
+                {"node": df["node"].astype("int64"),
                  "label": df["nbr_label"].astype("int64")})),
             batch_format="pandas")
         labels = (labels.union(cand)
-                  .groupby("doc_id")
+                  .groupby("node")
                   .aggregate(Min("label", alias_name="label"))
                   .materialize())
         cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
@@ -467,8 +459,31 @@ def q_dup_clusters(sf_dir: str, max_iters: int = 30,
         prev_sum = cur_sum
 
     return labels.map_batches(
-        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+        lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
                                  "cluster_id": df["label"].astype("int64")}),
+        batch_format="pandas")
+
+
+def q_dup_clusters(sf_dir: str, max_iters: int = 30,
+                   pairs: pd.DataFrame | None = None):
+    """Duplicate clusters over the verified MinHash near-dup pair graph:
+    every document is labeled with the minimum doc_id reachable through
+    near-dup edges (connected_components above does the propagation).
+
+    ``pairs`` (doc_a/doc_b frame) can be injected for testing adversarial
+    graph shapes; by default the verified MinHash pair list is used."""
+    if pairs is None:
+        from .queries import q_minhash_lsh_dedup
+
+        pairs = q_minhash_lsh_dedup(sf_dir)
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: _pa_from_pandas(pd.DataFrame(
+            {"node": t["doc_id"].to_numpy().astype(np.int64)})),
+        batch_format="pyarrow")
+    edge = (pd.DataFrame({"a": pairs["doc_a"], "b": pairs["doc_b"]})
+            if len(pairs) else pd.DataFrame({"a": [], "b": []}))
+    return connected_components(nodes, edge, max_iters).map_batches(
+        lambda df: df.rename(columns={"node": "doc_id"}),
         batch_format="pandas")
 
 

@@ -21,7 +21,8 @@ def test_entry_runs(entrymod):
 
 
 @pytest.mark.parametrize("name", ["crawl_frontier", "fetch_decode_stats", "wide_report",
-                                  "image_features", "scheduled_crawl", "phash_near_dup"])
+                                  "image_features", "scheduled_crawl", "phash_near_dup",
+                                  "image_dup_clusters"])
 def test_crawl_queries_run(entrymod, name):
     res = entrymod.queries()[name](SF)
     import ray.data as rd
@@ -39,3 +40,14 @@ def test_phash_near_dup_finds_planted_clones(entrymod):
     for i in (211, 422, 633, 844):
         want = (f"img_{i - 1:08d}", f"img_{i:08d}")
         assert want in got, f"planted clone pair {want} not found"
+
+
+def test_image_dup_clusters_planted_clones(entrymod):
+    """Planted pixel clones (i-1, i) at i % 211 == 0 must share a cluster
+    labeled by the smaller image number, and a clean image far from any
+    clone must be a singleton labeling itself."""
+    cc = entrymod.queries()["image_dup_clusters"](SF)
+    lab = dict(zip(cc["image_id"], cc["cluster_id"]))
+    for i in (211, 422, 633):
+        assert lab[f"img_{i:08d}"] == lab[f"img_{i - 1:08d}"] <= i - 1
+    assert lab["img_00000100"] == 100 or lab["img_00000100"] < 100

@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_intersect": A.q_custkeys_intersect,
         "custkeys_except": A.q_custkeys_except,
         "full_outer_activity": A.q_full_outer_activity,
+        "parts_with_lineitems": A.q_parts_with_lineitems,
         "group_variance": A.q_group_variance,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,

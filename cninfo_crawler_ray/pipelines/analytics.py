@@ -687,6 +687,40 @@ def q_custkeys_except(sf_dir: str):
     return flags.map_batches(keep, batch_format="pyarrow")
 
 
+def q_parts_with_lineitems(sf_dir: str, min_qty: int = 50):
+    """SEMI join (EXISTS): parts with at least one high-quantity lineitem —
+    completes the join matrix (inner/left/full/anti/as-of/range/semi); the
+    quantity predicate keeps the join selective (~45-55%% of parts) so the
+    oracle actually discriminates. The fact side never moves whole:
+    per-batch filter + unique-key partials shrink it to a distinct-key
+    Dataset (shuffle is O(unique partials), not O(lineitem)); the dimension
+    then keeps matching rows via the adaptive attach (broadcast sorted-key
+    probe while the key set is small, bucketed hash join past ~2M keys).
+    A semi join IS an inner join against distinct keys, so no new join
+    kernel is needed."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = np.unique(df.loc[df["l_quantity"] >= min_qty, "l_partkey"]
+                      .to_numpy().astype(np.int64))
+        return _pa_from_pandas(pd.DataFrame({"l_partkey": k}))
+
+    keys = (li.map_batches(uniq, batch_format="pyarrow")
+            .groupby("l_partkey").aggregate(Count(alias_name="_n"))
+            .map_batches(lambda df: pd.DataFrame(
+                {"l_partkey": df["l_partkey"].astype("int64"),
+                 "one": np.ones(len(df), dtype=np.int64)}),
+                batch_format="pandas")
+            .materialize())
+
+    out = B.attach(part, "p_partkey", keys, "l_partkey", "one", "_m")
+    return out.map_batches(
+        lambda df: df[["p_partkey", "p_brand"]].astype({"p_partkey": "int64"}),
+        batch_format="pandas")
+
+
 def q_full_outer_activity(sf_dir: str):
     """FULL OUTER join of two per-key aggregates (urgent-order counts vs
     event counts per customer key; both sides have orphan keys). Same
@@ -903,6 +937,11 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
                CAST(n*sdd - sd*sd AS DOUBLE) / (n*(n-1)) AS var_dollars
         FROM s WHERE n > 1
+    """,
+    "parts_with_lineitems": """
+        SELECT p_partkey, p_brand FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                            WHERE l_quantity >= 50)
     """,
     "full_outer_activity": """
         WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders

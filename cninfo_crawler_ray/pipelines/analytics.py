@@ -318,6 +318,61 @@ def q_word_count_top100(sf_dir: str, k: int = 100):
     return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
 
 
+_MG_DECR = "\x00__mg_decr__"  # sentinel row carrying the summed MG decrements
+
+
+def q_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 64):
+    """Misra-Gries heavy hitters over the global token stream — the
+    mergeable frequent-items sketch (the other classic sketch family next
+    to HyperLogLog). Per batch: an exact value_counts truncated by the MG
+    rule (subtract the (capacity+1)-th largest count from all, keep
+    positive — the summary is ≤ capacity rows regardless of batch size, so
+    the shuffle is O(capacity × batches), never O(tokens)); summaries merge
+    associatively by a keyed Sum; one final MG-truncate + top-k runs on the
+    driver over ≤ vocabulary rows. Every estimate underestimates by at most
+    the total subtracted mass, carried through the same Sum on a sentinel
+    row — so ``est ≤ true ≤ est + decr`` and any token with true count
+    > decr survives (test_analytics asserts both at capacity 4).
+
+    With ``capacity`` ≥ vocabulary nothing is ever truncated and the
+    result is EXACTLY the top-k token counts — which is what the SQL
+    oracle checks (the fixture vocabulary is ~30 tokens < 64)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (t["text"].to_pandas().str.lower()
+                .str.findall(r"[a-z0-9]+").explode().dropna())
+        vc = toks.value_counts()
+        est = vc.to_numpy().astype(np.int64)
+        decr = np.int64(0)
+        if len(vc) > capacity:
+            cut = est[capacity]  # (capacity+1)-th largest
+            keep = est > cut
+            decr = np.int64(est.sum() - (est[keep] - cut).sum())
+            vc = vc[keep]
+            est = est[keep] - cut
+        out = pd.DataFrame({"tok": vc.index.astype(str), "est": est})
+        return _pa_from_pandas(pd.concat(
+            [out, pd.DataFrame({"tok": [_MG_DECR], "est": [decr]})],
+            ignore_index=True))
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("tok").aggregate(Sum("est", alias_name="est"))
+              .to_pandas())  # ≤ vocabulary + 1 rows
+    decr = int(merged.loc[merged["tok"] == _MG_DECR, "est"].sum())
+    cand = merged[merged["tok"] != _MG_DECR].copy()
+    if len(cand) > capacity:  # final MG pass over the merged summary
+        cand = cand.sort_values(["est", "tok"], ascending=[False, True])
+        cut = int(cand["est"].iloc[capacity])
+        decr += int(cand["est"].sum() - (cand["est"].head(capacity) - cut).clip(lower=0).sum())
+        cand["est"] = cand["est"] - cut
+        cand = cand[cand["est"] > 0]
+    out = (cand.sort_values(["est", "tok"], ascending=[False, True]).head(k)
+           .astype({"est": "int64"}).reset_index(drop=True))
+    out["decr_bound"] = np.int64(decr)
+    return out[["tok", "est", "decr_bound"]]
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF — per-doc top term (two aggregations + a distributed join)
 # ---------------------------------------------------------------------------
@@ -937,6 +992,15 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
                CAST(n*sdd - sd*sd AS DOUBLE) / (n*(n-1)) AS var_dollars
         FROM s WHERE n > 1
+    """,
+    "heavy_hitters": """
+        WITH c AS (
+            SELECT lower(tok) AS tok, COUNT(*) AS est
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                  FROM documents)
+            GROUP BY 1)
+        SELECT tok, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS decr_bound
+        FROM c ORDER BY est DESC, tok ASC LIMIT 10
     """,
     "parts_with_lineitems": """
         SELECT p_partkey, p_brand FROM part

@@ -315,3 +315,28 @@ def test_curation_pipeline_matches_pandas_chain():
             .sort_values("source").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert len(final) < keep.sum() <= len(docs)  # each stage actually bit
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_mg_bounds(ray_session):
+    """At a deliberately tiny capacity (4 << vocabulary) the MG guarantees
+    must hold: est ≤ true ≤ est + decr_bound for every surviving token, and
+    every token whose true count exceeds the bound must survive."""
+    import pyarrow.parquet as pq
+
+    out = A.q_heavy_hitters(SF, k=50, capacity=4)
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).to_pandas()["text"]
+    true = texts.str.lower().str.findall(r"[a-z0-9]+").explode().value_counts()
+    decr = int(out["decr_bound"].iloc[0])
+    assert decr > 0  # capacity 4 must actually truncate on this corpus
+    for tok, est in zip(out["tok"], out["est"]):
+        t = int(true.get(tok, 0))
+        assert est <= t <= est + decr, (tok, est, t, decr)
+    surviving = set(out["tok"])
+    for tok, t in true.items():
+        if int(t) > decr:
+            assert tok in surviving, (tok, t, decr)

@@ -63,7 +63,7 @@ SQL_CHECKED = [
     "source_doc_concat", "ann_multi_topk", "group_quantiles_cont",
     "full_outer_activity", "group_variance",
     "redact_docs", "decontaminate_docs", "shuffle_shards",
-    "pack_sequences", "parts_with_lineitems",
+    "pack_sequences", "parts_with_lineitems", "heavy_hitters",
 ]
 
 

@@ -311,11 +311,31 @@ def run_scaling() -> dict:
         a[::512] = 1
         return round(time.perf_counter() - t0, 3)
 
+    def cpu_probe() -> float:
+        """Fixed-work single-thread CPU probe (seconds for a deterministic
+        256x256 float64 matmul loop). The host's SECOND degradation mode
+        (run 9 / run 19 signature) halves throughput while first-touch
+        probes stay healthy — a fixed-work timing before/after each leg
+        makes those windows identifiable post-hoc (healthy ≈ 0.1-0.15 s)."""
+        import numpy as np
+
+        m = np.full((256, 256), 1.000001, dtype=np.float64)
+        t0 = time.perf_counter()
+        x = m
+        for _ in range(60):
+            x = (x @ m) % 97.0
+        float(x[0, 0])
+        return round(time.perf_counter() - t0, 3)
+
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     probe_before = first_touch_probe()
-    r_lo, r_hi = one(lo), one(hi)
+    cpu_before = cpu_probe()
+    r_lo = one(lo)
+    cpu_mid = cpu_probe()
+    r_hi = one(hi)
     probe_after = first_touch_probe()
+    cpu_after = cpu_probe()
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     s_lo = r_lo.get("sustained_urls_per_sec") or r_lo["urls_per_sec"]
     s_hi = r_hi.get("sustained_urls_per_sec") or r_hi["urls_per_sec"]
@@ -337,6 +357,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff_wall, 3),
         "scaling_efficiency_sustained": round(eff_sustained, 3),
         "host_first_touch_probe_sec": [probe_before, probe_after],
+        "host_cpu_probe_sec": [cpu_before, cpu_mid, cpu_after],
     }
 
 

@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": Q.q_ann_lsh_topk,
         "ann_ivf_topk": Q.q_ann_ivf_topk,
         "embed_clusters": Q.q_embed_clusters,
+        "group_centroids": Q.q_group_centroids,
         # crawl engine (synthetic corpus; conformance-tested vs oracle in tests/)
         "crawl_frontier": _crawl_frontier,
         "fetch_decode_stats": _fetch_decode_stats,

@@ -1282,6 +1282,41 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
 
+def q_group_centroids(sf_dir: str, n_groups: int = 16):
+    """Grouped vector centroid (the aggregate under k-means/IVF training):
+    per-dimension sums of every group's embeddings. Each batch quantizes
+    its (rows × dim) matrix to int64 micro-units and scatter-adds into a
+    dense (groups × dim) accumulator — one numpy op, no per-row work — so
+    the shuffle moves O(groups × dim) partial rows per batch regardless of
+    corpus size, and the int sums are bit-exact under any batch split /
+    reduction order (the float mean is sum_q / n downstream). Output long
+    (grp, dim, n_vecs, sum_q) so every column is an exact scalar the
+    driver's hash can check."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        g = (df["vec_id"].to_numpy().astype(np.int64)) % n_groups
+        dim = q.shape[1]
+        acc = np.zeros((n_groups, dim), dtype=np.int64)
+        np.add.at(acc, g, q)
+        cnt = np.bincount(g, minlength=n_groups).astype(np.int64)
+        seen = cnt > 0
+        gi = np.nonzero(seen)[0]
+        return pd.DataFrame({
+            "grp": np.repeat(gi, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(gi)),
+            "n_vecs": np.repeat(cnt[gi], dim),
+            "sum_q": acc[gi].ravel(),
+        })
+
+    return (emb.map_batches(partial, batch_format="pandas", batch_size=4096)
+            .groupby(["grp", "dim"])
+            .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                       Sum("sum_q", alias_name="sum_q")))
+
+
 def q_embed_clusters(sf_dir: str, n_cells: int = 16):
     """Embedding-space clustering for corpus curation: assign every vector
     to its nearest deterministic spherical-k-means centroid (the same coarse
@@ -1617,6 +1652,17 @@ ORACLE_SQL: dict[str, str] = {
             JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
               ON e.vec_id != q.vec_id)
         WHERE rk <= 10
+    """,
+    "group_centroids": """
+        WITH e AS (
+            SELECT vec_id % 16 AS grp,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings)
+        SELECT grp, dim - 1 AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
+        FROM e GROUP BY grp, dim
     """,
     "redact_docs": r"""
         SELECT doc_id,

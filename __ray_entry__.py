@@ -215,11 +215,15 @@ def _image_dup_clusters(sf_dir: str):
         "a": pairs["image_a"].str[4:].astype("int64"),
         "b": pairs["image_b"].str[4:].astype("int64"),
     }) if len(pairs) else pd.DataFrame({"a": [], "b": []})
-    out = connected_components(nodes, edge).to_pandas()
-    return (pd.DataFrame({
-        "image_id": "img_" + out["node"].astype("int64").astype(str).str.zfill(8),
-        "cluster_id": out["cluster_id"].astype("int64"),
-    }).sort_values("image_id").reset_index(drop=True))
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch id formatting — labels stream out, never collected whole
+        return pd.DataFrame({
+            "image_id": "img_" + df["node"].astype("int64").astype(str).str.zfill(8),
+            "cluster_id": df["cluster_id"].astype("int64"),
+        })
+
+    return connected_components(nodes, edge).map_batches(fmt, batch_format="pandas")
 
 
 def _image_thumbnails(sf_dir: str, out_h: int = 8, out_w: int = 8):

@@ -46,7 +46,7 @@ def test_image_dup_clusters_planted_clones(entrymod):
     """Planted pixel clones (i-1, i) at i % 211 == 0 must share a cluster
     labeled by the smaller image number, and a clean image far from any
     clone must be a singleton labeling itself."""
-    cc = entrymod.queries()["image_dup_clusters"](SF)
+    cc = entrymod.queries()["image_dup_clusters"](SF).to_pandas()
     lab = dict(zip(cc["image_id"], cc["cluster_id"]))
     for i in (211, 422, 633):
         assert lab[f"img_{i:08d}"] == lab[f"img_{i - 1:08d}"] <= i - 1

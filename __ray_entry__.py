@@ -178,8 +178,14 @@ def _phash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
         return m.rename(columns={"image_id_x": "image_a", "image_id_y": "image_b"})[
             ["image_a", "image_b"]]
 
-    out = B.bucketed_map_groups(sh, ["band_key"], pairs_bucket).to_pandas()
-    return out.drop_duplicates().sort_values(["image_a", "image_b"]).reset_index(drop=True)
+    from ray.data.aggregate import Count
+
+    # same pair surfaces once per shared band: dedup with a keyed aggregate
+    # (distributed — the driver receives only the final unique pair list)
+    ded = (B.bucketed_map_groups(sh, ["band_key"], pairs_bucket)
+           .groupby(["image_a", "image_b"]).aggregate(Count(alias_name="_n")))
+    out = ded.to_pandas()[["image_a", "image_b"]]
+    return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
 def _image_dup_clusters(sf_dir: str):

@@ -321,7 +321,8 @@ def q_word_count_top100(sf_dir: str, k: int = 100):
 _MG_DECR = "\x00__mg_decr__"  # sentinel row carrying the summed MG decrements
 
 
-def q_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 64):
+def q_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 64,
+                    batch_size: int | None = None):
     """Misra-Gries heavy hitters over the global token stream — the
     mergeable frequent-items sketch (the other classic sketch family next
     to HyperLogLog). Per batch: an exact value_counts truncated by the MG
@@ -356,7 +357,8 @@ def q_heavy_hitters(sf_dir: str, k: int = 10, capacity: int = 64):
             [out, pd.DataFrame({"tok": [_MG_DECR], "est": [decr]})],
             ignore_index=True))
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow")
+    kw = {"batch_size": batch_size} if batch_size else {}
+    merged = (ds.map_batches(partial, batch_format="pyarrow", **kw)
               .groupby("tok").aggregate(Sum("est", alias_name="est"))
               .to_pandas())  # ≤ vocabulary + 1 rows
     decr = int(merged.loc[merged["tok"] == _MG_DECR, "est"].sum())

@@ -340,3 +340,19 @@ def test_heavy_hitters_mg_bounds(ray_session):
     for tok, t in true.items():
         if int(t) > decr:
             assert tok in surviving, (tok, t, decr)
+
+
+def test_heavy_hitters_final_truncate_branch(ray_session):
+    """Forcing many small batches at tiny capacity makes the MERGED summary
+    exceed capacity, exercising the driver-side final MG truncate; the same
+    bounds must still hold, and the summary must end ≤ capacity rows."""
+    import pyarrow.parquet as pq
+
+    out = A.q_heavy_hitters(SF, k=50, capacity=4, batch_size=40)
+    assert len(out) <= 4
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).to_pandas()["text"]
+    true = texts.str.lower().str.findall(r"[a-z0-9]+").explode().value_counts()
+    decr = int(out["decr_bound"].iloc[0])
+    for tok, est in zip(out["tok"], out["est"]):
+        assert est <= int(true.get(tok, 0)) <= est + decr

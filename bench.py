@@ -132,6 +132,7 @@ def run_bench() -> dict:
         ("decontaminate_docs", Q.q_decontaminate_docs),
         ("shuffle_shards", Q.q_shuffle_shards),
         ("pack_sequences", A.q_pack_sequences),
+        ("export_pipeline", Q.q_export_pipeline),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

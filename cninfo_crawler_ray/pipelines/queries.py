@@ -1438,6 +1438,88 @@ def q_shuffle_shards(sf_dir: str, n_shards: int = 8):
     return B.bucketed_map_groups(hd, ["shard"], rank_bucket, num_buckets=n_shards)
 
 
+def q_export_pipeline(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
+                      n: int = 8, bench_source: str = "src0"):
+    """Flagship composition #2 — the full training-data EXPORT chain, the
+    write-side counterpart of q_curation_pipeline:
+
+    1. per-batch language-ID + integer quality gates (en, n_tokens ≥ 30,
+       2·n_alpha ≥ n_chars), benchmark source excluded from the corpus;
+    2. benchmark decontamination flagged in the SAME pass (word-8-gram
+       overlap vs the broadcast src0 gram set — the text is already in
+       hand, so the flag costs one vectorized shingle and the text column
+       is dropped before anything shuffles);
+    3. exact dedup among gate survivors (md5 → keyed keep-min doc_id);
+    4. contaminated survivors dropped (flag carried through the dedup —
+       same semantics as SQL's dedup-then-NOT-IN);
+    5. deterministic Knuth-hash shard assignment + per-shard export stats
+       (doc count, total tokens — what a shard-file writer needs to plan).
+
+    Scale shape: one stateless actor-pool pass over the corpus, ONE keyed
+    shuffle (md5 dedup) of id/int/flag rows, and an O(shards) aggregate;
+    the benchmark gram set is small by nature and broadcast once."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    bt = (ds.filter(expr=f"source == '{bench_source}'")
+          .select_columns(["text"]).to_pandas())
+    bench_set = frozenset(T.word_grams(bt["text"], n)["gram"].unique().tolist())
+    ref = ray.put(bench_set)
+
+    class Gate:
+        def __init__(self):
+            self.bench = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["source"] != bench_source]
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                  "n_tokens": pd.Series([], dtype="int64"),
+                                  "text_md5": pd.Series([], dtype=object),
+                                  "contam": pd.Series([], dtype=bool)})
+            if df.empty:
+                return empty
+            feats = T.quality_features(df["text"])
+            lang = T.lang_id(df["text"])
+            keep = ((lang == "en") & (feats["n_tokens"] >= min_tokens)
+                    & (2 * feats["n_alpha"] >= feats["n_chars"])).to_numpy()
+            kept = df.loc[keep]
+            if kept.empty:
+                return empty
+            g = T.word_grams(kept["text"].reset_index(drop=True), n).drop_duplicates()
+            contam = np.zeros(len(kept), dtype=bool)
+            hits = g.loc[g["gram"].isin(self.bench), "row"].unique()
+            contam[hits] = True
+            return pd.DataFrame({
+                "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+                "n_tokens": feats.loc[keep, "n_tokens"].astype("int64").to_numpy(),
+                "text_md5": [hashlib.md5(x.encode("utf-8")).hexdigest()
+                             for x in kept["text"]],
+                "contam": contam,
+            })
+
+    gated = ds.map_batches(Gate, batch_format="pandas", batch_size=2048,
+                           concurrency=(1, 4), num_cpus=0.5)
+
+    def dedup_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["text_md5", "doc_id"], kind="stable")
+        b = b.groupby("text_md5", sort=False).head(1)
+        b = b[~b["contam"]]
+        return b[["doc_id", "n_tokens"]].astype({"doc_id": "int64",
+                                                 "n_tokens": "int64"})
+
+    surv = B.bucketed_map_groups(gated, ["text_md5"], dedup_bucket)
+
+    def shard_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        h = (ids * 2654435761) % (1 << 32)
+        return pd.DataFrame({"shard": (h % n_shards).astype(np.int64),
+                             "n_docs": np.ones(len(df), dtype=np.int64),
+                             "n_tokens": df["n_tokens"].to_numpy().astype(np.int64)})
+
+    return (surv.map_batches(shard_partial, batch_format="pandas")
+            .groupby("shard")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="total_tokens")))
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
@@ -1652,6 +1734,41 @@ ORACLE_SQL: dict[str, str] = {
             JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
               ON e.vec_id != q.vec_id)
         WHERE rk <= 10
+    """,
+    "export_pipeline": r"""
+        WITH f AS (
+          SELECT doc_id, source, text,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+          FROM documents),
+        gated AS (
+          SELECT * FROM f
+          WHERE source <> 'src0'
+            AND n_alpha * 5 > GREATEST(n_chars, 1) * 2
+            AND n_tokens >= 30 AND 2 * n_alpha >= n_chars),
+        deduped AS (
+          SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM gated) WHERE rn = 1),
+        toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+        grams AS (
+          SELECT doc_id, source, array_to_string(l[i:i+7], ' ') AS g
+          FROM toks, (SELECT unnest(range(1, 700)) AS i) s
+          WHERE i + 7 <= len(l)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        contaminated AS (
+          SELECT DISTINCT grams.doc_id FROM grams JOIN bench ON grams.g = bench.g
+          WHERE grams.source <> 'src0'),
+        final AS (
+          SELECT * FROM deduped
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+        SELECT CAST((doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM final GROUP BY shard
     """,
     "group_centroids": """
         WITH e AS (

@@ -64,7 +64,7 @@ SQL_CHECKED = [
     "full_outer_activity", "group_variance",
     "redact_docs", "decontaminate_docs", "shuffle_shards",
     "pack_sequences", "parts_with_lineitems", "heavy_hitters",
-    "group_centroids",
+    "group_centroids", "export_pipeline",
 ]
 
 
@@ -275,3 +275,49 @@ def test_pack_sequences_invariants(entrymod):
     assert (out["bin_offset"] < budget).all()
     b = out["bin_id"].to_numpy()
     assert (np.diff(b) >= 0).all() and set(np.diff(b)) <= {0, 1}
+
+
+def test_export_pipeline_pandas_chain(entrymod):
+    """Single-process pandas re-derivation of the export chain (gate →
+    md5 keep-min dedup → 8-gram decontamination drop → Knuth shard →
+    stats) must equal the engine's distributed composition exactly."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from cninfo_crawler_ray.functions import text as T
+
+    out = (_to_df(entrymod.queries()["export_pipeline"](SF))
+           .sort_values("shard").reset_index(drop=True))
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+    corp = docs[docs["source"] != "src0"].reset_index(drop=True)
+    feats = T.quality_features(corp["text"])
+    lang = T.lang_id(corp["text"])
+    mask = ((lang == "en") & (feats["n_tokens"] >= 30)
+            & (2 * feats["n_alpha"] >= feats["n_chars"]))
+    kept = corp[mask].assign(n_tokens=feats.loc[mask, "n_tokens"].astype("int64"))
+    kept = kept.assign(md5=[hashlib.md5(t.encode()).hexdigest()
+                            for t in kept["text"]])
+    ded = (kept.sort_values(["md5", "doc_id"], kind="stable")
+           .groupby("md5", sort=False).head(1))
+
+    def grams(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}
+
+    bench = set()
+    for t in docs[docs["source"] == "src0"]["text"]:
+        bench |= grams(t)
+    ded = ded[[not (grams(t) & bench) for t in ded["text"]]]
+
+    h = (ded["doc_id"].astype("int64") * 2654435761) % (1 << 32)
+    want = (pd.DataFrame({"shard": (h % 8).astype("int64"),
+                          "one": np.int64(1),
+                          "tok": ded["n_tokens"].astype("int64")})
+            .groupby("shard", as_index=False)
+            .agg(n_docs=("one", "sum"), total_tokens=("tok", "sum"))
+            .sort_values("shard").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["shard", "n_docs", "total_tokens"]].astype("int64"),
+        want.astype("int64"))

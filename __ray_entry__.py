@@ -17,8 +17,16 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the driver may exec this file by path from any cwd — make the package
+# importable regardless (idempotent; no-op when already on sys.path)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from cninfo_crawler_ray.pipelines import analytics as A
 from cninfo_crawler_ray.pipelines import queries as Q

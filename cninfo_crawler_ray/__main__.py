@@ -157,6 +157,66 @@ def _cmd_collect(args) -> int:
     return 0
 
 
+def _cmd_export(args) -> int:
+    """Training-data export sink: run the curation/export chain once, then
+    write each shard's survivor rows as parquet under ``shard=K/`` with a
+    per-shard lineage record (rows, tokens) in ``manifest.json``. The
+    commit marker per shard is the directory rename (write to ``.tmp``,
+    rename on success), so a killed export resumes by skipping every shard
+    already in the manifest — the generic form of the crawl checkpoints'
+    resumable partitioned output."""
+    import json
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from .pipelines.queries import export_survivors
+
+    t0 = time.time()
+    out = args.out_dir
+    os.makedirs(out, exist_ok=True)
+    mpath = os.path.join(out, "manifest.json")
+    manifest = {"shards": {}}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+
+    surv = export_survivors(args.sf_dir, n_shards=args.n_shards).materialize()
+    stats = (surv.groupby("shard")
+             .aggregate(Count(alias_name="rows"), Sum("n_tokens", alias_name="tokens"))
+             .to_pandas().set_index("shard"))  # O(shards) rows
+
+    written = skipped = 0
+    for k in range(args.n_shards):
+        key = str(k)
+        sdir = os.path.join(out, f"shard={k}")
+        if key in manifest["shards"] and os.path.isdir(sdir):
+            skipped += 1
+            continue
+        tmp = sdir + ".tmp"
+        for d in (tmp, sdir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        part = surv.filter(expr=f"shard == {k}")
+        part.write_parquet(tmp)
+        os.rename(tmp, sdir)  # the commit marker
+        manifest["shards"][key] = {
+            "path": f"shard={k}",
+            "rows": int(stats["rows"].get(k, 0)),
+            "tokens": int(stats["tokens"].get(k, 0)),
+        }
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(mpath + ".tmp", mpath)
+        written += 1
+
+    total_rows = int(stats["rows"].sum())
+    print(f"export: {total_rows} docs -> {args.n_shards} shards under {out} "
+          f"({written} written, {skipped} resumed-skip, "
+          f"{time.time() - t0:.1f}s)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cninfo_crawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -186,6 +246,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="fast mode: parse only, never save payload files "
                         "(suppresses the interactive prompt)")
 
+    e = sub.add_parser("export", help="curate + shard the documents table "
+                                      "into resumable per-shard parquet")
+    e.add_argument("--sf-dir", required=True,
+                   help="directory of the parquet tables (documents, ...)")
+    e.add_argument("--out-dir", required=True)
+    e.add_argument("--n-shards", type=int, default=8)
+
     args = p.parse_args(argv)
 
     import ray
@@ -193,7 +260,8 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, log_to_driver=False)
     try:
-        return {"crawl": _cmd_crawl, "collect": _cmd_collect}[args.cmd](args)
+        return {"crawl": _cmd_crawl, "collect": _cmd_collect,
+                "export": _cmd_export}[args.cmd](args)
     finally:
         ray.shutdown()
 

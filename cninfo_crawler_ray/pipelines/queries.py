@@ -1438,10 +1438,11 @@ def q_shuffle_shards(sf_dir: str, n_shards: int = 8):
     return B.bucketed_map_groups(hd, ["shard"], rank_bucket, num_buckets=n_shards)
 
 
-def q_export_pipeline(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
-                      n: int = 8, bench_source: str = "src0"):
+def export_survivors(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
+                     n: int = 8, bench_source: str = "src0"):
     """Flagship composition #2 — the full training-data EXPORT chain, the
-    write-side counterpart of q_curation_pipeline:
+    write-side counterpart of q_curation_pipeline. Returns the survivor
+    Dataset ``(doc_id, n_tokens, shard)``:
 
     1. per-batch language-ID + integer quality gates (en, n_tokens ≥ 30,
        2·n_alpha ≥ n_chars), benchmark source excluded from the corpus;
@@ -1452,8 +1453,9 @@ def q_export_pipeline(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
     3. exact dedup among gate survivors (md5 → keyed keep-min doc_id);
     4. contaminated survivors dropped (flag carried through the dedup —
        same semantics as SQL's dedup-then-NOT-IN);
-    5. deterministic Knuth-hash shard assignment + per-shard export stats
-       (doc count, total tokens — what a shard-file writer needs to plan).
+    5. deterministic Knuth-hash shard assignment — the survivor rows are
+       what a shard-file writer consumes (CLI ``export``), and
+       q_export_pipeline reduces them to per-shard stats.
 
     Scale shape: one stateless actor-pool pass over the corpus, ONE keyed
     shuffle (md5 dedup) of id/int/flag rows, and an O(shards) aggregate;
@@ -1507,14 +1509,31 @@ def q_export_pipeline(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
 
     surv = B.bucketed_map_groups(gated, ["text_md5"], dedup_bucket)
 
-    def shard_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def shard_col(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
         h = (ids * 2654435761) % (1 << 32)
-        return pd.DataFrame({"shard": (h % n_shards).astype(np.int64),
-                             "n_docs": np.ones(len(df), dtype=np.int64),
-                             "n_tokens": df["n_tokens"].to_numpy().astype(np.int64)})
+        return pd.DataFrame({"doc_id": ids,
+                             "n_tokens": df["n_tokens"].to_numpy().astype(np.int64),
+                             "shard": (h % n_shards).astype(np.int64)})
 
-    return (surv.map_batches(shard_partial, batch_format="pandas")
+    return surv.map_batches(shard_col, batch_format="pandas")
+
+
+def q_export_pipeline(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
+                      n: int = 8, bench_source: str = "src0"):
+    """Per-shard export stats over :func:`export_survivors` (see there for
+    the full chain) — O(shards) output rows, what a shard-file writer needs
+    to plan capacity. The CLI ``export`` subcommand writes the survivor
+    rows themselves as per-shard parquet with a resume manifest."""
+    surv = export_survivors(sf_dir, min_tokens=min_tokens, n_shards=n_shards,
+                            n=n, bench_source=bench_source)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"shard": df["shard"].astype("int64"),
+                             "n_docs": np.ones(len(df), dtype=np.int64),
+                             "n_tokens": df["n_tokens"].astype("int64")})
+
+    return (surv.map_batches(partial, batch_format="pandas")
             .groupby("shard")
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_tokens", alias_name="total_tokens")))

@@ -356,3 +356,30 @@ def test_heavy_hitters_final_truncate_branch(ray_session):
     decr = int(out["decr_bound"].iloc[0])
     for tok, est in zip(out["tok"], out["est"]):
         assert est <= int(true.get(tok, 0)) <= est + decr
+
+
+# ---------------------------------------------------------------------------
+# word_grams property (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "bb", "c", "dd", "e"]),
+                         max_size=14), max_size=8),
+       st.integers(min_value=1, max_value=6))
+def test_word_grams_property(rows, n):
+    """Vectorized word_grams must equal the per-row naive derivation for
+    arbitrary token rows and gram sizes (incl. empty rows and n=1)."""
+    from cninfo_crawler_ray.functions import text as T
+
+    texts = pd.Series([" ".join(r) for r in rows], dtype=object)
+    got = sorted(map(tuple, T.word_grams(texts, n).itertuples(index=False)))
+    want = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for j in range(len(toks) - n + 1):
+            want.append((i, " ".join(toks[j:j + n])))
+    assert got == sorted(want)

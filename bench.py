@@ -321,6 +321,8 @@ def run_scaling() -> dict:
         import numpy as np
 
         m = np.full((256, 256), 1.000001, dtype=np.float64)
+        _ = (m @ m)  # untimed BLAS warmup: the first matmul in a process
+        # pays one-time thread-pool init (~0.7 s), not host state
         t0 = time.perf_counter()
         x = m
         for _ in range(60):

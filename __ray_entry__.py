@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_activity": A.q_full_outer_activity,
         "parts_with_lineitems": A.q_parts_with_lineitems,
         "heavy_hitters": A.q_heavy_hitters,
+        "winsorize_prices": A.q_winsorize_prices,
         "group_variance": A.q_group_variance,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,

@@ -744,6 +744,36 @@ def q_custkeys_except(sf_dir: str):
     return flags.map_batches(keep, batch_format="pyarrow")
 
 
+def q_winsorize_prices(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """Per-group winsorization — the robust-statistics cleaning step (clip
+    outliers to the group's [p5, p95]): bounds come from the exact
+    two-phase binned quantile select (q_group_quantiles — no global sort,
+    O(groups × bins) driver state), are collected as O(groups) rows and
+    broadcast in the clip closure; the clip itself is one stateless
+    vectorized pass, so the whole operator adds zero shuffles beyond the
+    tiny bound histogram."""
+    b = q_group_quantiles(sf_dir, qs=(lo, hi))
+    bdf = b.to_pandas() if hasattr(b, "to_pandas") else b
+    lo_lab, hi_lab = f"p{int(lo * 100)}", f"p{int(hi * 100)}"
+    lo_map = dict(zip(bdf.loc[bdf["q"] == lo_lab, "o_orderpriority"],
+                      bdf.loc[bdf["q"] == lo_lab, "value_cents"].astype("int64")))
+    hi_map = dict(zip(bdf.loc[bdf["q"] == hi_lab, "o_orderpriority"],
+                      bdf.loc[bdf["q"] == hi_lab, "value_cents"].astype("int64")))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["o_totalprice"])
+        lo_v = df["o_orderpriority"].map(lo_map).to_numpy(dtype=np.int64)
+        hi_v = df["o_orderpriority"].map(hi_map).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64").to_numpy(),
+            "clipped_cents": np.clip(c, lo_v, hi_v).astype(np.int64),
+        })
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
 def q_parts_with_lineitems(sf_dir: str, min_qty: int = 50):
     """SEMI join (EXISTS): parts with at least one high-quantity lineitem —
     completes the join matrix (inner/left/full/anti/as-of/range/semi); the
@@ -994,6 +1024,18 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
                CAST(n*sdd - sd*sd AS DOUBLE) / (n*(n-1)) AS var_dollars
         FROM s WHERE n > 1
+    """,
+    "winsorize_prices": """
+        WITH c AS (SELECT o_orderkey, o_orderpriority,
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+                   FROM orders),
+        b AS (SELECT o_orderpriority,
+                     quantile_disc(cents, 0.05) AS lo,
+                     quantile_disc(cents, 0.95) AS hi
+              FROM c GROUP BY o_orderpriority)
+        SELECT c.o_orderkey,
+               CAST(LEAST(GREATEST(c.cents, b.lo), b.hi) AS BIGINT) AS clipped_cents
+        FROM c JOIN b USING (o_orderpriority)
     """,
     "heavy_hitters": """
         WITH c AS (

@@ -64,7 +64,7 @@ SQL_CHECKED = [
     "full_outer_activity", "group_variance",
     "redact_docs", "decontaminate_docs", "shuffle_shards",
     "pack_sequences", "parts_with_lineitems", "heavy_hitters",
-    "group_centroids", "export_pipeline",
+    "group_centroids", "export_pipeline", "winsorize_prices",
 ]
 
 

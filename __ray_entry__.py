@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": Q.q_decontaminate_docs,
         "shuffle_shards": Q.q_shuffle_shards,
         "export_pipeline": Q.q_export_pipeline,
+        "snapshot_dedup": Q.q_snapshot_dedup,
         "simhash": Q.q_simhash,
         "simhash_near_dup": Q.q_simhash_near_dup,
         "embedding_topk_pairs": Q.q_embedding_topk_pairs,

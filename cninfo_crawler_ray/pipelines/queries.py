@@ -1438,6 +1438,43 @@ def q_shuffle_shards(sf_dir: str, n_shards: int = 8):
     return B.bucketed_map_groups(hd, ["shard"], rank_bucket, num_buckets=n_shards)
 
 
+def q_snapshot_dedup(sf_dir: str, split_id: int = 250, prefix: int = 40):
+    """Incremental (cross-snapshot) dedup — the recurring-crawl scenario:
+    keep only NEW-snapshot docs whose content fingerprint never appeared in
+    the historical corpus (here: doc_id < split_id plays the history, ≥
+    plays the new snapshot). The fingerprint is a parameter; md5 of the
+    first ``prefix`` chars here (prefix fingerprints are the cheap
+    boilerplate-dedup variant, and the synthetic corpus has no FULL-text
+    cross-split dups, so the prefix key is what actually exercises the
+    drop path — 13 of 250 new docs drop at sf0.01). Both sides stream
+    fingerprint+side tags into ONE bucketed keyed anti-join — the history
+    is never collected anywhere (at 100 TB the historical hash set dwarfs
+    memory; the shuffle moves only 16-byte digests + ids). Within-snapshot
+    dups are kept (they are exact_dedup's job); this operator answers only
+    "seen before?"."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "md5": [_hl.md5(t[:prefix].encode("utf-8")).hexdigest()
+                    for t in df["text"]],
+            "doc_id": ids,
+            "side": (ids >= split_id).astype(np.int8),  # 0=history, 1=new
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def anti_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        old = set(b.loc[b["side"] == 0, "md5"])
+        new = b[(b["side"] == 1) & ~b["md5"].isin(old)]
+        return pd.DataFrame({"doc_id": new["doc_id"].astype("int64")})
+
+    return B.bucketed_map_groups(tagged, ["md5"], anti_bucket)
+
+
 def export_survivors(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
                      n: int = 8, bench_source: str = "src0"):
     """Flagship composition #2 — the full training-data EXPORT chain, the
@@ -1753,6 +1790,12 @@ ORACLE_SQL: dict[str, str] = {
             JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
               ON e.vec_id != q.vec_id)
         WHERE rk <= 10
+    """,
+    "snapshot_dedup": """
+        SELECT doc_id FROM documents
+        WHERE doc_id >= 250
+          AND md5(left(text, 40)) NOT IN (SELECT md5(left(text, 40))
+                                          FROM documents WHERE doc_id < 250)
     """,
     "export_pipeline": r"""
         WITH f AS (

@@ -196,6 +196,86 @@ def _phash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
+def _image_region_near_dup(sf_dir: str):
+    """Crop-robust image near-dup: a per-quadrant region signature —
+    (average-hash, mean//8, var//64), i.e. structure + brightness level +
+    contrast level — per decoded image; an EXACT signature match is a
+    candidate pair, so a crop that leaves one quadrant untouched still
+    collides there, which whole-image phash banding (phash_near_dup)
+    misses. The brightness/contrast terms matter: on smooth content the
+    bare average-hash is low-entropy (measured: 600k chance pairs across
+    5k fixture images vs 340 per 2k with the full signature, max bucket 4).
+    Output (image_a, image_b, n_quads) counts matching quadrant positions
+    per pair (planted pixel clones score 4). Scale shape: signature keys
+    bucket-shuffle exactly like LSH bands — per-bucket vectorized
+    self-merge, per-pair partial counts, one keyed Sum across buckets;
+    never all-pairs. Decode runs fused in the fetch actor pool (bytes
+    never transit the object store)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.functions import bucketed as B
+    from cninfo_crawler_ray.functions import codecs
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.fetch import Fetcher
+    from ray.data.aggregate import Sum
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+    fetched = frontier.map_batches(
+        Fetcher, fn_constructor_args=(f"{fdir}/corpus.parquet",),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+
+    def qhashes(t: pa.Table) -> pd.DataFrame:
+        keys, ids = [], []
+        for url, blob in zip(t["PDF链接"].to_pylist(), t["bytes"].to_pylist()):
+            if not blob:
+                continue
+            try:
+                px, _, _ = codecs.decode_image(blob)
+            except Exception:
+                continue
+            iid = url.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            h, w = px.shape[:2]
+            for qi, (r0, r1, c0, c1) in enumerate(
+                    ((0, h // 2, 0, w // 2), (0, h // 2, w // 2, w),
+                     (h // 2, h, 0, w // 2), (h // 2, h, w // 2, w))):
+                q = px[r0:r1, c0:c1]
+                g = q.astype(np.float32).mean(axis=2)
+                keys.append(f"{qi}:{codecs.phash64(q)}"
+                            f":{int(g.mean()) // 8}:{int(g.var()) // 64}")
+                ids.append(iid)
+        return pd.DataFrame({"qkey": keys, "image_id": ids})
+
+    sh = fetched.map_batches(qhashes, batch_format="pyarrow")
+
+    def pairs_bucket(bdf: pd.DataFrame) -> pd.DataFrame:
+        m = bdf.merge(bdf, on="qkey")
+        m = m[m["image_id_x"] < m["image_id_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({"image_a": pd.Series([], dtype=object),
+                                 "image_b": pd.Series([], dtype=object),
+                                 "n_quads": pd.Series([], dtype="int64")})
+        g = (m.groupby(["image_id_x", "image_id_y"], as_index=False)
+             .agg(n_quads=("qkey", "size")))
+        g["n_quads"] = g["n_quads"].astype("int64")
+        return g.rename(columns={"image_id_x": "image_a",
+                                 "image_id_y": "image_b"})
+
+    part = B.bucketed_map_groups(sh, ["qkey"], pairs_bucket)
+    ded = (part.groupby(["image_a", "image_b"])
+           .aggregate(Sum("n_quads", alias_name="n_quads")))
+    out = ded.to_pandas()
+    out["n_quads"] = out["n_quads"].astype("int64")
+    return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
+
+
 def _image_dup_clusters(sf_dir: str):
     """Transitive closure of image near-duplicates: connected components
     (analytics.connected_components — bucketed-join min-label propagation)
@@ -375,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": _image_thumbnails,
         "phash_near_dup": _phash_near_dup,
         "image_dup_clusters": _image_dup_clusters,
+        "image_region_near_dup": _image_region_near_dup,
         "scheduled_crawl": _scheduled_crawl,
     }
 
@@ -397,6 +478,8 @@ _CRAWL_ORACLE_SQL = {
     # union-find golden over the brute-force pair list — independent
     # algorithm family from the engine's min-label propagation
     "image_dup_clusters": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dup_clusters.parquet')",
+    # dict-bucket-index golden over per-quadrant phashes (no LSH machinery)
+    "image_region_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_region_near_dup.parquet')",
     "image_features": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_features.parquet')",
     # deterministic-but-not-SQL text/embedding operators: goldens re-derived
     # from the algorithm spec by a single-process row-at-a-time implementation

@@ -51,3 +51,18 @@ def test_image_dup_clusters_planted_clones(entrymod):
     for i in (211, 422, 633):
         assert lab[f"img_{i:08d}"] == lab[f"img_{i - 1:08d}"] <= i - 1
     assert lab["img_00000100"] == 100 or lab["img_00000100"] < 100
+
+
+def test_image_region_near_dup_clones_score_four(entrymod):
+    """Planted pixel clones share every quadrant, so any clone pair in the
+    output must score n_quads == 4; at least one must be present, and no
+    pair may score more than 4."""
+    out = entrymod.queries()["image_region_near_dup"](SF)
+    assert (out["n_quads"] <= 4).all()
+    clones = out[[abs(int(a[4:]) - int(b[4:])) == 1
+                  for a, b in zip(out["image_a"], out["image_b"])]]
+    fours = clones[clones["n_quads"] == 4]
+    assert len(fours) >= 1
+    pair_max = out.groupby(["image_a", "image_b"])["n_quads"].max()
+    for (a, b), n in fours.set_index(["image_a", "image_b"])["n_quads"].items():
+        assert pair_max[(a, b)] == 4

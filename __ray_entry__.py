@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_with_lineitems": A.q_parts_with_lineitems,
         "heavy_hitters": A.q_heavy_hitters,
         "winsorize_prices": A.q_winsorize_prices,
+        "percent_rank_orders": A.q_percent_rank_orders,
         "group_variance": A.q_group_variance,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,

@@ -744,6 +744,40 @@ def q_custkeys_except(sf_dir: str):
     return flags.map_batches(keep, batch_format="pyarrow")
 
 
+def q_percent_rank_orders(sf_dir: str):
+    """Full-window rank: every order's PERCENT_RANK within its priority
+    group under a total order (cents, orderkey — unique, so rank ==
+    row_number and DuckDB's tie semantics can't diverge). One keyed
+    shuffle of (group, cents, key) triplets; each bucket holds whole
+    groups, so the rank and the (n-1) divisor are exact per bucket and
+    the double-precision quotient is bit-identical to SQL's. Payload
+    columns never move — at scale the rank joins back by key."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "cents": _cents(df["o_totalprice"]),
+        }))
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def rank_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_orderpriority", "cents", "o_orderkey"],
+                          kind="stable")
+        rk = b.groupby("o_orderpriority", sort=False).cumcount().to_numpy()
+        n = (b.groupby("o_orderpriority", sort=False)["cents"]
+             .transform("size").to_numpy())
+        pct = np.where(n > 1, rk / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                             "pct_rank": pct})
+
+    return B.bucketed_map_groups(prepped, ["o_orderpriority"], rank_bucket)
+
+
 def q_winsorize_prices(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
     """Per-group winsorization — the robust-statistics cleaning step (clip
     outliers to the group's [p5, p95]): bounds come from the exact
@@ -1024,6 +1058,14 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
                CAST(n*sdd - sd*sd AS DOUBLE) / (n*(n-1)) AS var_dollars
         FROM s WHERE n > 1
+    """,
+    "percent_rank_orders": """
+        SELECT o_orderkey, o_orderpriority,
+               PERCENT_RANK() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
+                            o_orderkey) AS pct_rank
+        FROM orders
     """,
     "winsorize_prices": """
         WITH c AS (SELECT o_orderkey, o_orderpriority,

@@ -65,7 +65,7 @@ SQL_CHECKED = [
     "redact_docs", "decontaminate_docs", "shuffle_shards",
     "pack_sequences", "parts_with_lineitems", "heavy_hitters",
     "group_centroids", "export_pipeline", "winsorize_prices",
-    "snapshot_dedup",
+    "snapshot_dedup", "percent_rank_orders",
 ]
 
 

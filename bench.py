@@ -133,6 +133,11 @@ def run_bench() -> dict:
         ("shuffle_shards", Q.q_shuffle_shards),
         ("pack_sequences", A.q_pack_sequences),
         ("export_pipeline", Q.q_export_pipeline),
+        ("snapshot_dedup", Q.q_snapshot_dedup),
+        ("heavy_hitters", A.q_heavy_hitters),
+        ("group_centroids", Q.q_group_centroids),
+        ("winsorize_prices", A.q_winsorize_prices),
+        ("percent_rank_orders", A.q_percent_rank_orders),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

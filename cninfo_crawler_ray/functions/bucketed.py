@@ -123,7 +123,12 @@ def bucketed_attach(
         return v
 
     def l_prep(df: pd.DataFrame) -> pa.Table:
-        df = df.copy()
+        # drop null join keys so the strategy choice can never alter output:
+        # the broadcast path's searchsorted never matches NaN while pandas
+        # merge treats NaN keys as equal (ADVICE r02) — an inner join on a
+        # null key matches neither convention users expect, so both paths
+        # uniformly drop them
+        df = df.loc[df[key_col].notna()].copy()
         df["_jk"] = _canon_key(df[key_col].to_numpy())
         df[out_col] = pd.Series(np.repeat(payload_ph, len(df)), index=df.index)
         df["_side"] = np.repeat(np.int8(0), len(df))
@@ -140,6 +145,7 @@ def bucketed_attach(
         _pay_cast = None
 
     def r_prep(df: pd.DataFrame) -> pa.Table:
+        df = df.loc[df[right_key].notna()]  # see l_prep: null keys never join
         out = pd.DataFrame({c: pd.Series(np.repeat(ph[c], len(df))) for c in lcols})
         out["_jk"] = _canon_key(df[right_key].to_numpy())
         pay = df[payload_col].to_numpy()
@@ -189,6 +195,7 @@ def broadcast_attach(
         return v
 
     tbl = right.select_columns([right_key, payload_col]).to_pandas()
+    tbl = tbl.loc[tbl[right_key].notna()]  # null keys never join (match bucketed path)
     keys = _canon(tbl[right_key].to_numpy())
     order = np.argsort(keys, kind="stable")
     keys = keys[order]
@@ -206,6 +213,7 @@ def broadcast_attach(
             out = df.iloc[0:0].copy()
             out[out_col] = pd.Series([], dtype=ps.dtype if ps.dtype != object else "object")
             return _pa_from_pandas(out)
+        df = df.loc[df[key_col].notna()]  # null keys never join (match bucketed path)
         k = _canon(df[key_col].to_numpy())
         pos = np.clip(np.searchsorted(ks, k), 0, len(ks) - 1)
         hit = ks[pos] == k

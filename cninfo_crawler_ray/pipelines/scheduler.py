@@ -116,6 +116,11 @@ def _write_round(long_round: rd.Dataset, rounds_dir: str, round_no: int) -> None
     # an all-invalid wave yields zero long rows and write_parquet creates
     # nothing — commit an empty round dir so round numbering stays dense
     os.makedirs(tmp, exist_ok=True)
+    # a kill between this rename and the state.pkl flush leaves the round
+    # committed while state still says N-1; the resume recomputes the round
+    # (deterministic), so clear the stale dir rather than ENOTEMPTY on replace
+    if os.path.exists(final):
+        shutil.rmtree(final)
     os.replace(tmp, final)
 
 
@@ -155,7 +160,12 @@ def run_scheduled_crawl(
     simulates the kill.
 
     ``gate_overrides`` maps host → (rate_per_second, burst);
-    ``robots`` maps host → disallow path-prefix list. Both default empty."""
+    ``robots`` maps host → disallow path-prefix list. Both default empty.
+
+    Multi-node note: round parquet is written by *workers* and listed back by
+    the driver via os.listdir, so ``ckpt_dir`` (and the scratch rounds dir)
+    must live on storage shared by every node — NFS / object store mount — on
+    a real cluster. Single-node (this sandbox) any local path works."""
     cfg = cfg or CrawlConfig()
     corpus_path = f"{fixture_dir}/corpus.parquet"
 
@@ -269,7 +279,9 @@ def run_scheduled_crawl(
     try:
         round_files = _round_files(rounds_dir, rounds) if rounds > 0 else []
         if round_files:
-            long_ds = rd.read_parquet(round_files)
+            from ..sources.readers import read_parquet_clean
+
+            long_ds = read_parquet_clean(round_files)
             wide_df = stage2.wide_view(stage2.wide_from_long(long_ds))
             long_view = stage2.long_view(long_ds)
         else:

@@ -167,8 +167,10 @@ def build_frontier(
     import pyarrow.parquet as _pq
 
     n_seeds = _pq.ParquetFile(seeds_path).metadata.num_rows
-    seeds = rd.read_parquet(seeds_path,
-                            override_num_blocks=max(1, min(n_seeds, 64)))
+    from ..sources.readers import read_parquet_clean
+
+    seeds = read_parquet_clean(seeds_path,
+                               override_num_blocks=max(1, min(n_seeds, 64)))
     if dates is not None:
         want = pa.array(dates, pa.date32())
         seeds = seeds.map_batches(

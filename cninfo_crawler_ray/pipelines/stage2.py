@@ -402,7 +402,9 @@ def read_long_checkpoint(ckpt_dir: str) -> rd.Dataset:
         if os.path.isdir(p):
             paths.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
                          if f.endswith(".parquet"))
-    return rd.read_parquet(paths)
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(paths)
 
 
 def write_excel_reports(long_df: pd.DataFrame, wide_df: pd.DataFrame,

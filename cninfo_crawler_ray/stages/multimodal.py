@@ -126,6 +126,43 @@ class Thumbnailer:
         }).replace_schema_metadata(None)
 
 
+class FetchFeaturizer:
+    """Fused fetch + decode + featurize stage: one actor holds the
+    CorpusStore, GETs its batch's payloads, decodes each image and applies a
+    per-image feature kernel — payload bytes live only inside the actor for
+    the microseconds between GET and featurize, exactly the
+    stages/decode.FetchDecode fusion (separate Fetcher→feature stages were
+    measured shipping ~90 KB/row through the object store for ~200 B of
+    features out — VERDICT r02 §4).
+
+    ``features_fn(image_id, pixels) -> list[dict]`` emits zero or more output
+    rows per decoded image; ``schema`` fixes the output block schema so empty
+    batches stay typed (no schema-less RefBundles)."""
+
+    def __init__(self, corpus_path: str, features_fn, schema: pa.Schema):
+        from ..sources.store import CorpusStore
+
+        self.store = CorpusStore(corpus_path)
+        self.features_fn = features_fn
+        self.schema = schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["PDF链接"].to_pylist()
+        g = self.store.get(urls)
+        rows: list[dict] = []
+        for url, status, blob in zip(urls, g["status"].to_pylist(),
+                                     g["bytes"].to_pylist()):
+            if status != 200 or not blob:
+                continue
+            try:
+                px, _, _ = codecs.decode_image(blob)
+            except (ValueError, NotImplementedError):
+                continue
+            iid = url.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            rows.extend(self.features_fn(iid, px))
+        return pa.Table.from_pylist(rows, schema=self.schema)
+
+
 class FrameSampler:
     """Sample every k-th frame (plus the last) of each video payload and emit
     one row per sampled frame with its phash — the shape a video dedup /

@@ -383,3 +383,33 @@ def test_word_grams_property(rows, n):
         for j in range(len(toks) - n + 1):
             want.append((i, " ".join(toks[j:j + n])))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# attach strategy parity on null join keys (ADVICE r02)
+# ---------------------------------------------------------------------------
+
+def test_attach_null_keys_strategy_parity(ray_session):
+    """broadcast_attach and bucketed_attach must agree on float keys with
+    NaN: both drop null-key rows, so attach()'s size-based strategy switch
+    can never alter output."""
+    import numpy as np
+    import ray.data as rd
+
+    from cninfo_crawler_ray.functions import bucketed as B
+
+    left = pd.DataFrame({"k": [1.0, np.nan, 2.0, np.nan, 3.0],
+                         "v": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"k": [1.0, 2.0, np.nan], "p": [10, 20, 99]})
+
+    def run(fn):
+        out = fn(rd.from_pandas(left), "k", rd.from_pandas(right),
+                 "k", "p", "pay").to_pandas()
+        return out.sort_values(["k", "v"]).reset_index(drop=True)[
+            ["k", "v", "pay"]].astype({"pay": "int64"})
+
+    bc = run(B.broadcast_attach)
+    bk = run(B.bucketed_attach)
+    pd.testing.assert_frame_equal(bc, bk)
+    # NaN-keyed rows (either side) joined nothing
+    assert len(bc) == 2 and set(bc["pay"]) == {10, 20}

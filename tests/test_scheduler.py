@@ -210,3 +210,35 @@ def test_scheduled_equals_batch_pipeline(fixture_dir):
     assert sched["counters"]["rounds"] > 3
     pd.testing.assert_frame_equal(sched["long"], batch["long"])
     pd.testing.assert_frame_equal(sched["wide"], batch["wide"])
+
+
+def test_kill_between_round_commit_and_state_flush(fixture_dir, tmp_path):
+    """ADVICE r02: a kill AFTER round N's directory rename but BEFORE the
+    state.pkl flush leaves round_N committed while state says N-1; the
+    resume recomputes round N (deterministic) and must overwrite the stale
+    dir rather than crash with ENOTEMPTY on os.replace."""
+    import os
+    import shutil
+
+    cfg = CrawlConfig()
+    full = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1
+    )
+    ck = str(tmp_path / "ck")
+    scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1,
+        ckpt_dir=ck, max_rounds=3
+    )
+    # simulate the kill window: round 4's dir exists (committed, non-empty
+    # marker file inside) but state still says rounds=3
+    stale = os.path.join(ck, "rounds", "round_00004")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "wb") as f:
+        f.write(b"stale-garbage")  # non-empty → os.replace would ENOTEMPTY
+    resumed = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1,
+        ckpt_dir=ck
+    )
+    pd.testing.assert_frame_equal(resumed["long"], full["long"])
+    pd.testing.assert_frame_equal(resumed["wide"], full["wide"])
+    shutil.rmtree(ck)

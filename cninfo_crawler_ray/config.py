@@ -33,6 +33,11 @@ class CrawlConfig:
     # --- partitioning / state sharding ---
     num_partitions: int = 16       # url-sha1 hash-range checkpoint partitions
     seen_shards: int = 8           # seen-set actor shards
+    #: bound on each frontier heap shard's in-memory rows; past it the
+    #: low-priority tail spills to sorted parquet (pop order unchanged —
+    #: state/frontier.py). None = unbounded (sandbox default; a 10^10-URL
+    #: run sets this to O(10^6) per shard).
+    frontier_spill_rows: int | None = None
     num_hosts: int = 8             # synthetic host universe (hot host 0)
     #: hash buckets for the grouped reductions (A2/A3, A5/A6). Each bucket is
     #: one vectorized map_groups call covering MANY logical keys — per-group

@@ -21,14 +21,73 @@ from ..state.seen import ShardedSeenSet
 from . import stage1, stage2
 
 
+def _grant_schedule(host_counts: dict[str, int], gate) -> tuple[dict, int]:
+    """Replay the scheduler's round loop over per-host ADMITTED counts only —
+    O(hosts × rounds) driver work, identical decision procedure to
+    scheduler.run_scheduled_crawl at unbounded wave size (grant floor(tokens)
+    per host per round tick; advance the virtual clock by exactly the soonest
+    refill among denied hosts). Returns per-host cumulative grant steps
+    ``{host: (ticks, cum_counts)}`` and the total wait ticks."""
+    remaining = {h: int(n) for h, n in host_counts.items() if int(n) > 0}
+    cum: dict[str, list[tuple[int, int]]] = {h: [] for h in remaining}
+    wait_ticks = 0
+    while remaining:
+        tick = gate.now_tick
+        for h in list(remaining):
+            got = gate.acquire(h, remaining[h])
+            if got:
+                prev = cum[h][-1][1] if cum[h] else 0
+                cum[h].append((tick, prev + got))
+                remaining[h] -= got
+                if remaining[h] == 0:
+                    del remaining[h]
+        if remaining:
+            waits = [gate.wait_ticks_for(h, 1) for h in remaining]
+            waits = [w for w in waits if w >= 0]
+            if not waits:
+                raise ValueError(
+                    "zero-refill host(s) with exhausted budget can never drain "
+                    "on the batch path: %s — use the scheduler path, which "
+                    "dead-letters them" % sorted(remaining))
+            adv = max(1, min(waits))
+            gate.advance(adv)
+            wait_ticks += adv
+    steps = {h: (np.array([t for t, _ in v], dtype=np.int64),
+                 np.array([c for _, c in v], dtype=np.int64))
+             for h, v in cum.items()}
+    return steps, wait_ticks
+
+
 def run_crawl(
     n_images: int = 1_000,
     cfg: CrawlConfig | None = None,
     *,
     use_state_actors: bool = True,
     concurrency=None,
+    politeness: str = "report-only",
+    gate_overrides: dict | None = None,
+    return_frontier: bool = False,
 ):
-    """Returns dict with frontier/long/wide pandas frames + crawl counters.
+    """Returns dict with long/wide pandas frames + crawl counters (plus the
+    admitted frontier frame when ``return_frontier=True`` — a smoke-scale
+    inspection contract, off by default so the flagship path never ships the
+    whole frontier to the driver).
+
+    ``politeness`` (VERDICT r02): the batch path fetches the whole admitted
+    frontier in one Dataset pass, so the per-host budget cannot reorder or
+    drop anything — it defines the request *timing*. Two explicit modes:
+
+    - ``"report-only"`` (default): the grant schedule is computed (identical
+      decision procedure to the scheduler's round loop) and reported in
+      ``counters["politeness_wait_ticks"]``, but fetch proceeds unspaced —
+      the sandbox store has no real host to protect, and the flagship bench
+      isolates fetch+decode throughput.
+    - ``"enforce"``: additionally assigns every admitted URL its granted
+      virtual tick (``grant_tick`` on the long rows' frontier), i.e. the
+      exact admission schedule the scheduler path would execute; raises on
+      zero-refill hosts (the scheduler dead-letters those instead).
+      Equivalence with the scheduler's schedule is asserted in
+      tests/test_scheduler.py.
 
     ``use_state_actors=False`` skips the actor admission path (the frontier
     is already exactly deduplicated by construction) — used by bench to
@@ -38,6 +97,7 @@ def run_crawl(
     frontier = stage1.build_frontier(fdir, cfg, concurrency=concurrency).materialize()
 
     counters = {"frontier_rows": frontier.count()}
+    schedule = None
     if use_state_actors and counters["frontier_rows"]:
         # URL-seen admission (T2) runs INSIDE the map tasks (each batch RPCs
         # the seen shards and keeps only first-seen rows) — the frontier
@@ -76,27 +136,47 @@ def run_crawl(
         counters["seen_admitted"] = frontier.count()
         counters["seen_total"] = seen.total()
 
-        # politeness (T3): per-host grant schedule in virtual ticks over the
-        # per-host ADMITTED counts (a tiny Ray aggregate — one row per host).
-        # All admissions are granted eventually; the gate reports how many
-        # ticks the budget stretches the schedule by.
+        # politeness (T3): the grant schedule over per-host ADMITTED counts
+        # (a tiny Ray aggregate — one row per host), replayed through the
+        # same round loop as the scheduler so the two paths report (and in
+        # "enforce" mode, execute) the identical admission schedule.
         from ray.data.aggregate import Count
 
-        host_counts = (frontier.groupby("host")
-                       .aggregate(Count(alias_name="n")).to_pandas())
+        host_counts_df = (frontier.groupby("host")
+                          .aggregate(Count(alias_name="n")).to_pandas())
         gate = PolitenessGate(rate_per_second=cfg.host_rate, burst=cfg.host_burst,
                               ticks_per_second=cfg.ticks_per_second)
-        wait_ticks = 0
-        for host, cnt in zip(host_counts["host"], host_counts["n"]):
-            remaining = int(cnt)
-            while remaining > 0:
-                got = gate.acquire(host, remaining)
-                remaining -= got
-                if remaining > 0:
-                    w = gate.wait_ticks_for(host, 1)
-                    wait_ticks += w
-                    gate.advance(max(w, 1))
+        for host, (rate, burst) in (gate_overrides or {}).items():
+            gate.set_host_rate(host, rate, burst)
+        steps, wait_ticks = _grant_schedule(
+            dict(zip(host_counts_df["host"], host_counts_df["n"])), gate)
         counters["politeness_wait_ticks"] = wait_ticks
+        counters["politeness_mode"] = politeness
+        if politeness == "enforce":
+            # per-row granted tick: within-host rank in the scheduler's
+            # admission order (priority desc, order_key) → the grant step
+            # covering that rank. One keyed shuffle; ``steps`` is O(hosts ×
+            # rounds) and broadcast with the task closure. The schedule is a
+            # separate output (the fetch input is untouched, so reports stay
+            # byte-identical across modes); in virtual-tick land executing
+            # the schedule IS this assignment — there is no wall clock.
+            def _assign(g: pd.DataFrame) -> pd.DataFrame:
+                ticks, cums = steps[g["host"].iloc[0]]
+                order = np.lexsort((g["order_key"].to_numpy(),
+                                    -g["priority"].to_numpy()))
+                ranks = np.empty(len(g), dtype=np.int64)
+                ranks[order] = np.arange(len(g))
+                return pd.DataFrame({
+                    "order_key": g["order_key"],
+                    "host": g["host"],
+                    "url_sha1": g["url_sha1"],
+                    "grant_tick": ticks[np.searchsorted(cums, ranks, side="right")],
+                })
+
+            schedule = (frontier.groupby("host")
+                        .map_groups(_assign, batch_format="pandas")
+                        .to_pandas())  # smoke-scale inspection contract; at
+            # scale this would be written to parquet by the workers
 
     decoded = stage2.fetch_decode(frontier, f"{fdir}/corpus.parquet", cfg, concurrency=concurrency)
     long_ds = stage2.long_from_decoded(decoded)
@@ -105,7 +185,11 @@ def run_crawl(
     wide_df = stage2.wide_view(wide_ds)
     counters["long_rows"] = len(long_df)
     counters["wide_rows"] = len(wide_df)
-    # smoke-scale result contract: the admitted frontier as a pandas frame
-    # (entry() and tests consume long/wide; this frame is for inspection)
-    fdf = frontier.to_pandas()
-    return {"frontier": fdf, "long": long_df, "wide": wide_df, "counters": counters}
+    out = {"long": long_df, "wide": wide_df, "counters": counters}
+    if schedule is not None:
+        out["schedule"] = schedule
+    if return_frontier:
+        # smoke-scale inspection contract only — ships the whole admitted
+        # frontier to the driver, so it is opt-in (VERDICT r02 §5)
+        out["frontier"] = frontier.to_pandas()
+    return out

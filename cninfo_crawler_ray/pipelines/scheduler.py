@@ -7,10 +7,15 @@ This is the streaming-shaped execution of the flagship crawl (SURVEY.md
 **priority min-heap frontier shards** (state/frontier.py) one admissible
 wave at a time:
 
-    round:  frontier.pop_admissible(wave, politeness_gate)
-              (robots-disallowed and zero-rate-host rows are dead-lettered,
-               budget-denied rows return to the heap)
-            → ray.data.Dataset(wave) → fetch+decode (fused actor pool)
+    round:  frontier.pop_admissible_staged(wave, politeness_gate)
+              (control plane: shards ship ONLY compact candidate keys —
+               priority/order_key/host/path — for the driver's merge +
+               robots + budget verdicts; robots-disallowed and
+               zero-rate-host rows are dead-lettered shard-side,
+               budget-denied rows re-heaped in place)
+            → frontier.wave_dataset() (data plane: fetch workers pull the
+              admitted rows straight from the shard outboxes — full rows
+              never transit the driver) → fetch+decode (fused actor pool)
             → workers write the round's long rows as parquet
     until the frontier is empty. When a whole wave is denied, the virtual
     clock advances by exactly the soonest host refill (never tick-by-tick
@@ -175,9 +180,14 @@ def run_scheduled_crawl(
         gate.set_host_rate(host, rate, burst)
     for host, prefixes in (robots or {}).items():
         gate.set_robots(host, prefixes)
-    fr = ShardedFrontier(cfg.seen_shards, use_actors=use_actors)
+    fr = ShardedFrontier(cfg.seen_shards, use_actors=use_actors,
+                         spill_threshold=cfg.frontier_spill_rows)
     counters = {"rounds": 0, "empty_waves": 0, "politeness_wait_ticks": 0,
-                "robots_denied": 0, "dead_lettered": 0}
+                "robots_denied": 0, "dead_lettered": 0,
+                "round_ticks": [], "round_admitted": []}  # gate tick +
+    # admitted count at each admitted round —
+    # the executed admission schedule, comparable to the batch path's
+    # politeness="enforce" grant_tick assignment (tests/test_scheduler.py)
     rounds = 0
     seen = ShardedSeenSet(cfg.seen_shards)
 
@@ -235,15 +245,14 @@ def run_scheduled_crawl(
 
     consecutive_empty = 0
     while fr.total() > 0 and rounds < max_rounds:
-        wave = fr.pop_admissible(wave_size, gate)
-        if fr.dead_letters:
-            dead = fr.dead_letters
-            fr.dead_letters = []
-            for d in dead:
-                n_rob = int((d["_dead_reason"] == "robots").sum())
-                counters["robots_denied"] += n_rob
-                counters["dead_lettered"] += len(d)
-        if len(wave) == 0:
+        # staged admission (VERDICT r02 §3): the driver sees only compact
+        # candidate keys + verdict counters; admitted rows stay in shard
+        # outboxes and flow shard → fetch worker via wave_dataset below
+        verdict = fr.pop_admissible_staged(wave_size, gate)
+        counters["robots_denied"] += verdict["dead"].get("robots", 0)
+        counters["dead_lettered"] += sum(verdict["dead"].values())
+        n_admitted = sum(verdict["admitted"])
+        if n_admitted == 0:
             counters["empty_waves"] += 1
             consecutive_empty += 1
             if consecutive_empty > MAX_CONSECUTIVE_EMPTY_WAVES:
@@ -261,7 +270,9 @@ def run_scheduled_crawl(
             continue
         consecutive_empty = 0
         rounds += 1
-        ds = rd.from_pandas(wave)
+        counters["round_ticks"].append(gate.now_tick)
+        counters["round_admitted"].append(n_admitted)
+        ds = fr.wave_dataset(verdict["admitted"])
         decoded = stage2.fetch_decode(ds, corpus_path, cfg, concurrency=concurrency)
         _write_round(stage2.long_from_decoded(decoded), rounds_dir, rounds)
         counters["rounds"] = rounds

@@ -411,20 +411,25 @@ def write_excel_reports(long_df: pd.DataFrame, wide_df: pd.DataFrame,
                         long_path: str, wide_path: str) -> bool:
     """S9 — the reference's Excel sinks (report_info_collection.py:701-715):
     delete-if-exists first, long sheet plain, wide sheet with
-    ``freeze_panes=(1, 0)``. Requires an Excel engine (openpyxl), which this
-    sandbox doesn't ship — returns False when unavailable so callers fall
-    back to the parquet artifacts; on a real deployment the same call emits
-    the reference's golden .xlsx."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        return False
+    ``freeze_panes=(1, 0)``. Uses openpyxl when installed (byte-compatible
+    with the reference's pandas.to_excel artifact); otherwise falls back to
+    the vendored stdlib OOXML writer (functions/xlsx.py) so the sink is
+    exercised end-to-end even in this engine-less sandbox. Returns True —
+    an .xlsx is always produced."""
     for p in (long_path, wide_path):
         if os.path.exists(p):
             os.remove(p)  # delete-if-exists (R:701-703)
-    long_df.to_excel(long_path, index=False)
-    with pd.ExcelWriter(wide_path) as xw:
-        wide_df.to_excel(xw, index=False, freeze_panes=(1, 0))
+    try:
+        import openpyxl  # noqa: F401
+
+        long_df.to_excel(long_path, index=False)
+        with pd.ExcelWriter(wide_path) as xw:
+            wide_df.to_excel(xw, index=False, freeze_panes=(1, 0))
+    except ImportError:
+        from ..functions.xlsx import write_xlsx
+
+        write_xlsx(long_path, long_df)
+        write_xlsx(wide_path, wide_df, freeze_panes=(1, 0))
     return True
 
 

@@ -41,9 +41,23 @@ def test_cli_crawl_collect_roundtrip(tmp_path):
     assert {"存货", "无形资产", "开发支出", "是否包含数据资产"} <= set(wide_df.columns)
     # every collected document came from the frontier CSV
     assert set(wide_df["PDF链接"]) <= set(frontier["PDF链接"])
-    # no Excel engine in the sandbox: gated fallback message, no crash
-    assert "no Excel engine" in r.stderr or os.path.exists(
-        os.path.join(out, "report_wide.xlsx"))
+    # S9 Excel artifact (vendored stdlib OOXML writer when openpyxl is
+    # absent): header/rows match the wide parquet; the wide sheet carries the
+    # reference's frozen header row (freeze_panes=(1, 0),
+    # report_info_collection.py:701-715)
+    from cninfo_crawler_ray.functions.xlsx import read_xlsx_values
+
+    header, rows, pane = read_xlsx_values(os.path.join(out, "report_wide.xlsx"))
+    assert header == [str(c) for c in wide_df.columns]
+    assert len(rows) == len(wide_df)
+    assert pane.get("ySplit") == "1" and pane.get("state") == "frozen"
+    assert pane.get("topLeftCell") == "A2"
+    # spot-check a full row round-trip (CJK strings + numerics)
+    got_first = ["" if v is None else str(v) for v in rows[0]]
+    want_first = ["" if pd.isna(v) else str(v) for v in wide_df.iloc[0]]
+    assert got_first == want_first
+    lh, lr, lpane = read_xlsx_values(os.path.join(out, "report_long.xlsx"))
+    assert len(lr) == len(long_df) and lpane == {}
 
 
 def test_cli_reference_workflow_discovery_and_payload_export(tmp_path):

@@ -242,3 +242,226 @@ def test_kill_between_round_commit_and_state_flush(fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(resumed["long"], full["long"])
     pd.testing.assert_frame_equal(resumed["wide"], full["wide"])
     shutil.rmtree(ck)
+
+
+# ---------------------------------------------------------------------------
+# staged admission (pull path, VERDICT r02 §3)
+# ---------------------------------------------------------------------------
+
+def _staged_wave(fr, k, gate):
+    """Run the staged control plane and collect the admitted wave from the
+    shard outboxes (driver-side; non-actor mode)."""
+    verdict = fr.pop_admissible_staged(k, gate)
+    frames = []
+    for s, n in enumerate(verdict["admitted"]):
+        if n:
+            cols, rows = fr.shards[s].read_outbox()
+            frames.append(fr._rebuild(rows, cols))
+    wave = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame())
+    return wave, verdict
+
+
+def test_staged_matches_pop_admissible_budget_robots_zero_rate():
+    """The staged (pull) admission must make byte-identical decisions to
+    pop_admissible under a binding budget, robots rules and a zero-rate
+    host simultaneously — same admitted rows, same requeues, same dead
+    letters, same denied-host clock hints."""
+    df = _mini_df(30, hosts=3)  # h0/h1/h2
+
+    def gate_factory():
+        g = PolitenessGate(rate_per_second=10.0, burst=4, ticks_per_second=10)
+        g.set_robots("h1.x", ["/img_"])      # h1 fully robots-blocked
+        g.set_host_rate("h2.x", 0.0, 3)      # 3 grants then never again
+        return g
+
+    fr_old = ShardedFrontier(2, use_actors=False)
+    fr_old.push_pandas(df)
+    g_old = gate_factory()
+    wave_old = fr_old.pop_admissible(30, g_old)
+
+    fr_new = ShardedFrontier(2, use_actors=False)
+    fr_new.push_pandas(df)
+    g_new = gate_factory()
+    wave_new, verdict = _staged_wave(fr_new, 30, g_new)
+
+    key = ["priority", "order_key"]
+    a = wave_old.sort_values(key).reset_index(drop=True)
+    b = wave_new[wave_old.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert fr_old.total() == fr_new.total()           # identical requeues
+    assert fr_old.last_denied_hosts == fr_new.last_denied_hosts
+    dead_old = pd.concat(fr_old.dead_letters)
+    dead_new = fr_new.dead_letter_rows()
+    assert len(dead_old) == len(dead_new) == sum(verdict["dead"].values())
+    for reason in ("robots", "zero_rate_host"):
+        old_r = dead_old[dead_old["_dead_reason"] == reason]
+        new_r = dead_new[dead_new["_dead_reason"] == reason]
+        assert sorted(old_r["order_key"]) == sorted(new_r["order_key"])
+    # gates advanced identically → later waves stay in lockstep
+    g_old.advance(10)
+    g_new.advance(10)
+    w2_old = fr_old.pop_admissible(30, g_old)
+    w2_new, _ = _staged_wave(fr_new, 30, g_new)
+    pd.testing.assert_frame_equal(
+        w2_old.sort_values(key).reset_index(drop=True),
+        w2_new[w2_old.columns].sort_values(key).reset_index(drop=True))
+
+
+def test_staged_outbox_idempotent_reads():
+    """read_outbox is non-destructive (safe under Ray task retries) and the
+    next stage_top clears it."""
+    fr = ShardedFrontier(1, use_actors=False)
+    fr.push_pandas(_mini_df(6, hosts=1))
+    gate = PolitenessGate(rate_per_second=100.0, burst=100)
+    verdict = fr.pop_admissible_staged(4, gate)
+    assert sum(verdict["admitted"]) == 4
+    _, rows1 = fr.shards[0].read_outbox()
+    _, rows2 = fr.shards[0].read_outbox()
+    assert rows1 == rows2 and len(rows1) == 4
+    fr.pop_admissible_staged(2, gate)
+    _, rows3 = fr.shards[0].read_outbox()
+    assert len(rows3) == 2  # previous round's outbox was cleared
+
+
+def test_scheduled_crawl_actor_pull_path_equals_driver_path(fixture_dir):
+    """E2E with actor shards: the wave data plane (workers pulling shard
+    outboxes via RPC) must produce byte-identical reports to the in-process
+    path, across many rounds."""
+    base = scheduler.run_scheduled_crawl(
+        fixture_dir, wave_size=97, use_actors=False, concurrency=1
+    )
+    pulled = scheduler.run_scheduled_crawl(
+        fixture_dir, wave_size=97, use_actors=True, concurrency=1
+    )
+    assert pulled["counters"]["rounds"] == base["counters"]["rounds"]
+    pd.testing.assert_frame_equal(pulled["long"], base["long"])
+    pd.testing.assert_frame_equal(pulled["wide"], base["wide"])
+
+
+# ---------------------------------------------------------------------------
+# frontier heap spill (bounded actor memory, VERDICT r02 §6)
+# ---------------------------------------------------------------------------
+
+def test_spill_pop_order_byte_identical_and_heap_bounded():
+    """Pushing far past the spill threshold keeps the in-memory heap bounded
+    while pop order stays byte-identical to an unbounded heap."""
+    n = 5000
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "PDF链接": [f"https://h{i % 4}.x/img_{i:08d}.raw" for i in range(n)],
+        "url_sha1": [f"{rng.integers(0, 2**32):08x}{'0'*32}" for _ in range(n)],
+        "host": [f"h{i % 4}.x" for i in range(n)],
+        "priority": rng.random(n) * 10,
+        "order_key": np.arange(n, dtype=np.int64),
+    })
+    plain = ShardedFrontier(1, use_actors=False)
+    spilly = ShardedFrontier(1, use_actors=False, spill_threshold=512)
+    # interleaved pushes so spills happen mid-stream, not once at the end
+    for chunk in np.array_split(df, 10):
+        plain.push_pandas(chunk)
+        spilly.push_pandas(chunk)
+        assert len(spilly.shards[0].heap) <= 512
+    assert spilly.shards[0]._spill, "threshold was never exceeded"
+    assert spilly.total() == plain.total() == n
+    while plain.total() > 0:
+        a = plain.pop_top(333)
+        b = spilly.pop_top(333)
+        pd.testing.assert_frame_equal(a, b)
+        # invariant: heap ≤ max(threshold, 2k) after every public op
+        assert len(spilly.shards[0].heap) <= max(512, 2 * 333)
+    assert spilly.total() == 0
+
+
+def test_spill_survives_snapshot_restore():
+    """Snapshot blobs carry the spill files; a restored shard pops the same
+    order and re-bounds its heap."""
+    n = 2000
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "PDF链接": [f"https://h0.x/img_{i:08d}.raw" for i in range(n)],
+        "url_sha1": [f"{rng.integers(0, 2**32):08x}{'0'*32}" for _ in range(n)],
+        "host": ["h0.x"] * n,
+        "priority": rng.random(n) * 10,
+        "order_key": np.arange(n, dtype=np.int64),
+    })
+    fr = ShardedFrontier(2, use_actors=False, spill_threshold=256)
+    fr.push_pandas(df)
+    assert any(s._spill for s in fr.shards)
+    fr2 = ShardedFrontier(2, use_actors=False)
+    fr2.restore(fr.snapshot())
+    assert fr2.total() == fr.total() == n
+    pd.testing.assert_frame_equal(fr.pop_top(n), fr2.pop_top(n))
+
+
+def test_spill_staged_admission_identical():
+    """The staged (pull) admission makes identical decisions with a spilling
+    frontier under a binding budget."""
+    df = _mini_df(400, hosts=2)
+    gate_a = PolitenessGate(rate_per_second=10.0, burst=50, ticks_per_second=10)
+    gate_b = PolitenessGate(rate_per_second=10.0, burst=50, ticks_per_second=10)
+    plain = ShardedFrontier(2, use_actors=False)
+    spilly = ShardedFrontier(2, use_actors=False, spill_threshold=64)
+    plain.push_pandas(df)
+    spilly.push_pandas(df)
+    for _ in range(4):
+        wa, _ = _staged_wave(plain, 120, gate_a)
+        wb, _ = _staged_wave(spilly, 120, gate_b)
+        key = ["priority", "order_key"]
+        pd.testing.assert_frame_equal(
+            wa.sort_values(key).reset_index(drop=True),
+            wb.sort_values(key).reset_index(drop=True))
+        gate_a.advance(20)
+        gate_b.advance(20)
+
+
+# ---------------------------------------------------------------------------
+# batch-path politeness (VERDICT r02 §6)
+# ---------------------------------------------------------------------------
+
+def test_batch_enforce_schedule_equals_scheduler(fixture_dir):
+    """Under a binding per-host budget, run_crawl(politeness="enforce") must
+    assign exactly the admission schedule the scheduler executes: the same
+    grant ticks, the same number of URLs granted at each tick, and the same
+    total wait — the flagship batch path no longer silently ignores the
+    budget it reports on."""
+    # find a host carrying many frontier URLs, then throttle it hard
+    from cninfo_crawler_ray.pipelines import stage1
+
+    cfg = CrawlConfig()
+    fdf = stage1.build_frontier(fixture_dir, cfg).to_pandas()
+    host = fdf["host"].value_counts().index[0]
+    overrides = {host: (60.0, 40)}  # 40-burst, 6/tick refill → binds, few rounds
+
+    sched = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=10**6, use_actors=False, concurrency=1,
+        gate_overrides=overrides,
+    )
+    assert sched["counters"]["politeness_wait_ticks"] > 0  # budget truly binds
+
+    batch = crawl.run_crawl(
+        N, cfg, use_state_actors=True, concurrency=1,
+        politeness="enforce", gate_overrides=overrides,
+    )
+    schedule = batch["schedule"]
+    per_tick = (schedule.groupby("grant_tick")["order_key"].count()
+                .sort_index())
+    assert list(per_tick.index) == sched["counters"]["round_ticks"]
+    assert list(per_tick) == sched["counters"]["round_admitted"]
+    assert (batch["counters"]["politeness_wait_ticks"]
+            == sched["counters"]["politeness_wait_ticks"])
+    # reports stay byte-identical across politeness modes
+    pd.testing.assert_frame_equal(batch["long"], sched["long"])
+    pd.testing.assert_frame_equal(batch["wide"], sched["wide"])
+
+
+def test_batch_enforce_rejects_zero_rate_host(fixture_dir):
+    from cninfo_crawler_ray.pipelines import stage1
+
+    cfg = CrawlConfig()
+    fdf = stage1.build_frontier(fixture_dir, cfg).to_pandas()
+    host = fdf["host"].value_counts().index[0]
+    with pytest.raises(ValueError, match="zero-refill"):
+        crawl.run_crawl(N, cfg, use_state_actors=True, concurrency=1,
+                        politeness="enforce",
+                        gate_overrides={host: (0.0, 1)})

@@ -436,6 +436,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": A.q_heavy_hitters,
         "winsorize_prices": A.q_winsorize_prices,
         "percent_rank_orders": A.q_percent_rank_orders,
+        "rolling_sum_orders": A.q_rolling_sum_orders,
+        "lag_delta_orders": A.q_lag_delta_orders,
+        "running_max_orders": A.q_running_max_orders,
+        "ntile_orders": A.q_ntile_orders,
+        "mode_quantity_by_flag": A.q_mode_quantity_by_flag,
         "group_variance": A.q_group_variance,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,

@@ -138,6 +138,8 @@ def run_bench() -> dict:
         ("group_centroids", Q.q_group_centroids),
         ("winsorize_prices", A.q_winsorize_prices),
         ("percent_rank_orders", A.q_percent_rank_orders),
+        ("rolling_sum_orders", A.q_rolling_sum_orders),
+        ("ntile_orders", A.q_ntile_orders),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

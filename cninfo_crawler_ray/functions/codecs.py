@@ -46,11 +46,13 @@ def _meta_trailer(meta: dict | None) -> bytes:
     return META_MARK + struct.pack("<I", len(blob)) + blob
 
 
-def _split_meta(data: bytes, body_end: int) -> dict:
-    if data[body_end : body_end + 4] != META_MARK:
+def _split_meta(data, body_end: int) -> dict:
+    if bytes(data[body_end : body_end + 4]) != META_MARK:
         return {}
     (n,) = struct.unpack_from("<I", data, body_end + 4)
-    return json.loads(data[body_end + 8 : body_end + 8 + n].decode("utf-8"))
+    return json.loads(str(data[body_end + 8 : body_end + 8 + n], "utf-8")
+                      if not isinstance(data, bytes)
+                      else data[body_end + 8 : body_end + 8 + n].decode("utf-8"))
 
 
 def encode_image(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> bytes:
@@ -71,20 +73,27 @@ def encode_image(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> byte
     return body + _meta_trailer(meta)
 
 
-def sniff_fmt(data: bytes) -> str | None:
+def sniff_fmt(data) -> str | None:
     """Magic-byte sniff — the validation gate's GET-fallback analog
-    (cninfo_report_crawler.py:149-150 ``chunk.startswith(b'%PDF')``)."""
-    if data.startswith(MAGIC_RAW):
+    (cninfo_report_crawler.py:149-150 ``chunk.startswith(b'%PDF')``).
+    Accepts bytes or any buffer (memoryview of an Arrow payload slice)."""
+    head = data[:4] if isinstance(data, bytes) else bytes(data[:4])
+    if head == MAGIC_RAW:
         return "raw"
-    if data.startswith(MAGIC_QLOSSY):
+    if head == MAGIC_QLOSSY:
         return "qlossy"
-    if data.startswith(MAGIC_PPM):
+    if head[:3] == MAGIC_PPM:
         return "ppm"
     return None
 
 
-def decode_image(data: bytes) -> tuple[np.ndarray, str, dict]:
+def decode_image(data) -> tuple[np.ndarray, str, dict]:
     """Decode a container payload → (pixels (h,w,3) uint8, fmt, meta).
+
+    Accepts bytes or any buffer-protocol object (memoryview slice of an
+    Arrow payload column — the zero-copy fetch path); pixels are parsed in
+    place with np.frombuffer, so lossless formats return read-only views
+    over the source buffer rather than copies.
 
     Raises ValueError on malformed payloads (the per-row analog of
     pdfplumber failing to open a non-PDF body).
@@ -96,11 +105,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str, dict]:
         body_end = 12 + n
         px = np.frombuffer(data, dtype=np.uint8, count=n, offset=12).reshape(h, w, 3)
     elif fmt == "ppm":
-        # P6\n{w} {h}\n255\n
-        i = data.index(b"\n", 3)
-        dims = data[3:i].split()
+        # P6\n{w} {h}\n255\n — the header is tiny; parse it from a small
+        # bytes copy so buffer inputs (no .index) work
+        hdr = data[:64] if isinstance(data, bytes) else bytes(data[:64])
+        i = hdr.index(b"\n", 3)
+        dims = hdr[3:i].split()
         w, h = int(dims[0]), int(dims[1])
-        j = data.index(b"\n", i + 1)
+        j = hdr.index(b"\n", i + 1)
         n = w * h * 3
         body_end = j + 1 + n
         px = np.frombuffer(data, dtype=np.uint8, count=n, offset=j + 1).reshape(h, w, 3)

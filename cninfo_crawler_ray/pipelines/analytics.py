@@ -805,6 +805,154 @@ def q_percent_rank_orders(sf_dir: str):
     return B.bucketed_map_groups(prepped, ["o_orderpriority"], rank_bucket)
 
 
+# ---------------------------------------------------------------------------
+# Windowed aggregates over ordered per-key frames (ROWS-frame family).
+# Ray Data has no window primitive; the engine's shape for all of these is
+# ONE bucketed keyed shuffle (whole keys co-located) + a vectorized in-bucket
+# kernel over the contiguous sorted groups — rank/lag/rolling/cumulative all
+# reduce to cumsum/cummax/shift arithmetic on group-contiguous arrays, so
+# per-group Python overhead is O(buckets), never O(keys).
+# ---------------------------------------------------------------------------
+
+def _orders_cust_cents(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderdate": df["o_orderdate"].astype(str),
+            "cents": _cents(df["o_totalprice"]),
+        }))
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _sort_cust(b: pd.DataFrame) -> pd.DataFrame:
+    return b.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                         kind="stable")
+
+
+def q_rolling_sum_orders(sf_dir: str, window: int = 3):
+    """Per-customer rolling-window aggregate — SUM over ROWS BETWEEN
+    ``window-1`` PRECEDING AND CURRENT ROW ordered by (date, key). The
+    in-bucket kernel is pure cumsum arithmetic: rows of a key are contiguous
+    after the sort, so the window sum is cumsum[i] - cumsum[i-window]
+    guarded by the within-group position — no per-key loop, no pandas
+    .rolling multi-index."""
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        b = _sort_cust(b)
+        g = b.groupby("o_custkey", sort=False)
+        cs = g["cents"].cumsum().to_numpy()
+        pos = g.cumcount().to_numpy()
+        prev = np.zeros_like(cs)
+        if len(cs) > window:
+            prev[window:] = cs[:-window]
+        out = np.where(pos >= window, cs - prev, cs)
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "roll_cents": out.astype(np.int64)})
+
+    return B.bucketed_map_groups(_orders_cust_cents(sf_dir), ["o_custkey"], roll)
+
+
+def q_lag_delta_orders(sf_dir: str):
+    """Per-customer LAG delta: cents - LAG(cents) over (date, key) order —
+    the change between a customer's consecutive orders. First order per
+    customer has no predecessor and is dropped (keeps the column exact
+    int64 on both engines). Kernel = one shift on group-contiguous arrays."""
+
+    def lag(b: pd.DataFrame) -> pd.DataFrame:
+        b = _sort_cust(b)
+        c = b["cents"].to_numpy()
+        pos = b.groupby("o_custkey", sort=False).cumcount().to_numpy()
+        prev = np.empty_like(c)
+        prev[1:] = c[:-1]
+        keep = pos >= 1
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy()[keep],
+            "delta_cents": (c - prev)[keep].astype(np.int64)})
+
+    return B.bucketed_map_groups(_orders_cust_cents(sf_dir), ["o_custkey"], lag)
+
+
+def q_running_max_orders(sf_dir: str):
+    """Per-customer running maximum (MAX OVER ROWS UNBOUNDED PRECEDING) —
+    the 'record high so far' window. Kernel = grouped cummax (vectorized)."""
+
+    def runmax(b: pd.DataFrame) -> pd.DataFrame:
+        b = _sort_cust(b)
+        rm = b.groupby("o_custkey", sort=False)["cents"].cummax()
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "run_max_cents": rm.to_numpy().astype(np.int64)})
+
+    return B.bucketed_map_groups(_orders_cust_cents(sf_dir), ["o_custkey"], runmax)
+
+
+def q_ntile_orders(sf_dir: str, n: int = 4):
+    """NTILE(n) within each order priority, ordered by (cents, key) — the
+    quantile-bucketing window (exact SQL semantics: the first N mod n tiles
+    take the extra row). Buckets hold whole priority groups, so the rank and
+    group size are exact; the tile index is closed-form integer arithmetic
+    on the within-group rank."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "cents": _cents(df["o_totalprice"]),
+        }))
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_orderpriority", "cents", "o_orderkey"],
+                          kind="stable")
+        g = b.groupby("o_orderpriority", sort=False)
+        r = g.cumcount().to_numpy()
+        size = g["cents"].transform("size").to_numpy()
+        base, rem = size // n, size % n
+        split = rem * (base + 1)  # ranks below this sit in the big tiles
+        t_ = np.where(r < split, r // np.maximum(base + 1, 1),
+                      rem + (r - split) // np.maximum(base, 1))
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "tile": (t_ + 1).astype(np.int64)})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_orderpriority"], tile)
+
+
+def q_mode_quantity_by_flag(sf_dir: str):
+    """Grouped MODE: the most frequent l_quantity per l_returnflag (count
+    desc, value asc on ties — deterministic). Per-batch partial counts shrink
+    the shuffle to O(distinct pairs)/batch; the keyed aggregate and the
+    arg-max both run over the tiny (flag × quantity) table."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.assign(l_quantity=df["l_quantity"].astype("int64"))
+             .groupby(["l_returnflag", "l_quantity"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["l_returnflag", "l_quantity"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["l_returnflag", "n", "l_quantity"],
+                          ascending=[True, False, True], kind="stable")
+        top = b.drop_duplicates("l_returnflag", keep="first")
+        return pd.DataFrame({"l_returnflag": top["l_returnflag"].to_numpy(),
+                             "l_quantity": top["l_quantity"].to_numpy().astype(np.int64),
+                             "n": top["n"].to_numpy().astype(np.int64)})
+
+    return B.bucketed_map_groups(counts, ["l_returnflag"], pick, num_buckets=4)
+
+
 def q_winsorize_prices(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
     """Per-group winsorization — the robust-statistics cleaning step (clip
     outliers to the group's [p5, p95]): bounds come from the exact
@@ -1076,6 +1224,53 @@ def q_source_doc_concat(sf_dir: str, k: int = 3):
 # ---------------------------------------------------------------------------
 
 ANALYTICS_ORACLE_SQL: dict[str, str] = {
+    "rolling_sum_orders": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS VARCHAR), o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS roll_cents
+        FROM orders
+    """,
+    "lag_delta_orders": """
+        WITH d AS (
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                   - LAG(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS VARCHAR), o_orderkey)
+                       AS delta_cents
+            FROM orders)
+        SELECT o_orderkey, delta_cents FROM d WHERE delta_cents IS NOT NULL
+    """,
+    "running_max_orders": """
+        SELECT o_orderkey,
+               MAX(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS VARCHAR), o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_max_cents
+        FROM orders
+    """,
+    "ntile_orders": """
+        SELECT o_orderkey,
+               CAST(NTILE(4) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
+                            o_orderkey) AS BIGINT) AS tile
+        FROM orders
+    """,
+    "mode_quantity_by_flag": """
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS l_quantity,
+               CAST(n AS BIGINT) AS n FROM (
+            SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY COUNT(*) DESC, l_quantity)
+                       AS rn
+            FROM lineitem GROUP BY 1, 2)
+        WHERE rn = 1
+    """,
     "group_variance": """
         WITH s AS (SELECT o_orderpriority, COUNT(*) AS n,
                           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS sd,

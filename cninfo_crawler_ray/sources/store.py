@@ -47,6 +47,50 @@ def ext_of_url(urls) -> list[str]:
     return [str(u).rsplit(".", 1)[-1] for u in urls]
 
 
+def binary_views_at(col, indices) -> list:
+    """Zero-copy payload access: memoryview slices into the Arrow binary
+    column's data buffers at the given row positions (None where the
+    position is null/None). The payload bytes are never copied into Python
+    ``bytes`` objects — at web-image sizes (~90 KB/row) the old
+    ``to_pylist``/``as_py`` path was one full memcpy + allocation per row,
+    which is pure memory-bandwidth burn at high core counts (the 32-CPU
+    scaling ceiling measured in BASELINE.md). Callers must keep the source
+    table/column alive while the views are in use."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    metas = []
+    base = 0
+    for ch in chunks:
+        bufs = ch.buffers()
+        odt = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt, count=len(ch) + 1,
+                             offset=ch.offset * odt(0).itemsize)
+        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        valid = (ch.is_valid().to_numpy(zero_copy_only=False)
+                 if ch.null_count else None)
+        metas.append((base, base + len(ch), offs, mv, valid))
+        base += len(ch)
+    out = []
+    for gi in indices:
+        if gi is None:
+            out.append(None)
+            continue
+        for lo, hi, offs, mv, valid in metas:
+            if lo <= gi < hi:
+                j = gi - lo
+                if valid is not None and not valid[j]:
+                    out.append(None)
+                else:
+                    out.append(mv[offs[j]:offs[j + 1]])
+                break
+    return out
+
+
+def binary_views(col) -> list:
+    """Zero-copy views over every row of a binary column, in order."""
+    n = col.length() if hasattr(col, "length") else len(col)
+    return binary_views_at(col, range(n))
+
+
 def _rg_stats(f) -> tuple[list, list]:
     """(min, max) of the leading id column per row group — the prune index."""
     mins, maxs = [], []
@@ -202,8 +246,8 @@ class CorpusStore:
         ids = image_id_of_url(urls)
         t = self._read(ids, ["image_id", "bytes"])
         pos = pc.index_in(pa.array(ids, pa.string()), value_set=t["image_id"])
-        blobs = pc.take(t["bytes"], pos)
-        return [b.as_py()[:n] if b.is_valid else b"" for b in blobs]
+        views = binary_views_at(t["bytes"], pos.to_pylist())
+        return [bytes(v[:n]) if v is not None else b"" for v in views]
 
     def get(self, urls: list[str]) -> pa.Table:
         """GET analog: (url, status, content_type, bytes). Alignment is pure
@@ -232,3 +276,25 @@ class CorpusStore:
                 "bytes": pc.if_else(ok, blobs, empty_blob),
             }
         )
+
+    def get_views(self, urls: list[str]):
+        """GET analog for the fused fetch+decode path: returns
+        ``(status int32 ndarray, content_type list[str], views, keepalive)``
+        where ``views`` are zero-copy memoryview slices into the LRU-cached
+        row-group tables (``binary_views_at``) — the payload is never
+        copied out of the read buffer at all; the decoder parses it in
+        place. ``keepalive`` must stay referenced while views are in use
+        (the LRU may evict the backing table on the NEXT read)."""
+        ids = image_id_of_url(urls)
+        t = self._read(ids, ["image_id", "fmt", "bytes"])
+        pos = pc.index_in(pa.array(ids, pa.string()), value_set=t["image_id"])
+        idx = pos.to_pylist()
+        views = binary_views_at(t["bytes"], idx)
+        fmt = pc.fill_null(pc.take(t["fmt"], pos), "").to_pylist()
+        status = np.fromiter(
+            ((200 if v is not None and len(v) > 0 else 404) for v in views),
+            dtype=np.int32, count=len(views))
+        ctype = [f"image/{f}" if s == 200 else ""
+                 for f, s in zip(fmt, status)]
+        views = [v if s == 200 else b"" for v, s in zip(views, status)]
+        return status, ctype, views, t

@@ -50,13 +50,19 @@ class FetchDecode:
         self._decode = Decoder(compute_phash)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        g = self.store.get(batch["PDF链接"].to_pylist())
+        # zero-copy fused path: payloads are memoryview slices into the
+        # store's row-group read buffers — never copied into an Arrow
+        # column or Python bytes between GET and decode (``keep`` pins the
+        # backing table for the duration of the batch)
+        status, ctype, views, keep = self.store.get_views(
+            batch["PDF链接"].to_pylist())
         fetched = (
-            batch.append_column("status", g["status"])
-            .append_column("content_type", g["content_type"])
-            .append_column("bytes", g["bytes"])
+            batch.append_column("status", pa.array(status, pa.int32()))
+            .append_column("content_type", pa.array(ctype, pa.string()))
         )
-        return self._decode(fetched)
+        out = self._decode.decode_views(fetched, status, views)
+        del views, keep
+        return out
 
 
 class Decoder:
@@ -64,9 +70,23 @@ class Decoder:
         self.compute_phash = compute_phash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # unfused path: payloads arrive as an Arrow column; parse them as
+        # zero-copy views rather than to_pylist (one ~90 KB memcpy + bytes
+        # allocation per row — measured as the 32-CPU memory-bandwidth
+        # ceiling, BASELINE.md)
+        from ..sources.store import binary_views
+
+        views = binary_views(batch["bytes"])
+        statuses = np.asarray(batch["status"])
+        out = self.decode_views(batch, statuses, views)
+        del views
+        return out
+
+    def decode_views(self, batch: pa.Table, statuses, blobs) -> pa.Table:
+        """Decode per-row payload buffers (memoryviews or bytes); ``batch``
+        provides the metadata columns and may or may not carry a ``bytes``
+        column (dropped from the output either way)."""
         urls = batch["PDF链接"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
-        statuses = batch["status"].to_pylist()
         exts = ext_of_url(urls)
         n = len(urls)
         fetch_ok = np.zeros(n, dtype=bool)
@@ -96,7 +116,7 @@ class Decoder:
             items, flag = extract_items_from_pages(meta.get("pages") or [])
             items_json[i] = json.dumps(items, ensure_ascii=False)
             has_flag[i] = 1 if flag else 0
-        drop = ["bytes"] + (["_fetch_key"] if "_fetch_key" in batch.column_names else [])
+        drop = [c for c in ("bytes", "_fetch_key") if c in batch.column_names]
         out = batch.drop_columns(drop)  # payload consumed; keep blocks light
         out = out.append_column("fetch_ok", pa.array(fetch_ok))
         out = out.append_column("type_ok", pa.array(type_ok))

@@ -55,7 +55,7 @@ def decode_video(data: bytes, frame_indices: list[int] | None = None
 
     Seeks by length prefix, so sampling k of n frames decodes exactly k
     frame bodies (the property a real demuxer gives you via keyframes)."""
-    if not data.startswith(MAGIC_VID):
+    if (data[:4] if isinstance(data, bytes) else bytes(data[:4])) != MAGIC_VID:
         # real-codec hook: `import av` here when the wheel exists
         raise NotImplementedError(
             "unrecognized video container; plug a real demuxer (e.g. PyAV) "
@@ -81,7 +81,7 @@ def encode_audio(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """→ (int16 sample array, sample_rate)."""
-    if not data.startswith(MAGIC_AUD):
+    if (data[:4] if isinstance(data, bytes) else bytes(data[:4])) != MAGIC_AUD:
         # real-codec hook: `import soundfile` here when the wheel exists
         raise NotImplementedError(
             "unrecognized audio container; plug a real decoder (e.g. "
@@ -104,8 +104,10 @@ class Thumbnailer:
         import zlib
 
         ids, thumbs, crcs, means = [], [], [], []
+        from ..sources.store import binary_views
+
         for iid, blob in zip(batch["image_id"].to_pylist(),
-                             batch["bytes"].to_pylist()):
+                             binary_views(batch["bytes"])):
             if not blob:
                 continue
             try:
@@ -148,10 +150,10 @@ class FetchFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["PDF链接"].to_pylist()
-        g = self.store.get(urls)
+        # zero-copy GET: payloads are views into the store's read buffers
+        statuses, _, views, keep = self.store.get_views(urls)
         rows: list[dict] = []
-        for url, status, blob in zip(urls, g["status"].to_pylist(),
-                                     g["bytes"].to_pylist()):
+        for url, status, blob in zip(urls, statuses, views):
             if status != 200 or not blob:
                 continue
             try:
@@ -174,8 +176,10 @@ class FrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids, idxs, hashes, fpss = [], [], [], []
+        from ..sources.store import binary_views
+
         for vid, blob in zip(batch["video_id"].to_pylist(),
-                             batch["bytes"].to_pylist()):
+                             binary_views(batch["bytes"])):
             if not blob:
                 continue
             try:
@@ -203,8 +207,10 @@ class AudioFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, durs, rmss, zcrs = [], [], [], []
+        from ..sources.store import binary_views
+
         for aid, blob in zip(batch["audio_id"].to_pylist(),
-                             batch["bytes"].to_pylist()):
+                             binary_views(batch["bytes"])):
             if not blob:
                 continue
             try:

@@ -66,6 +66,8 @@ SQL_CHECKED = [
     "pack_sequences", "parts_with_lineitems", "heavy_hitters",
     "group_centroids", "export_pipeline", "winsorize_prices",
     "snapshot_dedup", "percent_rank_orders",
+    "rolling_sum_orders", "lag_delta_orders", "running_max_orders",
+    "ntile_orders", "mode_quantity_by_flag",
 ]
 
 

@@ -234,6 +234,7 @@ def run_headline() -> dict:
         .repartition(max(8, num_cpus * 16 // repeat))
         .materialize()
     )
+    t_prep = time.perf_counter()
     stream = prep.union(*([prep] * (repeat - 1))) if repeat > 1 else prep
     cfg_run = _replace(cfg, fetch_locality=False)
 
@@ -270,7 +271,19 @@ def run_headline() -> dict:
         if lo_t is not None and hi_t is not None and hi_t > lo_t
         else round(n_urls / wall, 1)
     )
+    # phase breakdown (where non-scaling fixed cost lives): prep = locality
+    # sort+repartition materialize; ramp = first 20% of rows (actor-pool
+    # spin-up + plan warmup); drain = last 10% (straggler tail)
+    t_start = t0
+    phases = {
+        "sec_prep": round(t_prep - t_start, 2),
+        "sec_first_batch": (round(events[0][0] - t_start, 2) if events else None),
+        "sec_ramp_to_20pct": round((lo_t - t_start), 2) if lo_t else None,
+        "sec_steady_20_90pct": round((hi_t - lo_t), 2) if lo_t and hi_t else None,
+        "sec_drain_90_100pct": round((t_start + wall - hi_t), 2) if hi_t else None,
+    }
     return {
+        **phases,
         "metric": "sustained fetch+decode throughput",
         "value": round(wall, 3),
         "unit": "sec",
@@ -295,9 +308,18 @@ def run_scaling() -> dict:
     VM saturates the NODE's shared memory bandwidth (measured: per-URL CPU
     inflates ~40% from 8 to 32 busy cores) — a single-node ceiling that a
     real 4N-node cluster does not have, since added nodes bring their own
-    memory controllers. Both legs run the identical code path and input."""
+    memory controllers. Both legs run the identical code path and input.
+
+    ``GRAFT_REPEAT`` defaults to 96 for scaling runs (vs 24 standalone):
+    pool spin-up + plan warmup is a ~10-20 s constant at EITHER size, so a
+    hi leg that finishes in ~30 s of steady state measures startup, not
+    throughput — and the north-rule job is a 10^10-URL crawl where that
+    constant amortizes to nothing. The timed wall still includes everything
+    (prep, ramp, drain — per-phase seconds are in each leg's JSON); the job
+    is simply long enough to be representative."""
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_REPEAT=os.environ.get("GRAFT_REPEAT", "96"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline"],
             env=env, capture_output=True, text=True, check=True,

@@ -121,8 +121,10 @@ def decode_image(data) -> tuple[np.ndarray, str, dict]:
         quant = np.frombuffer(zlib.decompress(data[16:body_end]), dtype=np.uint8).reshape(h, w, 3)
         # quant is 6-bit (≤63), so (q<<2)+2 ≤ 254 fits uint8 directly — one
         # pass, no uint16 temporary, no clip (same values as the widened
-        # form; decode is memory-bandwidth-sensitive at high core counts)
-        px = ((quant << 2) + 2).astype(np.uint8, copy=False)
+        # form; decode is memory-bandwidth-sensitive at high core counts).
+        # << allocates the one writable output; += runs in place on it.
+        px = quant << 2
+        px += 2
     else:
         raise ValueError("unrecognized payload magic")
     return px, fmt, _split_meta(data, body_end)
@@ -164,7 +166,11 @@ def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def phash64(pixels: np.ndarray) -> int:
     """Average-hash perceptual fingerprint: 8×8 block-mean grayscale → 64 bits
     (sign-cast to int64 for the ``phash`` corpus column)."""
-    gray = pixels.astype(np.float32).mean(axis=2)
+    # bit-identical to pixels.astype(float32).mean(axis=2) — same per-pixel
+    # float32 accumulation — without materializing the h×w×3 float32 copy
+    # (3 payload-sized writes+reads saved; decode is memory-bandwidth-bound
+    # at high core counts)
+    gray = np.mean(pixels, axis=2, dtype=np.float32)
     h, w = gray.shape
     # Block-mean downsample to 8×8 (pad to a multiple of 8 by edge-cropping).
     bh, bw = max(h // 8, 1), max(w // 8, 1)

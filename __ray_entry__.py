@@ -441,6 +441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_max_orders": A.q_running_max_orders,
         "ntile_orders": A.q_ntile_orders,
         "mode_quantity_by_flag": A.q_mode_quantity_by_flag,
+        "dense_rank_orders": A.q_dense_rank_orders,
+        "first_last_order": A.q_first_last_order,
+        "new_users_daily": A.q_new_users_daily,
+        "corr_price_qty": A.q_corr_price_qty,
         "group_variance": A.q_group_variance,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,

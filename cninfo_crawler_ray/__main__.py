@@ -217,6 +217,34 @@ def _cmd_export(args) -> int:
     return 0
 
 
+def _cmd_schedule(args) -> int:
+    """North-rule surface from the command line: the round-based scheduler
+    (heap frontier → politeness waves → fused fetch+decode → reports) with
+    checkpointed resume. Rerunning with the same --ckpt-dir resumes from the
+    last committed round; --max-rounds simulates a kill."""
+    from .pipelines.scheduler import run_scheduled_crawl
+    from .sources.corpus import ensure_fixtures
+
+    t0 = time.time()
+    fdir = ensure_fixtures(args.n_images)
+    os.makedirs(args.out_dir, exist_ok=True)
+    res = run_scheduled_crawl(
+        fdir, wave_size=args.wave_size, ckpt_dir=args.ckpt_dir,
+        max_rounds=args.max_rounds if args.max_rounds > 0 else 10_000,
+    )
+    c = res["counters"]
+    done = c["rounds"] > 0 and len(res["wide"]) > 0
+    if done:
+        res["long"].to_parquet(os.path.join(args.out_dir, "report_long.parquet"))
+        res["wide"].to_parquet(os.path.join(args.out_dir, "report_wide.parquet"))
+    print(f"schedule: {c['rounds']} rounds, {c.get('frontier_rows', 0)} admitted, "
+          f"{c['long_rows']} long rows, {c['wide_rows']} wide rows, "
+          f"{c['politeness_wait_ticks']} wait ticks, "
+          f"{c['dead_lettered']} dead-lettered -> {args.out_dir} "
+          f"({time.time() - t0:.1f}s)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cninfo_crawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -253,6 +281,16 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out-dir", required=True)
     e.add_argument("--n-shards", type=int, default=8)
 
+    s = sub.add_parser("schedule", help="round-based scheduled crawl with "
+                                        "checkpointed resume (north rule)")
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint dir; rerun with the same dir to resume")
+    s.add_argument("--n-images", type=int, default=1_000)
+    s.add_argument("--wave-size", type=int, default=4096)
+    s.add_argument("--max-rounds", type=int, default=0,
+                   help="stop after N rounds (simulated kill); 0 = run to done")
+
     args = p.parse_args(argv)
 
     import ray
@@ -261,7 +299,7 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", include_dashboard=False, log_to_driver=False)
     try:
         return {"crawl": _cmd_crawl, "collect": _cmd_collect,
-                "export": _cmd_export}[args.cmd](args)
+                "export": _cmd_export, "schedule": _cmd_schedule}[args.cmd](args)
     finally:
         ray.shutdown()
 

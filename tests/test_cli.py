@@ -174,3 +174,31 @@ def test_cli_export_shards_and_resumes(tmp_path):
     df3 = pq.read_table(os.path.join(out, "shard=3")).to_pandas()
     m3 = json.load(open(os.path.join(out, "manifest.json")))["shards"]["3"]
     assert len(df3) == m3["rows"]
+
+
+def test_cli_schedule_kill_resume(tmp_path):
+    """`schedule` runs the round-based scheduler from the CLI; a killed run
+    (--max-rounds) rerun with the same --ckpt-dir resumes and produces the
+    same reports as an uninterrupted run."""
+    full = str(tmp_path / "full")
+    r = _run("schedule", "--out-dir", full, "--n-images", "800",
+             "--wave-size", "97")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rounds" in r.stdout
+    wide_full = pq.read_table(os.path.join(full, "report_wide.parquet")).to_pandas()
+    assert len(wide_full) > 20
+
+    ck = str(tmp_path / "ck")
+    part = str(tmp_path / "part")
+    r = _run("schedule", "--out-dir", part, "--n-images", "800",
+             "--wave-size", "97", "--ckpt-dir", ck, "--max-rounds", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not os.path.exists(os.path.join(part, "report_wide.parquet")) or \
+        len(pq.read_table(os.path.join(part, "report_wide.parquet"))) < len(wide_full)
+
+    out2 = str(tmp_path / "resumed")
+    r = _run("schedule", "--out-dir", out2, "--n-images", "800",
+             "--wave-size", "97", "--ckpt-dir", ck)
+    assert r.returncode == 0, r.stderr[-2000:]
+    wide_res = pq.read_table(os.path.join(out2, "report_wide.parquet")).to_pandas()
+    pd.testing.assert_frame_equal(wide_res, wide_full)

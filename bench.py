@@ -142,6 +142,7 @@ def run_bench() -> dict:
         ("ntile_orders", A.q_ntile_orders),
         ("dense_rank_orders", A.q_dense_rank_orders),
         ("new_users_daily", A.q_new_users_daily),
+        ("bigram_repetition", A.q_bigram_repetition),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -1084,6 +1084,44 @@ def q_corr_price_qty(sf_dir: str):
     return out.sort_values("l_returnflag", kind="stable").reset_index(drop=True)
 
 
+def q_bigram_repetition(sf_dir: str):
+    """Gopher-style repetition quality signal: per document, how many word
+    bigrams are repeats of an earlier bigram (n_bigrams - n_distinct). A
+    pure per-document map — no shuffle at all; the kernel is one explode +
+    shifted pairing over the batch (doc boundaries masked), a
+    drop_duplicates and two grouped counts, all vectorized."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids = df["doc_id"].astype("int64").to_numpy()
+        toks = df["text"].str.strip().str.split(r"\s+")
+        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        n_big = np.maximum(lens - 1, 0)
+        ex = toks.explode()
+        pos = ex.index.to_numpy()  # positional batch row index per token
+        tok_arr = ex.to_numpy()
+        if len(tok_arr) > 1:
+            same = pos[:-1] == pos[1:]
+            rows = pos[:-1][same]
+            bg = pd.Series(tok_arr[:-1][same]).str.cat(
+                pd.Series(tok_arr[1:][same]), sep="\x1f")
+            nd = (pd.DataFrame({"row": rows, "bg": bg.to_numpy()})
+                  .drop_duplicates()
+                  .groupby("row").size())
+            distinct = np.zeros(len(df), dtype=np.int64)
+            distinct[nd.index.to_numpy()] = nd.to_numpy()
+        else:
+            distinct = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame({"doc_id": doc_ids,
+                             "n_bigrams": n_big,
+                             "n_dup": n_big - distinct})
+
+    def stats_reset(df: pd.DataFrame) -> pd.DataFrame:
+        return stats(df.reset_index(drop=True))
+
+    return ds.map_batches(stats_reset, batch_format="pandas")
+
+
 def q_winsorize_prices(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
     """Per-group winsorization — the robust-statistics cleaning step (clip
     outliers to the group's [p5, p95]): bounds come from the exact
@@ -1391,6 +1429,21 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                    ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
                             o_orderkey) AS BIGINT) AS tile
         FROM orders
+    """,
+    "bigram_repetition": """
+        WITH l AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents),
+             t AS (SELECT doc_id, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS i
+                   FROM l),
+             b AS (SELECT a.doc_id, a.tok || chr(31) || c.tok AS bg
+                   FROM t a JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 1),
+             s AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT bg) AS nd
+                   FROM b GROUP BY 1)
+        SELECT l.doc_id,
+               CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(s.nb - s.nd, 0) AS BIGINT) AS n_dup
+        FROM l LEFT JOIN s USING (doc_id)
     """,
     "dense_rank_orders": """
         SELECT o_orderkey,

@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_daily": A.q_new_users_daily,
         "corr_price_qty": A.q_corr_price_qty,
         "bigram_repetition": A.q_bigram_repetition,
+        "mad_prices": A.q_mad_prices,
         "group_variance": A.q_group_variance,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,

@@ -88,6 +88,86 @@ def q_cumulative_spend(sf_dir: str):
 # Exact distributed quantiles — two-phase bin-select (no global sort)
 # ---------------------------------------------------------------------------
 
+def _group_quantile_disc(ds, value_fn, qs: tuple[float, ...],
+                         bin_width: int = 10_000) -> pd.DataFrame:
+    """Generic exact per-group discrete quantile (two-phase binned select —
+    the q_group_quantiles shape, factored so derived-value quantiles like
+    MAD can reuse it). ``value_fn(df) -> int64 ndarray`` produces the value
+    column from an orders batch; groups are o_orderpriority. Index rule
+    matches DuckDB quantile_disc: idx = ceil(q*n) - 1 clamped to [0, n-1]."""
+
+    def binned(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["v"] = value_fn(df)
+        df["bin"] = df["v"] // bin_width
+        g = df.groupby(["o_orderpriority", "bin"], as_index=False).agg(
+            n=("v", "size"))
+        return _pa_from_pandas(g)
+
+    hist = (ds.map_batches(binned, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "bin"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()  # O(groups × bins)
+            .sort_values(["o_orderpriority", "bin"]))
+
+    targets: list[tuple[str, float, int, int]] = []
+    for prio, g in hist.groupby("o_orderpriority"):
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        for q in qs:
+            idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
+            pos = int(np.searchsorted(cum.to_numpy(), idx + 1, side="left"))
+            bin_id = int(g["bin"].iloc[pos])
+            before = int(cum.iloc[pos - 1]) if pos > 0 else 0
+            targets.append((str(prio), q, bin_id, idx - before))
+
+    need: dict[tuple[str, int], list[tuple[float, int]]] = {}
+    for prio, q, bin_id, off in targets:
+        need.setdefault((prio, bin_id), []).append((q, off))
+
+    def in_target_bins(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["v"] = value_fn(df)
+        df["bin"] = df["v"] // bin_width
+        key = list(zip(df["o_orderpriority"], df["bin"]))
+        mask = pd.Series(key, index=df.index).isin(need)
+        return _pa_from_pandas(df.loc[mask, ["o_orderpriority", "bin", "v"]])
+
+    hits = ds.map_batches(in_target_bins, batch_format="pyarrow").to_pandas()
+    rows = []
+    for (prio, bin_id), wants in need.items():
+        vals = np.sort(hits.loc[(hits["o_orderpriority"] == prio)
+                                & (hits["bin"] == bin_id), "v"].to_numpy())
+        for q, off in wants:
+            rows.append((prio, q, int(vals[off])))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "q", "value"])
+
+
+def q_mad_prices(sf_dir: str):
+    """Median absolute deviation per priority — the robust-statistics spread
+    measure (pairs with q_winsorize_prices). Two chained exact two-phase
+    quantile selects: the group medians (O(groups) driver rows, broadcast in
+    the second pass's closure), then the median of |cents - med| — four
+    cheap scans total, no global sort, phase-B volume bounded by bin
+    occupancy."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    med = _group_quantile_disc(
+        ds, lambda df: _cents(df["o_totalprice"]), (0.5,))
+    med_map = dict(zip(med["o_orderpriority"], med["value"].astype("int64")))
+
+    def dev(df: pd.DataFrame) -> np.ndarray:
+        m = df["o_orderpriority"].map(med_map).to_numpy(dtype=np.int64)
+        return np.abs(_cents(df["o_totalprice"]) - m)
+
+    mad = _group_quantile_disc(ds, dev, (0.5,))
+    out = pd.DataFrame({
+        "o_orderpriority": mad["o_orderpriority"],
+        "med_cents": mad["o_orderpriority"].map(med_map).astype("int64"),
+        "mad_cents": mad["value"].astype("int64"),
+    })
+    return out.sort_values("o_orderpriority", kind="stable").reset_index(drop=True)
+
+
 def q_group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
     """Exact per-group quantiles without a global sort: phase A aggregates
     per-(group, coarse-bin) counts (bins are $100 wide, so the aggregate is
@@ -1429,6 +1509,18 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                    ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
                             o_orderkey) AS BIGINT) AS tile
         FROM orders
+    """,
+    "mad_prices": """
+        WITH c AS (SELECT o_orderpriority,
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+                   FROM orders),
+             m AS (SELECT o_orderpriority, quantile_disc(cents, 0.5) AS med
+                   FROM c GROUP BY 1)
+        SELECT c.o_orderpriority,
+               CAST(ANY_VALUE(m.med) AS BIGINT) AS med_cents,
+               CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT)
+                   AS mad_cents
+        FROM c JOIN m USING (o_orderpriority) GROUP BY 1
     """,
     "bigram_repetition": """
         WITH l AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

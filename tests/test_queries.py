@@ -69,7 +69,7 @@ SQL_CHECKED = [
     "rolling_sum_orders", "lag_delta_orders", "running_max_orders",
     "ntile_orders", "mode_quantity_by_flag",
     "dense_rank_orders", "first_last_order", "new_users_daily",
-    "corr_price_qty", "bigram_repetition",
+    "corr_price_qty", "bigram_repetition", "mad_prices",
 ]
 
 

@@ -98,6 +98,88 @@ def _wide_report(sf_dir: str):
     return stage2.wide_view(stage2.wide_from_long(stage2.long_from_decoded(decoded)))
 
 
+class _PsnrProbe:
+    """Fused fetch+decode+verify actor for _decode_psnr_stats: decodes each
+    payload (zero-copy views) and compares against the regenerated reference
+    pixels — the north rule's per-row invariant (decoded-pixel PSNR ≥ 40 dB
+    for lossy formats, exact for lossless) run as a first-class pipeline
+    instead of only a test. Emits per-format partials (O(formats) rows per
+    batch)."""
+
+    def __init__(self, corpus_path: str):
+        from cninfo_crawler_ray.sources.store import CorpusStore
+
+        self.store = CorpusStore(corpus_path)
+
+    def __call__(self, batch):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        from cninfo_crawler_ray.functions import codecs
+        from cninfo_crawler_ray.sources.corpus import gen_pixels
+
+        urls = batch["PDF链接"].to_pylist()
+        status, _, views, keep = self.store.get_views(urls)
+        agg: dict[str, list] = {}
+        for url, st, blob in zip(urls, status, views):
+            if st != 200 or not blob:
+                continue
+            try:
+                px, fmt, _ = codecs.decode_image(blob)
+            except ValueError:
+                continue
+            iid = url.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            # planted near-dup rows (~0.5%, i % 211 == 0) carry the PREVIOUS
+            # id's pixels (sources/corpus.py clone rule) — compare against
+            # the true source, like tests/test_stage2.py
+            i = int(iid.split("_")[1])
+            src = f"img_{i - 1:08d}" if (i % 211 == 0 and i > 0) else iid
+            ref = gen_pixels(src, px.shape[1], px.shape[0])
+            p = codecs.psnr(np.asarray(px), ref)
+            a = agg.setdefault(fmt, [0, 0, math.inf])
+            a[0] += 1
+            a[1] += 1 if p >= 40.0 else 0
+            a[2] = min(a[2], p)
+        del views, keep
+        fmts = sorted(agg)
+        return pa.table({
+            "fmt": pa.array(fmts, pa.string()),
+            "n": pa.array([agg[f][0] for f in fmts], pa.int64()),
+            "n_psnr_ge_40": pa.array([agg[f][1] for f in fmts], pa.int64()),
+            # lossless decodes are exact (psnr inf) — clamp for a finite col
+            "min_psnr_db": pa.array(
+                [round(min(agg[f][2], 999.0), 3) for f in fmts], pa.float64()),
+        })
+
+
+def _decode_psnr_stats(sf_dir: str):
+    """Per-format decode-fidelity report over the whole validated frontier:
+    n, how many rows meet the ≥40 dB bar, and the worst PSNR seen. The
+    invariant (n == n_psnr_ge_40 for every format; lossless formats exact)
+    is asserted in tests/test_entry.py; the driver records a rows-only
+    check (the measurement is pixel-level, not SQL-expressible)."""
+    from ray.data.aggregate import Min, Sum
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+    partials = frontier.map_batches(
+        _PsnrProbe, fn_constructor_args=(f"{fdir}/corpus.parquet",),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return (partials.groupby("fmt")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_psnr_ge_40", alias_name="n_psnr_ge_40"),
+                       Min("min_psnr_db", alias_name="min_psnr_db")))
+
+
 def _image_features(sf_dir: str):
     """Multimodal plumbing: decode validated images → 2×2 block-mean RGB
     features (int). The decode step is the real codec; swapping in a JPEG/
@@ -464,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_decode_stats": _fetch_decode_stats,
         "wide_report": _wide_report,
         "image_features": _image_features,
+        "decode_psnr_stats": _decode_psnr_stats,
         "image_thumbnails": _image_thumbnails,
         "phash_near_dup": _phash_near_dup,
         "image_dup_clusters": _image_dup_clusters,

@@ -50,6 +50,71 @@ class PolitenessGate:
         host and TTL-refreshed; in the sandbox rules are injected."""
         self.robots[host] = list(disallow_prefixes)
 
+    def load_robots_txt(self, host: str, text: str,
+                        agent: str = "cninfo-crawler") -> None:
+        """Parse a robots.txt body into the host's disallow cache — the
+        fetch-side of the robots flow (set_robots injects pre-parsed rules).
+        Standard grammar subset: User-agent groups, Disallow/Allow path
+        prefixes, '*' agent, comments; the most specific matching agent
+        group wins (exact name > '*'), like urllib.robotparser. Crawl-delay,
+        if present in the winning group, overrides the host's token rate."""
+        groups: list[tuple[list[str], list[str], float | None]] = []
+        cur_agents: list[str] = []
+        cur_dis: list[str] = []
+        cur_delay: float | None = None
+        in_group_body = False
+
+        def flush():
+            nonlocal cur_agents, cur_dis, cur_delay, in_group_body
+            if cur_agents:
+                groups.append((cur_agents, cur_dis, cur_delay))
+            cur_agents, cur_dis, cur_delay = [], [], None
+            in_group_body = False
+
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if in_group_body:
+                    flush()
+                cur_agents.append(val.lower())
+            elif key == "disallow":
+                in_group_body = True
+                if val:
+                    cur_dis.append(val)
+            elif key == "allow":
+                in_group_body = True  # recognized; prefix-allow not modeled
+            elif key == "crawl-delay":
+                in_group_body = True
+                try:
+                    cur_delay = float(val)
+                except ValueError:
+                    pass
+        flush()
+        agent = agent.lower()
+        chosen = None
+        for agents, dis, delay in groups:
+            if any(a != "*" and a in agent for a in agents):
+                chosen = (dis, delay)
+                break
+        if chosen is None:
+            for agents, dis, delay in groups:
+                if "*" in agents:
+                    chosen = (dis, delay)
+                    break
+        if chosen is None:
+            self.robots[host] = []
+            return
+        dis, delay = chosen
+        self.robots[host] = list(dis)
+        if delay and delay > 0:
+            # crawl-delay seconds → token rate 1/delay req/s (burst 1)
+            self.set_host_rate(host, 1.0 / delay, 1)
+
     # --- time ---
     def advance(self, ticks: int) -> int:
         self.now_tick += int(ticks)

@@ -66,3 +66,15 @@ def test_image_region_near_dup_clones_score_four(entrymod):
     pair_max = out.groupby(["image_a", "image_b"])["n_quads"].max()
     for (a, b), n in fours.set_index(["image_a", "image_b"])["n_quads"].items():
         assert pair_max[(a, b)] == 4
+
+
+def test_decode_psnr_invariant(entrymod):
+    """North-rule per-row invariant as a pipeline: every decoded payload
+    meets the PSNR ≥ 40 dB bar (lossless formats exact → 999.0 clamp)."""
+    df = entrymod.queries()["decode_psnr_stats"]("/root/testdata/sf0.001").to_pandas()
+    assert set(df["fmt"]) == {"raw", "ppm", "qlossy"}
+    assert (df["n"] == df["n_psnr_ge_40"]).all()
+    assert (df["min_psnr_db"] >= 40.0).all()
+    lossless = df[df["fmt"].isin(["raw", "ppm"])]
+    assert (lossless["min_psnr_db"] == 999.0).all()
+    assert float(df.loc[df["fmt"] == "qlossy", "min_psnr_db"].iloc[0]) < 999.0

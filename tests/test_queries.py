@@ -88,7 +88,7 @@ def test_every_sql_key_has_a_query(entrymod):
         assert k in q
 
 
-ROWS_ONLY = ["rolling_fingerprint", "simhash", "minhash_lsh_dedup",
+ROWS_ONLY = ["decode_psnr_stats", "rolling_fingerprint", "simhash", "minhash_lsh_dedup",
              "ann_lsh_topk", "ann_ivf_topk", "dedup_retention"]
 
 

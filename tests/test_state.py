@@ -162,3 +162,42 @@ def test_sharded_seen_actor_pool(ray_session):
     pool2.restore(snap)
     assert not any(pool2.contains_and_add(keys))
     assert pool2.total() == 1000
+
+
+def test_robots_txt_parser_groups_and_delay():
+    """load_robots_txt: the exact-agent group beats '*', comments and blank
+    lines are ignored, a new User-agent line after a group body starts a new
+    group, and Crawl-delay rebinds the host's token rate (1/delay, burst 1)."""
+    g = PolitenessGate(rate_per_second=100.0, burst=100, ticks_per_second=10)
+    g.load_robots_txt("h.x", """
+# comment
+User-agent: othercrawler
+Disallow: /private/
+
+User-agent: cninfo-crawler
+Disallow: /img_
+Disallow: /tmp/
+Crawl-delay: 2
+
+User-agent: *
+Disallow: /
+""")
+    assert g.robots["h.x"] == ["/img_", "/tmp/"]
+    assert g.allowed("h.x", ["/img_1.raw", "/ok/x", "/tmp/y"]) == [False, True, False]
+    # crawl-delay 2s @ 10 ticks/s → 0.05 tokens/tick, burst 1
+    assert g.acquire("h.x", 5) == 1
+    assert g.acquire("h.x", 1) == 0
+    assert g.wait_ticks_for("h.x", 1) == 20  # exactly 2 s of virtual time
+
+    # '*' fallback when no specific group matches
+    g2 = PolitenessGate()
+    g2.load_robots_txt("h.x", "User-agent: *\nDisallow: /all/\n")
+    assert g2.robots["h.x"] == ["/all/"]
+    # empty Disallow in the winning group = allow everything
+    g3 = PolitenessGate()
+    g3.load_robots_txt("h.x", "User-agent: cninfo-crawler\nDisallow:\n\nUser-agent: *\nDisallow: /\n")
+    assert g3.robots["h.x"] == []
+    # no matching group at all
+    g4 = PolitenessGate()
+    g4.load_robots_txt("h.x", "User-agent: somebot\nDisallow: /\n")
+    assert g4.robots["h.x"] == []

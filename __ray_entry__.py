@@ -529,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_price_qty": A.q_corr_price_qty,
         "bigram_repetition": A.q_bigram_repetition,
         "mad_prices": A.q_mad_prices,
+        "doc_length_histogram": A.q_doc_length_histogram,
+        "source_quota_sample": A.q_source_quota_sample,
         "group_variance": A.q_group_variance,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,

@@ -1164,6 +1164,44 @@ def q_corr_price_qty(sf_dir: str):
     return out.sort_values("l_returnflag", kind="stable").reset_index(drop=True)
 
 
+def q_doc_length_histogram(sf_dir: str, bucket: int = 100):
+    """Corpus length profile: document counts per n_chars bucket — the
+    first thing you plot before setting curation thresholds. Per-batch
+    value_counts partials → one tiny keyed Sum (O(buckets) rows move)."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["n_chars"].astype("int64") // bucket) * bucket
+        g = b.value_counts().rename_axis("bucket_lo").reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket_lo").aggregate(Sum("n", alias_name="n")))
+
+
+def q_source_quota_sample(sf_dir: str, k: int = 10):
+    """Per-source quota sampling — cap every source at its k lowest doc_ids
+    (the deterministic variant of source-mixing for a training run). Each
+    batch pre-trims to its own top-k per source (≤ k rows/source/batch
+    shuffle), then one bucketed exact rank-filter."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["doc_id"] = df["doc_id"].astype("int64")
+        df["n_chars"] = df["n_chars"].astype("int64")
+        return (df.sort_values(["source", "doc_id"], kind="stable")
+                .groupby("source", sort=False).head(k))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["source", "doc_id"], kind="stable")
+        return b.groupby("source", sort=False).head(k).reset_index(drop=True)
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+    return B.bucketed_map_groups(pruned, ["source"], pick, num_buckets=8)
+
+
 def q_bigram_repetition(sf_dir: str):
     """Gopher-style repetition quality signal: per document, how many word
     bigrams are repeats of an earlier bigram (n_bigrams - n_distinct). A
@@ -1509,6 +1547,19 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                    ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
                             o_orderkey) AS BIGINT) AS tile
         FROM orders
+    """,
+    "doc_length_histogram": """
+        SELECT CAST((n_chars // 100) * 100 AS BIGINT) AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    """,
+    "source_quota_sample": """
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents)
+        WHERE rn <= 10
     """,
     "mad_prices": """
         WITH c AS (SELECT o_orderpriority,

@@ -70,6 +70,7 @@ SQL_CHECKED = [
     "ntile_orders", "mode_quantity_by_flag",
     "dense_rank_orders", "first_last_order", "new_users_daily",
     "corr_price_qty", "bigram_repetition", "mad_prices",
+    "doc_length_histogram", "source_quota_sample",
 ]
 
 

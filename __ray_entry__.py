@@ -70,20 +70,23 @@ def _fetch_decode_stats(sf_dir: str):
 
     def proj(df: pd.DataFrame) -> pd.DataFrame:
         ok = df[df["type_ok"]]
-        return pd.DataFrame({
+        g = (pd.DataFrame({
             "fmt": ok["PDF链接"].str.rsplit(".", n=1).str[-1],
-            "_has_data_resource": ok["_has_data_resource"].astype("int64"),
-        })
+            "flag": ok["_has_data_resource"].astype("int64"),
+        }).groupby("fmt", as_index=False)
+           .agg(n_docs=("flag", "size"), n_with_flag=("flag", "sum")))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
 
-    # groupby in Ray Data (tiny key domain) — the decode output never lands
-    # on the driver; only the ≤#formats-row aggregate does
-    out = (
-        decoded.map_batches(proj, batch_format="pandas")
-        .groupby("fmt")
-        .aggregate(Count(alias_name="n_docs"),
-                   Sum("_has_data_resource", alias_name="n_with_flag"))
-        .to_pandas()
-    )
+    # per-batch partials (≤ #formats rows each) → a domain-sized aggregate;
+    # the decode output never lands on the driver
+    from cninfo_crawler_ray.functions import bucketed as _B
+
+    out = _B.grouped_aggregate_small(
+        decoded.map_batches(proj, batch_format="pandas"), "fmt",
+        [Sum("n_docs", alias_name="n_docs"),
+         Sum("n_with_flag", alias_name="n_with_flag")],
+        key_domain=4).to_pandas()
     return out.sort_values("fmt").reset_index(drop=True)
 
 
@@ -174,10 +177,14 @@ def _decode_psnr_stats(sf_dir: str):
         batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
         concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
     )
-    return (partials.groupby("fmt")
-            .aggregate(Sum("n", alias_name="n"),
-                       Sum("n_psnr_ge_40", alias_name="n_psnr_ge_40"),
-                       Min("min_psnr_db", alias_name="min_psnr_db")))
+    from cninfo_crawler_ray.functions import bucketed as _B
+
+    return _B.grouped_aggregate_small(
+        partials, "fmt",
+        [Sum("n", alias_name="n"),
+         Sum("n_psnr_ge_40", alias_name="n_psnr_ge_40"),
+         Min("min_psnr_db", alias_name="min_psnr_db")],
+        key_domain=4)
 
 
 def _image_features(sf_dir: str):
@@ -271,8 +278,9 @@ def _phash_near_dup_ds(sf_dir: str, bands: int = 4, max_hamming: int = 2):
 
     # same pair surfaces once per shared band: dedup with a keyed aggregate
     # (distributed — nothing lands on the driver in this core)
-    ded = (B.bucketed_map_groups(sh, ["band_key"], pairs_bucket)
-           .groupby(["image_a", "image_b"]).aggregate(Count(alias_name="_n")))
+    ded = B.grouped_aggregate_auto(
+        B.bucketed_map_groups(sh, ["band_key"], pairs_bucket),
+        ["image_a", "image_b"], [Count(alias_name="_n")])
     return ded.select_columns(["image_a", "image_b"])
 
 
@@ -350,8 +358,9 @@ def _image_region_near_dup(sf_dir: str):
                                  "image_id_y": "image_b"})
 
     part = B.bucketed_map_groups(sh, ["qkey"], pairs_bucket)
-    ded = (part.groupby(["image_a", "image_b"])
-           .aggregate(Sum("n_quads", alias_name="n_quads")))
+    ded = B.grouped_aggregate_auto(
+        part, ["image_a", "image_b"],
+        [Sum("n_quads", alias_name="n_quads")])
     out = ded.to_pandas()
     out["n_quads"] = out["n_quads"].astype("int64")
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)

@@ -31,12 +31,64 @@ def _pa_from_pandas(df: pd.DataFrame, preserve_index: bool = False) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=preserve_index).replace_schema_metadata(None)
 
 
+#: bucket-domain multiplier: the sort behind map_groups range-partitions to
+#: ~the input block count, and boundaries are SAMPLED — with exactly as many
+#: distinct bucket values as partitions, adjacent boundaries collide and the
+#: empty partitions surface as schema-less blocks (the "RefBundle with a
+#: different schema" warning). A domain ≫ partition count keeps sampled
+#: boundaries distinct; per-key co-location and O(buckets) vectorized-call
+#: overhead are unchanged (fn is called once per fine bucket).
+BUCKET_FANOUT = 64
+
+
 def add_bucket_column(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.DataFrame:
     """Deterministic per-row hash bucket over one or more key columns."""
     h = pd.util.hash_pandas_object(df[key_cols], index=False)
     df = df.copy()
-    df[BUCKET_COL] = (h % num_buckets).astype("int32")
+    df[BUCKET_COL] = (h % (num_buckets * BUCKET_FANOUT)).astype("int32")
     return df
+
+
+def reduce_parallelism(num_buckets: int, key_domain: int | None) -> int:
+    """Sort-based reduces must not make more range partitions than distinct
+    key values — the surplus partitions come out EMPTY and schema-less
+    (Ray's sort samples boundaries; duplicates are guaranteed when values ≤
+    partitions). Parallelism therefore follows the key domain: a 5-value
+    window key is inherently ≤5-way parallel no matter the cluster. ≥4
+    values per partition keeps sampled boundaries distinct in practice."""
+    if key_domain is None:
+        return num_buckets
+    return max(1, min(num_buckets, key_domain // 4))
+
+
+def grouped_aggregate_small(ds: rd.Dataset, keys, aggs: list,
+                            key_domain: int, cap: int = 8) -> rd.Dataset:
+    """groupby().aggregate() for SMALL key domains: coalesce to a
+    domain-sized block count first so the aggregate's sort never creates
+    empty range partitions. Callers pre-aggregate per batch, so the rows
+    entering here are O(keys × blocks) — the coalesce moves almost nothing."""
+    npart = reduce_parallelism(cap, key_domain)
+    return ds.repartition(npart).groupby(keys).aggregate(*aggs)
+
+
+def grouped_aggregate_auto(ds: rd.Dataset, keys, aggs: list,
+                           rows_per_block: int = 1_000_000) -> rd.Dataset:
+    """groupby().aggregate() for DATA-DEPENDENT key domains (pair dedup,
+    label propagation): Ray's sort-based Aggregate makes ~one output
+    partition per input block, and any partition with no sampled keys is
+    emitted as a schema-less empty block (the "RefBundle with a different
+    schema ... new schema: ." warning — and those untyped empties then
+    poison every dataset a ``materialize()`` captures them into). With no
+    static key-domain hint, size the reduce from the ACTUAL row count:
+    materialize the input (callers hand us pre-aggregated partials or pair
+    candidates — data that the aggregate's own shuffle was about to move
+    through the object store anyway), then coalesce to ~rows_per_block-row
+    partitions. Partition count grows linearly with data, so this stays a
+    wide parallel reduce at cluster scale while a 50-row candidate set gets
+    exactly one partition and can never produce an empty one."""
+    mat = ds.materialize()
+    npart = max(1, mat.count() // rows_per_block + 1)
+    return mat.repartition(npart).groupby(keys).aggregate(*aggs)
 
 
 def bucketed_map_groups(
@@ -44,13 +96,21 @@ def bucketed_map_groups(
     key_cols: list[str],
     bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 32,
+    key_domain: int | None = None,
+    auto_parallelism: bool = False,
 ) -> rd.Dataset:
     """Keyed reduction via hash buckets.
 
     ``bucket_fn`` receives one bucket as a DataFrame containing ALL rows of
     every key hashed to it (the ``_bucket`` column already dropped) and must
     be vectorized across keys (pandas groupby/sort/drop_duplicates — no
-    per-key Python loop)."""
+    per-key Python loop).
+
+    ``auto_parallelism`` sizes the reduce from the ACTUAL row count (one
+    extra materialize of data the sort was about to move anyway) instead of
+    a static hint — for inputs whose key population is data-dependent and
+    can be tiny (pair graphs, survivor sets), where any fixed partition
+    count risks empty schema-less sort partitions at small scale."""
 
     def _add(t: pa.Table) -> pa.Table:
         return _pa_from_pandas(add_bucket_column(t.to_pandas(), key_cols, num_buckets))
@@ -62,7 +122,24 @@ def bucketed_map_groups(
         return _pa_from_pandas(out) if isinstance(out, pd.DataFrame) else out
 
     bucketed = ds.map_batches(_add, batch_format="pyarrow")
-    return bucketed.groupby(BUCKET_COL).map_groups(_apply, batch_format="pandas")
+    # Coalesce BEFORE the keyed sort: map_groups range-partitions to roughly
+    # the input block count, so feeding it N ≫ distinct-buckets blocks yields
+    # EMPTY sort partitions, each emitted as a schema-less block (the
+    # "RefBundle with a different schema" warning and a wasted task per
+    # empty). Partition count follows the key domain (reduce_parallelism);
+    # the repartition is a local split/merge, not a shuffle — the sort right
+    # after is the real exchange.
+    if auto_parallelism:
+        bucketed = bucketed.materialize()
+        # ≥4 distinct bucket values per partition (reduce_parallelism's
+        # rule), ~256k rows per reduce task; tiny inputs get ONE partition,
+        # which cannot be empty
+        npart = max(1, min(bucketed.count() // 262_144 + 1,
+                           num_buckets * BUCKET_FANOUT // 4))
+    else:
+        npart = reduce_parallelism(num_buckets, key_domain)
+    return (bucketed.repartition(npart)
+            .groupby(BUCKET_COL).map_groups(_apply, batch_format="pandas"))
 
 
 def bucketed_attach(
@@ -73,6 +150,7 @@ def bucketed_attach(
     payload_col: str,
     out_col: str,
     num_buckets: int = 32,
+    auto_parallelism: bool = False,
 ) -> rd.Dataset:
     """Distributed hash join: attach ``right[payload_col]`` to every left row
     whose ``key_col`` equals ``right[right_key]`` (inner join, right side
@@ -162,7 +240,8 @@ def bucketed_attach(
     u = left.map_batches(l_prep, batch_format="pandas").union(
         right.map_batches(r_prep, batch_format="pandas")
     )
-    return bucketed_map_groups(u, ["_jk"], join_bucket, num_buckets=num_buckets)
+    return bucketed_map_groups(u, ["_jk"], join_bucket, num_buckets=num_buckets,
+                               auto_parallelism=auto_parallelism)
 
 
 def broadcast_attach(

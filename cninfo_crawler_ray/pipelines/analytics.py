@@ -336,12 +336,11 @@ def q_rollup_revenue(sf_dir: str):
         g = df.groupby(["region", "nation"], as_index=False)["revenue_cents"].sum()
         return _pa_from_pandas(g)
 
-    base = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby(["region", "nation"])
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-        .to_pandas()  # ≤ #nations rows
-    )
+    base = B.grouped_aggregate_small(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["region", "nation"],
+        [Sum("revenue_cents", alias_name="revenue_cents")],
+        key_domain=32).to_pandas()  # ≤ #nations rows
     sub = base.groupby("region", as_index=False)["revenue_cents"].sum()
     sub["nation"] = "ALL"
     total = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
@@ -478,10 +477,11 @@ def q_tfidf_top_term(sf_dir: str):
         return _pa_from_pandas(g)
 
     tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
-    df_counts = (tf.groupby("tok").aggregate(Count(alias_name="df")))
+    df_counts = B.grouped_aggregate_auto(tf, "tok", [Count(alias_name="df")])
     n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
 
-    scored = B.bucketed_attach(tf, "tok", df_counts, "tok", "df", "df")
+    scored = B.bucketed_attach(tf, "tok", df_counts, "tok", "df", "df",
+                               auto_parallelism=True)
 
     def argmax_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -493,7 +493,8 @@ def q_tfidf_top_term(sf_dir: str):
         return pd.DataFrame({"doc_id": top["doc_id"].astype("int64"),
                              "top_term": top["tok"].astype(str)})
 
-    return B.bucketed_map_groups(scored, ["doc_id"], argmax_bucket)
+    return B.bucketed_map_groups(scored, ["doc_id"], argmax_bucket,
+                                 auto_parallelism=True)
 
 
 # ---------------------------------------------------------------------------
@@ -535,11 +536,11 @@ def q_brand_region_revenue(sf_dir: str):
         g = df.groupby(["brand", "region"], as_index=False)["revenue_cents"].sum()
         return _pa_from_pandas(g)
 
-    return (
-        j2.map_batches(partial, batch_format="pandas")
-        .groupby(["brand", "region"])
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-    )
+    return B.grouped_aggregate_small(
+        j2.map_batches(partial, batch_format="pandas"),
+        ["brand", "region"],
+        [Sum("revenue_cents", alias_name="revenue_cents")],
+        key_domain=128)
 
 
 # ---------------------------------------------------------------------------
@@ -600,16 +601,16 @@ def connected_components(nodes: rd.Dataset, pairs,
     for _ in range(max_iters):
         # each node's neighbors' labels, via the distributed hash join
         nbr_labels = B.bucketed_attach(edges, "nbr", labels, "node",
-                                       "label", "nbr_label")
+                                       "label", "nbr_label",
+                                       auto_parallelism=True)
         cand = nbr_labels.map_batches(
             lambda df: _pa_from_pandas(pd.DataFrame(
                 {"node": df["node"].astype("int64"),
                  "label": df["nbr_label"].astype("int64")})),
             batch_format="pandas")
-        labels = (labels.union(cand)
-                  .groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  .materialize())
+        labels = B.grouped_aggregate_auto(
+            labels.union(cand), "node",
+            [Min("label", alias_name="label")]).materialize()
         cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
         if cur_sum == prev_sum:
             break
@@ -707,12 +708,9 @@ def q_approx_distinct_users(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         return _pa_from_pandas(hll_partial(t["user_id"].to_numpy()))
 
-    regs = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("reg")
-        .aggregate(Max("rank", alias_name="rank"))
-        .to_pandas()
-    )
+    regs = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"), "reg",
+        [Max("rank", alias_name="rank")], key_domain=2048).to_pandas()
     approx = hll_estimate(regs)
     exact = (ds.groupby("user_id").aggregate(Count(alias_name="_n"))).count()
     return pd.DataFrame({"n_users_approx": pd.Series([approx], dtype="int64"),
@@ -744,19 +742,15 @@ def q_approx_distinct_by_type(sf_dir: str):
             parts.append(p)
         return _pa_from_pandas(pd.concat(parts, ignore_index=True))
 
-    regs = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "reg"])
-        .aggregate(Max("rank", alias_name="rank"))
-        .to_pandas()  # groups × ≤4096 rows
-    )
-    exact = (
+    regs = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "reg"], [Max("rank", alias_name="rank")],
+        key_domain=8192).to_pandas()  # groups × ≤4096 rows
+    exact = B.grouped_aggregate_small(
         ds.groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_users_exact"))
-        .to_pandas()
-    )
+        .aggregate(Count(alias_name="_n")),
+        "event_type", [Count(alias_name="n_users_exact")],
+        key_domain=8).to_pandas()
     rows = []
     for et, g in regs.groupby("event_type", sort=True):
         rows.append((et, hll_estimate(g[["reg", "rank"]])))
@@ -796,7 +790,7 @@ def q_stratified_sample_events(sf_dir: str, k: int = 50):
 
     return B.bucketed_map_groups(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["event_type"], strat_bucket)
+        ["event_type"], strat_bucket, key_domain=8)
 
 
 # ---------------------------------------------------------------------------
@@ -882,7 +876,8 @@ def q_percent_rank_orders(sf_dir: str):
                              "o_orderpriority": b["o_orderpriority"].to_numpy(),
                              "pct_rank": pct})
 
-    return B.bucketed_map_groups(prepped, ["o_orderpriority"], rank_bucket)
+    return B.bucketed_map_groups(prepped, ["o_orderpriority"], rank_bucket,
+                                 key_domain=5)
 
 
 # ---------------------------------------------------------------------------
@@ -1001,7 +996,8 @@ def q_ntile_orders(sf_dir: str, n: int = 4):
                              "tile": (t_ + 1).astype(np.int64)})
 
     return B.bucketed_map_groups(
-        ds.map_batches(prep, batch_format="pyarrow"), ["o_orderpriority"], tile)
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_orderpriority"],
+        tile, key_domain=5)
 
 
 def q_mode_quantity_by_flag(sf_dir: str):
@@ -1018,9 +1014,10 @@ def q_mode_quantity_by_flag(sf_dir: str):
         g["n"] = g["n"].astype("int64")
         return g
 
-    counts = (ds.map_batches(partial, batch_format="pandas")
-              .groupby(["l_returnflag", "l_quantity"])
-              .aggregate(Sum("n", alias_name="n")))
+    counts = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_quantity"], [Sum("n", alias_name="n")],
+        key_domain=256)
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(["l_returnflag", "n", "l_quantity"],
@@ -1030,7 +1027,8 @@ def q_mode_quantity_by_flag(sf_dir: str):
                              "l_quantity": top["l_quantity"].to_numpy().astype(np.int64),
                              "n": top["n"].to_numpy().astype(np.int64)})
 
-    return B.bucketed_map_groups(counts, ["l_returnflag"], pick, num_buckets=4)
+    return B.bucketed_map_groups(counts, ["l_returnflag"], pick,
+                                 num_buckets=4, key_domain=3)
 
 
 def q_dense_rank_orders(sf_dir: str):
@@ -1068,7 +1066,8 @@ def q_dense_rank_orders(sf_dir: str):
                              "dense_rank": cum - start})
 
     return B.bucketed_map_groups(
-        ds.map_batches(prep, batch_format="pyarrow"), ["o_orderpriority"], rank)
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_orderpriority"],
+        rank, key_domain=5)
 
 
 def q_first_last_order(sf_dir: str):
@@ -1108,7 +1107,10 @@ def q_new_users_daily(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        day = df["ts"].dt.strftime("%Y%m%d").astype("int64")
+        # integer day key without per-row strftime (the string format was
+        # measured at ~5 s per pass at sf0.1): same YYYYMMDD values
+        dt = df["ts"].dt
+        day = (dt.year * 10000 + dt.month * 100 + dt.day).astype("int64")
         g = (pd.DataFrame({"user_id": df["user_id"].astype("int64"), "day": day})
              .groupby("user_id", as_index=False)["day"].min())
         return g
@@ -1147,12 +1149,12 @@ def q_corr_price_qty(sf_dir: str):
               .agg(sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum")))
         return g.merge(g2, on="l_returnflag")
 
-    sums = (ds.map_batches(partial, batch_format="pandas")
-            .groupby("l_returnflag")
-            .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-                       Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
-                       Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
-            .to_pandas())
+    sums = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"), "l_returnflag",
+        [Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+         Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+         Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy")],
+        key_domain=4).to_pandas()
     n = sums["n"].to_numpy(dtype=np.float64)
     sx = sums["sx"].to_numpy(dtype=np.float64)
     sy = sums["sy"].to_numpy(dtype=np.float64)
@@ -1176,8 +1178,9 @@ def q_doc_length_histogram(sf_dir: str, bucket: int = 100):
         g["n"] = g["n"].astype("int64")
         return g
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("bucket_lo").aggregate(Sum("n", alias_name="n")))
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"), "bucket_lo",
+        [Sum("n", alias_name="n")], key_domain=16)
 
 
 def q_source_quota_sample(sf_dir: str, k: int = 10):
@@ -1199,7 +1202,8 @@ def q_source_quota_sample(sf_dir: str, k: int = 10):
         return b.groupby("source", sort=False).head(k).reset_index(drop=True)
 
     pruned = ds.map_batches(partial, batch_format="pandas")
-    return B.bucketed_map_groups(pruned, ["source"], pick, num_buckets=8)
+    return B.bucketed_map_groups(pruned, ["source"], pick, num_buckets=8,
+                                 key_domain=20)
 
 
 def q_bigram_repetition(sf_dir: str):
@@ -1361,11 +1365,10 @@ def q_group_variance(sf_dir: str):
         return _pa_from_pandas(out.astype({"n": "int64", "sd": "int64",
                                            "sdd": "int64"}))
 
-    stats = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("o_orderpriority")
-             .aggregate(Sum("n", alias_name="n"), Sum("sd", alias_name="sd"),
-                        Sum("sdd", alias_name="sdd"))
-             .to_pandas())  # O(groups)
+    stats = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"), "o_orderpriority",
+        [Sum("n", alias_name="n"), Sum("sd", alias_name="sd"),
+         Sum("sdd", alias_name="sdd")], key_domain=5).to_pandas()  # O(groups)
 
     rows = []
     for _, r in stats.iterrows():
@@ -1408,7 +1411,13 @@ def q_pps_sample_orders(sf_dir: str, interval: int = 1_000_000_000,
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
 
-    sums = (prepped.groupby("kbucket").aggregate(Sum("cents", alias_name="s"))
+    def _sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("kbucket", as_index=False)["cents"].sum()
+        return g.rename(columns={"cents": "s"}).astype({"s": "int64"})
+
+    sums = (B.grouped_aggregate_auto(
+                prepped.map_batches(_sum_partial, batch_format="pandas"),
+                "kbucket", [Sum("s", alias_name="s")])
             .to_pandas().sort_values("kbucket"))  # O(key-range/8192) rows
     offsets = dict(zip(
         sums["kbucket"],
@@ -1453,7 +1462,13 @@ def q_pack_sequences(sf_dir: str, budget: int = 2048, bucket_width: int = 8192):
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
 
-    sums = (prepped.groupby("kbucket").aggregate(Sum("n_tokens", alias_name="s"))
+    def _sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("kbucket", as_index=False)["n_tokens"].sum()
+        return g.rename(columns={"n_tokens": "s"}).astype({"s": "int64"})
+
+    sums = (B.grouped_aggregate_auto(
+                prepped.map_batches(_sum_partial, batch_format="pandas"),
+                "kbucket", [Sum("s", alias_name="s")])
             .to_pandas().sort_values("kbucket"))  # O(key-range/8192) rows
     offsets = dict(zip(
         sums["kbucket"],
@@ -1472,7 +1487,8 @@ def q_pack_sequences(sf_dir: str, budget: int = 2048, bucket_width: int = 8192):
             "bin_offset": prev % budget,
         }).astype("int64")
 
-    return B.bucketed_map_groups(prepped, ["kbucket"], scan_bucket)
+    return B.bucketed_map_groups(prepped, ["kbucket"], scan_bucket,
+                                 auto_parallelism=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1503,7 +1519,8 @@ def q_source_doc_concat(sf_dir: str, k: int = 3):
         return g
 
     return B.bucketed_map_groups(
-        ds.map_batches(partial, batch_format="pyarrow"), ["source"], concat_bucket)
+        ds.map_batches(partial, batch_format="pyarrow"), ["source"],
+        concat_bucket, key_domain=20)
 
 
 # ---------------------------------------------------------------------------

@@ -91,17 +91,14 @@ def q_pricing_summary(sf_dir: str):
         )
         return _pa_from_pandas(g, preserve_index=False)
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="base_cents"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
-    )
-    return out
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [Sum("sum_qty", alias_name="sum_qty"),
+         Sum("base_cents", alias_name="base_cents"),
+         Sum("revenue_cents", alias_name="revenue_cents"),
+         Sum("n_rows", alias_name="n_rows")],
+        key_domain=6)
 
 
 # ---------------------------------------------------------------------------
@@ -160,11 +157,16 @@ def q_exact_dedup_docs(sf_dir: str):
 
 def q_distinct_flag_status(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
-    return (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["l_returnflag", "l_linestatus"])
-    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _pa_from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False)
+
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], [Count(alias_name="_n")],
+        key_domain=6,
+    ).select_columns(["l_returnflag", "l_linestatus"])
 
 
 def q_filter_docs_regex(sf_dir: str):
@@ -199,12 +201,11 @@ def q_nation_revenue(sf_dir: str):
             g = df.groupby("n_nationkey", as_index=False)["revenue_cents"].sum()
             return _pa_from_pandas(g, preserve_index=False)
 
-    out = (
+    out = B.grouped_aggregate_small(
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(JoinOrders, batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5)
-        .groupby("n_nationkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-    )
+        .map_batches(JoinOrders, batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5),
+        "n_nationkey", [Sum("revenue_cents", alias_name="revenue_cents")],
+        key_domain=25)
     return out.map_batches(
         lambda df: df.assign(nation=df["n_nationkey"].map(name_by_key)).drop(columns=["n_nationkey"]),
         batch_format="pandas",
@@ -235,7 +236,9 @@ def q_orders_pivot(sf_dir: str):
         return _pa_from_pandas(wide, preserve_index=False)
 
     aggs = [Sum(c, alias_name=c) for c in _PRIO_COLS]
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("o_orderstatus").aggregate(*aggs)
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "o_orderstatus", aggs, key_domain=4)
 
 
 def q_orders_unpivot(sf_dir: str):
@@ -313,12 +316,12 @@ def q_events_hourly(sf_dir: str):
         )
         return _pa_from_pandas(g, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("value_cents", alias_name="value_cents"))
-    )
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [Sum("n_events", alias_name="n_events"),
+         Sum("value_cents", alias_name="value_cents")],
+        key_domain=256)
 
 
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
@@ -341,7 +344,8 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
             .astype({"n_events": "int64", "n_sessions": "int64"})
         )
 
-    return B.bucketed_map_groups(ds, ["user_id"], sessions_bucket)
+    return B.bucketed_map_groups(ds, ["user_id"], sessions_bucket,
+                                 auto_parallelism=True)
 
 
 def q_asof_latest_order(sf_dir: str):
@@ -384,7 +388,8 @@ def q_asof_latest_order(sf_dir: str):
             "o_orderkey": m["o_orderkey"].fillna(-1).astype("int64"),
         })
 
-    return B.bucketed_map_groups(ev.union(od), ["key"], asof_bucket)
+    return B.bucketed_map_groups(ev.union(od), ["key"], asof_bucket,
+                                 auto_parallelism=True)
 
 
 def q_range_join_order_events(sf_dir: str, days: int = 7):
@@ -429,7 +434,8 @@ def q_range_join_order_events(sf_dir: str, days: int = 7):
                              "n_events": n}).astype(
             {"o_orderkey": "int64", "n_events": "int64"})
 
-    return B.bucketed_map_groups(ev.union(od), ["key"], range_bucket)
+    return B.bucketed_map_groups(ev.union(od), ["key"], range_bucket,
+                                 auto_parallelism=True)
 
 
 def q_events_sliding_3h(sf_dir: str):
@@ -448,11 +454,10 @@ def q_events_sliding_3h(sf_dir: str):
         g = df.groupby(["event_type", "hour"], as_index=False).size()
         return _pa_from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
 
-    hourly = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    hourly = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], [Sum("n", alias_name="n")],
+        key_domain=256)
 
     def window_bucket(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
@@ -471,7 +476,8 @@ def q_events_sliding_3h(sf_dir: str):
                                      "n3h": csum[hi] - csum[lo]}))
         return pd.concat(out, ignore_index=True).astype({"n3h": "int64"})
 
-    return B.bucketed_map_groups(hourly, ["event_type"], window_bucket)
+    return B.bucketed_map_groups(hourly, ["event_type"], window_bucket,
+                                 key_domain=8)
 
 
 # ---------------------------------------------------------------------------
@@ -616,8 +622,8 @@ def minhash_lsh_pairs_ds(sf_dir: str, bands: int = 16,
     # pruning — the same selective-read pattern as the fetch store,
     # sources/store.py): per-batch cost is O(batch), no corpus-wide shuffle
     # or broadcast at any scale. Only the verified output reaches the driver.
-    cand = (cand.groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="_n"))
+    cand = (B.grouped_aggregate_auto(cand, ["doc_a", "doc_b"],
+                                     [Count(alias_name="_n")])
             .select_columns(["doc_a", "doc_b"]))
 
     class Verify:
@@ -688,7 +694,8 @@ def q_dedup_retention(sf_dir: str):
         out = keep[~keep.isin(drop)]
         return pd.DataFrame({"doc_id": out.astype("int64")})
 
-    return B.bucketed_map_groups(survivors.union(drops), ["doc_id"], anti_bucket)
+    return B.bucketed_map_groups(survivors.union(drops), ["doc_id"],
+                                 anti_bucket, auto_parallelism=True)
 
 
 def q_customer_order_counts(sf_dir: str):
@@ -721,7 +728,8 @@ def q_customer_order_counts(sf_dir: str):
         out["n_orders"] = out["c_custkey"].map(cnt).fillna(0).astype("int64")
         return out
 
-    return B.bucketed_map_groups(u, ["c_custkey"], outer_bucket)
+    return B.bucketed_map_groups(u, ["c_custkey"], outer_bucket,
+                                 auto_parallelism=True)
 
 
 def q_curation_pipeline(sf_dir: str, min_tokens: int = 30):
@@ -768,7 +776,8 @@ def q_curation_pipeline(sf_dir: str, min_tokens: int = 30):
         return b[["doc_id", "source", "n_tokens"]].astype(
             {"doc_id": "int64", "n_tokens": "int64"})
 
-    surv = B.bucketed_map_groups(gated, ["text_md5"], exact_bucket)
+    surv = B.bucketed_map_groups(gated, ["text_md5"], exact_bucket,
+                                 auto_parallelism=True)
 
     pairs = q_minhash_lsh_dedup(sf_dir)
     if len(pairs):
@@ -788,7 +797,8 @@ def q_curation_pipeline(sf_dir: str, min_tokens: int = 30):
             p = df[(df["side"] == 1) & df["k"].isin(sk)]
             return pd.DataFrame({"doc_id": p["b"].astype("int64")})
 
-        drops = B.bucketed_map_groups(surv_keys.union(pair_rows), ["k"], semi_bucket)
+        drops = B.bucketed_map_groups(surv_keys.union(pair_rows), ["k"],
+                                      semi_bucket, auto_parallelism=True)
 
         surv_tag = surv.map_batches(
             lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
@@ -809,13 +819,20 @@ def q_curation_pipeline(sf_dir: str, min_tokens: int = 30):
             return out[["doc_id", "source", "n_tokens"]].astype(
                 {"doc_id": "int64", "n_tokens": "int64"})
 
-        surv = B.bucketed_map_groups(surv_tag.union(drop_tag), ["doc_id"], anti_bucket)
+        surv = B.bucketed_map_groups(surv_tag.union(drop_tag), ["doc_id"],
+                                 anti_bucket, auto_parallelism=True)
 
-    stats = (
-        surv.groupby("source")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens"))
-        .to_pandas()
-    )
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("source", as_index=False)
+             .agg(n_docs=("n_tokens", "size"),
+                  total_tokens=("n_tokens", "sum")))
+        return g.astype({"n_docs": "int64", "total_tokens": "int64"})
+
+    stats = B.grouped_aggregate_small(
+        surv.map_batches(stats_partial, batch_format="pandas"), "source",
+        [Sum("n_docs", alias_name="n_docs"),
+         Sum("total_tokens", alias_name="total_tokens")],
+        key_domain=64).to_pandas()
     stats["n_docs"] = stats["n_docs"].astype("int64")
     stats["total_tokens"] = stats["total_tokens"].astype("int64")
     return stats.sort_values("source").reset_index(drop=True)
@@ -1014,7 +1031,8 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20, n_blocks: int = 8,
 
         replicated = emb.map_batches(replicate, batch_format="pandas", batch_size=1024)
         allp = B.bucketed_map_groups(replicated, ["pb"], block_pairs,
-                                     num_buckets=n_blocks * n_blocks)
+                                     num_buckets=n_blocks * n_blocks,
+                                     key_domain=n_blocks * n_blocks)
 
     out = (
         allp.to_pandas()
@@ -1164,7 +1182,17 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, stop_cap: int = 1
         return pd.DataFrame(rows, columns=["shingle", "doc_id"])
 
     sh = ds.map_batches(shingle_rows, batch_format="pandas")
-    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n"))
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # exact per batch — every doc's shingles come from one input row, so
+        # one batch holds all of them; the aggregate below merges partials
+        # across batches only for the (rare) block-split case
+        g = df.groupby("doc_id", as_index=False).size().rename(columns={"size": "n"})
+        return g.astype({"n": "int64"})
+
+    sizes = B.grouped_aggregate_auto(
+        sh.map_batches(size_partial, batch_format="pandas"),
+        "doc_id", [Sum("n", alias_name="n")])
 
     def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
         # shingles are hashed whole into one bucket → counts here are exact
@@ -1175,11 +1203,9 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, stop_cap: int = 1
         g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
         return g.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "size": "i"})
 
-    inter = (
-        B.bucketed_map_groups(sh, ["shingle"], pairs_bucket)
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("i", alias_name="i"))
-    )
+    inter = B.grouped_aggregate_auto(
+        B.bucketed_map_groups(sh, ["shingle"], pairs_bucket),
+        ["doc_a", "doc_b"], [Sum("i", alias_name="i")])
     # per-doc shingle counts join back to the pairs distributed (the
     # driver-side id→size dict was O(corpus) memory; VERDICT r01 §4)
     j1 = B.bucketed_attach(inter, "doc_a", sizes, "doc_id", "n", "na")
@@ -1245,13 +1271,13 @@ def q_source_histogram_salted(sf_dir: str, num_salts: int = 8):
         g = df.groupby(["source", "_salt"], as_index=False).size()
         return _pa_from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
 
-    return (
-        ds.map_batches(salt_and_count, batch_format="pyarrow")
-        .groupby(["source", "_salt"])
-        .aggregate(Sum("n", alias_name="n"))          # phase 1: salted
-        .groupby("source")
-        .aggregate(Sum("n", alias_name="n"))          # phase 2: tiny
-    )
+    phase1 = B.grouped_aggregate_small(
+        ds.map_batches(salt_and_count, batch_format="pyarrow"),
+        ["source", "_salt"], [Sum("n", alias_name="n")],
+        key_domain=20 * num_salts)                    # phase 1: salted
+    return B.grouped_aggregate_small(
+        phase1, "source", [Sum("n", alias_name="n")],
+        key_domain=20)                                # phase 2: tiny
 
 
 def q_ann_ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4):
@@ -1448,7 +1474,8 @@ def q_shuffle_shards(sf_dir: str, n_shards: int = 8):
         out["rk"] = df.groupby("shard").cumcount().to_numpy() + 1
         return out.astype({"doc_id": "int64", "shard": "int64", "rk": "int64"})
 
-    return B.bucketed_map_groups(hd, ["shard"], rank_bucket, num_buckets=n_shards)
+    return B.bucketed_map_groups(hd, ["shard"], rank_bucket,
+                                 num_buckets=n_shards, key_domain=n_shards)
 
 
 def q_snapshot_dedup(sf_dir: str, split_id: int = 250, prefix: int = 40):
@@ -1557,7 +1584,8 @@ def export_survivors(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
         return b[["doc_id", "n_tokens"]].astype({"doc_id": "int64",
                                                  "n_tokens": "int64"})
 
-    surv = B.bucketed_map_groups(gated, ["text_md5"], dedup_bucket)
+    surv = B.bucketed_map_groups(gated, ["text_md5"], dedup_bucket,
+                                 auto_parallelism=True)
 
     def shard_col(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
@@ -1584,10 +1612,11 @@ def q_export_pipeline(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
                              "n_docs": np.ones(len(df), dtype=np.int64),
                              "n_tokens": df["n_tokens"].astype("int64")})
 
-    return (surv.map_batches(partial, batch_format="pandas")
-            .groupby("shard")
-            .aggregate(Sum("n_docs", alias_name="n_docs"),
-                       Sum("n_tokens", alias_name="total_tokens")))
+    return B.grouped_aggregate_small(
+        surv.map_batches(partial, batch_format="pandas"), "shard",
+        [Sum("n_docs", alias_name="n_docs"),
+         Sum("n_tokens", alias_name="total_tokens")],
+        key_domain=n_shards)
 
 
 # ---------------------------------------------------------------------------

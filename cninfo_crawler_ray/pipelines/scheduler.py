@@ -273,7 +273,8 @@ def run_scheduled_crawl(
         counters["round_ticks"].append(gate.now_tick)
         counters["round_admitted"].append(n_admitted)
         ds = fr.wave_dataset(verdict["admitted"])
-        decoded = stage2.fetch_decode(ds, corpus_path, cfg, concurrency=concurrency)
+        decoded = stage2.fetch_decode(ds, corpus_path, cfg, concurrency=concurrency,
+                                      nrows_hint=n_admitted)
         _write_round(stage2.long_from_decoded(decoded), rounds_dir, rounds)
         counters["rounds"] = rounds
         if ckpt_dir:

@@ -113,6 +113,7 @@ def fetch_decode(
     *,
     concurrency: int | tuple[int, int] | None = None,
     politeness=None,
+    nrows_hint: int | None = None,
 ) -> rd.Dataset:
     """frontier → decoded docs (streaming; payload bytes dropped after decode
     so only light rows reach the shuffles).
@@ -136,7 +137,15 @@ def fetch_decode(
         import ray as _ray
 
         ncpu = int(_ray.cluster_resources().get("CPU", 32)) if _ray.is_initialized() else 32
-        frontier = frontier.repartition(max(64, ncpu * 8))
+        npart = max(64, ncpu * 8)
+        if nrows_hint is not None:
+            # small waves (scheduler rounds): splitting N rows into >N blocks
+            # makes Ray's repartition pad the shortfall with SCHEMA-LESS
+            # 0-column tables (split_repartition_task_scheduler builds
+            # pyarrow_table_from_pydict({}) for the missing blocks) — keep
+            # every block non-empty instead
+            npart = max(1, min(npart, nrows_hint))
+        frontier = frontier.repartition(npart)
     if cfg.fuse_fetch_decode:
         # one pool doing fetch→decode in-process: payload bytes never enter
         # the object store (see stages.decode.FetchDecode)
@@ -173,8 +182,11 @@ def _bucket_by_doc(t: pa.Table, num_buckets: int) -> pa.Table:
     """Hash documents (PDF链接) into B buckets so the A5+A6 reduce runs one
     vectorized kernel per bucket instead of one Python call per document."""
     df = t.to_pandas()
+    from ..functions.bucketed import BUCKET_FANOUT
+
     df["_bucket"] = (
-        pd.util.hash_pandas_object(df["PDF链接"], index=False) % num_buckets
+        pd.util.hash_pandas_object(df["PDF链接"], index=False)
+        % (num_buckets * BUCKET_FANOUT)
     ).astype("int32")
     return _pa_from_pandas(df, preserve_index=False)
 
@@ -216,7 +228,10 @@ def wide_from_long(long_ds: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
         _bucket_by_doc, fn_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow",
     )
-    return bucketed.groupby("_bucket").map_groups(
+    # coalesce to ≤ num_buckets blocks first — otherwise the map_groups sort
+    # emits one schema-less empty block per surplus input block (see
+    # functions/bucketed.py for the full note)
+    return bucketed.repartition(num_buckets).groupby("_bucket").map_groups(
         lambda b: _pa_from_pandas(_wide_bucket(b.drop(columns=["_bucket"]))),
         batch_format="pandas",
     )

@@ -482,6 +482,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # custom relational operators Ray Data lacks as primitives
         "asof_latest_order": Q.q_asof_latest_order,
         "range_join_order_events": Q.q_range_join_order_events,
+        "funnel_users": Q.q_funnel_users,
+        "sliding_distinct_users_3h": Q.q_sliding_distinct_users_3h,
+        "revenue_share_bps": Q.q_revenue_share_bps,
+        "copurchase_pairs": Q.q_copurchase_pairs,
         # text analysis
         "token_stats": Q.q_token_stats,
         "quality_features": Q.q_quality_features,

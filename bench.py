@@ -143,6 +143,9 @@ def run_bench() -> dict:
         ("dense_rank_orders", A.q_dense_rank_orders),
         ("new_users_daily", A.q_new_users_daily),
         ("bigram_repetition", A.q_bigram_repetition),
+        ("funnel_users", Q.q_funnel_users),
+        ("sliding_distinct_users_3h", Q.q_sliding_distinct_users_3h),
+        ("copurchase_pairs", Q.q_copurchase_pairs),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -1115,8 +1115,9 @@ def q_new_users_daily(sf_dir: str):
              .groupby("user_id", as_index=False)["day"].min())
         return g
 
-    firsts = (ds.map_batches(partial, batch_format="pandas")
-              .groupby("user_id").aggregate(Min("day", alias_name="day")))
+    firsts = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id", [Min("day", alias_name="day")])
 
     def day_counts(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("day", as_index=False).size()
@@ -1433,7 +1434,11 @@ def q_pps_sample_orders(sf_dir: str, interval: int = 1_000_000_000,
         out = b.loc[keep, ["o_orderkey", "cents"]].astype("int64")
         return out
 
-    return B.bucketed_map_groups(prepped, ["kbucket"], scan_bucket)
+    # kbucket = key // 8192, so DISTINCT buckets grow 8192× slower than
+    # rows — keep partitions ≤ distinct/4 with a matching coarse block
+    return B.bucketed_map_groups(prepped, ["kbucket"], scan_bucket,
+                                 auto_parallelism=True,
+                                 rows_per_block=65536)
 
 
 def q_pack_sequences(sf_dir: str, budget: int = 2048, bucket_width: int = 8192):
@@ -1487,8 +1492,11 @@ def q_pack_sequences(sf_dir: str, budget: int = 2048, bucket_width: int = 8192):
             "bin_offset": prev % budget,
         }).astype("int64")
 
+    # kbucket = key // 8192, so DISTINCT buckets grow 8192× slower than
+    # rows — keep partitions ≤ distinct/4 with a matching coarse block
     return B.bucketed_map_groups(prepped, ["kbucket"], scan_bucket,
-                                 auto_parallelism=True)
+                                 auto_parallelism=True,
+                                 rows_per_block=65536)
 
 
 # ---------------------------------------------------------------------------

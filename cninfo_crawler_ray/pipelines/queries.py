@@ -776,8 +776,11 @@ def q_curation_pipeline(sf_dir: str, min_tokens: int = 30):
         return b[["doc_id", "source", "n_tokens"]].astype(
             {"doc_id": "int64", "n_tokens": "int64"})
 
+    # pin the dedup survivors: three branches consume them (semi-join keys,
+    # the tagged anti-join side, and the per-source stats) and a lazy result
+    # would re-run the md5 sort once per consumer
     surv = B.bucketed_map_groups(gated, ["text_md5"], exact_bucket,
-                                 auto_parallelism=True)
+                                 auto_parallelism=True).materialize()
 
     pairs = q_minhash_lsh_dedup(sf_dir)
     if len(pairs):
@@ -1620,10 +1623,199 @@ def q_export_pipeline(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# temporal funnel / windowed distinct / percent-of-total / co-occurrence
+# ---------------------------------------------------------------------------
+
+def q_funnel_users(sf_dir: str):
+    """Sequential funnel: for every ordered event-type pair (a, b), the
+    number of users whose FIRST a strictly precedes their FIRST b — the
+    two-step conversion count an analytics pipeline computes per funnel
+    edge. Shape: per-batch (user, type) min-ts partials → keyed min
+    aggregate (auto-sized), → per-user pair explosion inside one bucketed
+    reduce (vectorized self-merge; ≤ |types|² rows per user) → an
+    O(|types|²) aggregate. The only corpus-sized shuffle is the keyed min."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                           "event_type": df["event_type"],
+                           "t0": df["ts"].astype("int64")})
+             .groupby(["user_id", "event_type"], as_index=False)["t0"].min())
+        return _pa_from_pandas(g)
+
+    firsts = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], [Min("t0", alias_name="t0")])
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(b, on="user_id")
+        m = m[(m["event_type_x"] != m["event_type_y"]) & (m["t0_x"] < m["t0_y"])]
+        g = (m.groupby(["event_type_x", "event_type_y"], as_index=False).size()
+             .rename(columns={"event_type_x": "type_a", "event_type_y": "type_b",
+                              "size": "n_users"}))
+        return g.astype({"n_users": "int64"})
+
+    part = B.bucketed_map_groups(firsts, ["user_id"], pair_bucket,
+                                 auto_parallelism=True)
+    out = B.grouped_aggregate_small(
+        part, ["type_a", "type_b"], [Sum("n_users", alias_name="n_users")],
+        key_domain=64).to_pandas()
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q_sliding_distinct_users_3h(sf_dir: str):
+    """Sliding-window COUNT DISTINCT: per (event_type, hour), the distinct
+    users active in [hour-2h, hour] — the windowed-cardinality cousin of
+    q_events_sliding_3h (which counts events). Distinctness is resolved
+    inside ONE user-keyed bucketed reduce: all observations of a user
+    co-locate, so the ×3 window replication and the (type, window, user)
+    dedup are batch-local; only O(types × hours) partial counts shuffle
+    afterwards. Window hours with no base activity for that type are
+    dropped at the end against the O(types × hours) base-hour set."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def trio(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # normalize to ns first: the parquet column is timestamp[us] and
+        # pandas 2.x keeps the unit, so a bare astype(int64) would yield µs
+        floored = df["ts"].dt.floor("h").astype("datetime64[ns]")
+        hour = (floored.astype("int64") // (3600 * 10**9)).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "hour": hour,
+                          "user_id": df["user_id"].astype("int64")}).drop_duplicates()
+        return _pa_from_pandas(g)
+
+    # pin: two consumers (window counts + the base-hour set) would otherwise
+    # each re-run the event scan
+    trios = ds.map_batches(trio, batch_format="pyarrow").materialize()
+
+    def window_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()  # global (type, hour, user) distinct: user-keyed
+        reps = []
+        for off in range(3):
+            r = b.copy()
+            r["whour"] = r["hour"] + off
+            reps.append(r[["event_type", "whour", "user_id"]])
+        w = pd.concat(reps, ignore_index=True).drop_duplicates()
+        g = (w.groupby(["event_type", "whour"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g.astype({"n": "int64"})
+
+    counts = B.grouped_aggregate_auto(
+        B.bucketed_map_groups(trios, ["user_id"], window_bucket,
+                              auto_parallelism=True),
+        ["event_type", "whour"],
+        [Sum("n", alias_name="n_users_3h")]).to_pandas()
+
+    def base_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_type", "hour"]].drop_duplicates()
+
+    base = B.grouped_aggregate_auto(
+        trios.map_batches(base_partial, batch_format="pandas"),
+        ["event_type", "hour"],
+        [Count(alias_name="_n")]).to_pandas()[["event_type", "hour"]]
+
+    out = counts.merge(base, left_on=["event_type", "whour"],
+                       right_on=["event_type", "hour"])
+    out["hour"] = pd.to_datetime(out["whour"] * 3600, unit="s").dt.strftime(
+        "%Y-%m-%d %H:00:00")
+    out = out[["event_type", "hour", "n_users_3h"]].astype({"n_users_3h": "int64"})
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def q_revenue_share_bps(sf_dir: str):
+    """Percent-of-total normalization: each nation's revenue share in basis
+    points (integer: rev·10⁴ // total). The grouped sums come from the
+    distributed nation_revenue chain; the 25-row result and the scalar
+    total are driver-side by nature."""
+    base = q_nation_revenue(sf_dir).to_pandas()
+    total = int(base["revenue_cents"].sum())
+    base = base.sort_values("nation").reset_index(drop=True)
+    base["share_bps"] = (base["revenue_cents"].astype("int64") * 10000 // total).astype("int64")
+    return base[["nation", "revenue_cents", "share_bps"]]
+
+
+def q_copurchase_pairs(sf_dir: str, min_orders: int = 2):
+    """Market-basket co-occurrence: part pairs bought together in ≥
+    ``min_orders`` distinct orders. The pair explosion runs inside an
+    order-keyed bucketed reduce (orders have ≤7 lineitems, so ≤21 pairs per
+    order — bounded by construction, the analog of ngram_jaccard's stop
+    cap); pair partial counts then reduce under an auto-sized aggregate and
+    the HAVING filter is a stateless map."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return _pa_from_pandas(df.astype({"l_orderkey": "int64",
+                                          "l_partkey": "int64"}))
+
+    def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        m = b.merge(b, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        g = (m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+             .rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b",
+                              "size": "n"}))
+        return g.astype({"n": "int64"})
+
+    part = B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["l_orderkey"],
+        pairs_bucket)
+    agg = B.grouped_aggregate_auto(part, ["part_a", "part_b"],
+                                   [Sum("n", alias_name="n_orders")])
+    return agg.map_batches(
+        lambda df: df[df["n_orders"] >= min_orders].astype(
+            {"part_a": "int64", "part_b": "int64", "n_orders": "int64"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+"funnel_users": """
+        WITH m AS (SELECT user_id, event_type, MIN(ts) AS t0
+                   FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_users
+        FROM m a JOIN m b ON a.user_id = b.user_id
+                         AND a.event_type <> b.event_type
+                         AND a.t0 < b.t0
+        GROUP BY 1, 2
+    """,
+    "sliding_distinct_users_3h": """
+        WITH e AS (SELECT DISTINCT event_type,
+                          CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour,
+                          user_id
+                   FROM events),
+             hrs AS (SELECT DISTINCT event_type, hour FROM e)
+        SELECT h.event_type,
+               strftime(make_timestamp(h.hour * 3600 * 1000000), '%Y-%m-%d %H:00:00') AS hour,
+               COUNT(DISTINCT e.user_id) AS n_users_3h
+        FROM hrs h JOIN e ON e.event_type = h.event_type
+                         AND e.hour BETWEEN h.hour - 2 AND h.hour
+        GROUP BY 1, 2
+    """,
+    "revenue_share_bps": """
+        WITH nr AS (
+          SELECT n.n_name AS nation,
+                 CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name)
+        SELECT nation, revenue_cents,
+               CAST(revenue_cents * 10000 // (SELECT SUM(revenue_cents) FROM nr) AS BIGINT) AS share_bps
+        FROM nr
+    """,
+    "copurchase_pairs": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

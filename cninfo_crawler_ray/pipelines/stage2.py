@@ -228,13 +228,17 @@ def wide_from_long(long_ds: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
         _bucket_by_doc, fn_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow",
     )
-    # coalesce to ≤ num_buckets blocks first — otherwise the map_groups sort
-    # emits one schema-less empty block per surplus input block (see
-    # functions/bucketed.py for the full note)
-    return bucketed.repartition(num_buckets).groupby("_bucket").map_groups(
-        lambda b: _pa_from_pandas(_wide_bucket(b.drop(columns=["_bucket"]))),
-        batch_format="pandas",
-    )
+    # coalesce to ≤ num_buckets blocks, sort on the bucket, and pivot each
+    # partition with ONE _wide_bucket call (the kernel reduces by document
+    # key internally, so the partition-level call is exact; a per-fine-bucket
+    # dispatch cost 2× wall at sf0.1 — see functions/bucketed.py)
+    def _apply_block(b: pd.DataFrame):
+        if "_bucket" not in b.columns:  # schema-less empty sort partition
+            return pa.table({})
+        return _pa_from_pandas(_wide_bucket(b.drop(columns=["_bucket"])))
+
+    return (bucketed.repartition(num_buckets).sort("_bucket")
+            .map_batches(_apply_block, batch_size=None, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,8 @@ SQL_CHECKED = [
     "dense_rank_orders", "first_last_order", "new_users_daily",
     "corr_price_qty", "bigram_repetition", "mad_prices",
     "doc_length_histogram", "source_quota_sample",
+    "funnel_users", "sliding_distinct_users_3h", "revenue_share_bps",
+    "copurchase_pairs",
 ]
 
 

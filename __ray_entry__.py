@@ -486,6 +486,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users_3h": Q.q_sliding_distinct_users_3h,
         "revenue_share_bps": Q.q_revenue_share_bps,
         "copurchase_pairs": Q.q_copurchase_pairs,
+        "cohort_retention": Q.q_cohort_retention,
+        "all_orders_final": Q.q_all_orders_final,
+        "event_paths": Q.q_event_paths,
+        "char_class_stats": Q.q_char_class_stats,
         # text analysis
         "token_stats": Q.q_token_stats,
         "quality_features": Q.q_quality_features,

@@ -146,6 +146,9 @@ def run_bench() -> dict:
         ("funnel_users", Q.q_funnel_users),
         ("sliding_distinct_users_3h", Q.q_sliding_distinct_users_3h),
         ("copurchase_pairs", Q.q_copurchase_pairs),
+        ("cohort_retention", Q.q_cohort_retention),
+        ("event_paths", Q.q_event_paths),
+        ("char_class_stats", Q.q_char_class_stats),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -1769,11 +1769,173 @@ def q_copurchase_pairs(sf_dir: str, min_orders: int = 2):
         batch_format="pandas")
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-seen day, counted on
+    each later active day as (cohort_day, offset_days) → n_active. The
+    classic growth-analytics table, done scale-right: per-batch distinct
+    (user, day) observations, then ONE user-keyed bucketed reduce that
+    derives each user's cohort AND its per-offset activity locally (all of
+    a user's days co-locate), emitting O(cohorts × offsets) partials."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def ud(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        floored = df["ts"].dt.floor("D").astype("datetime64[ns]")
+        day = (floored.astype("int64") // (86400 * 10**9)).astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                          "day": day}).drop_duplicates()
+        return _pa_from_pandas(g)
+
+    def cohort_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()  # global (user, day) distinct: user-keyed
+        day0 = b.groupby("user_id")["day"].transform("min")
+        g = (pd.DataFrame({"day0": day0, "off": b["day"] - day0})
+             .groupby(["day0", "off"], as_index=False).size())
+        return pd.DataFrame({"day0": g["day0"].astype("int64"),
+                             "offset_days": g["off"].astype("int64"),
+                             "n_active": g["size"].astype("int64")})
+
+    part = B.bucketed_map_groups(ds.map_batches(ud, batch_format="pyarrow"),
+                                 ["user_id"], cohort_bucket,
+                                 auto_parallelism=True)
+    out = B.grouped_aggregate_auto(
+        part, ["day0", "offset_days"],
+        [Sum("n_active", alias_name="n_active")]).to_pandas()
+    out["cohort_day"] = pd.to_datetime(out["day0"] * 86400, unit="s").dt.strftime("%Y-%m-%d")
+    out = out[["cohort_day", "offset_days", "n_active"]].astype(
+        {"offset_days": "int64", "n_active": "int64"})
+    return out.sort_values(["cohort_day", "offset_days"]).reset_index(drop=True)
+
+
+def q_all_orders_final(sf_dir: str):
+    """Universal quantifier as one keyed aggregate: customers ALL of whose
+    orders are status 'F' (relational division / NOT EXISTS without the
+    anti-join): per-batch (custkey, n, n_f) partials → keyed sum → keep
+    rows with n == n_f. No per-order data survives the first map."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                           "f": (df["o_orderstatus"] == "F").astype("int64")})
+             .groupby("o_custkey", as_index=False)
+             .agg(n=("f", "size"), n_f=("f", "sum")))
+        return g.astype({"n": "int64", "n_f": "int64"})
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"), "o_custkey",
+        [Sum("n", alias_name="n"), Sum("n_f", alias_name="n_f")])
+    out = agg.map_batches(
+        lambda df: (df.loc[df["n"] == df["n_f"], ["o_custkey", "n"]]
+                    .rename(columns={"n": "n_orders"})
+                    .astype({"o_custkey": "int64", "n_orders": "int64"})),
+        batch_format="pandas").to_pandas()
+    if len(out.columns) == 0:  # Ray to_pandas drops schema on 0-row results
+        out = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                            "n_orders": pd.Series([], dtype="int64")})
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_event_paths(sf_dir: str, k: int = 3):
+    """Path analysis: each user's first ``k`` event types in (ts, event_id)
+    order joined into one '>'-separated path string, counted per path — the
+    user-journey histogram behind funnel design. One user-keyed bucketed
+    reduce derives every path locally (head-k + vectorized string agg); the
+    path histogram is O(|types|^k) rows."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "t": df["ts"].astype("datetime64[ns]").astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+        }))
+
+    def path_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "t", "event_id"], kind="stable")
+        b = b.groupby("user_id", sort=False).head(k)
+        paths = (b.groupby("user_id", sort=False)["event_type"]
+                 .agg(">".join))
+        g = paths.value_counts()
+        return pd.DataFrame({"path": g.index.astype(str),
+                             "n_users": g.to_numpy().astype("int64")})
+
+    part = B.bucketed_map_groups(ds.map_batches(prep, batch_format="pyarrow"),
+                                 ["user_id"], path_bucket,
+                                 auto_parallelism=True)
+    out = B.grouped_aggregate_auto(
+        part, "path", [Sum("n_users", alias_name="n_users")]).to_pandas()
+    return (out.astype({"n_users": "int64"})
+            .sort_values("path").reset_index(drop=True))
+
+
+def q_char_class_stats(sf_dir: str):
+    """Per-source character-class totals (chars / digits / letters /
+    spaces) — corpus composition stats a text-quality dashboard reads.
+    Vectorized str.count per batch; only O(sources) integer partials
+    shuffle."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype(str)
+        g = (pd.DataFrame({
+            "source": df["source"],
+            "n_chars": t.str.len().astype("int64"),
+            "n_digits": t.str.count(r"[0-9]").astype("int64"),
+            "n_alpha": t.str.count(r"[A-Za-z]").astype("int64"),
+            "n_spaces": t.str.count(" ").astype("int64"),
+        }).groupby("source", as_index=False).sum())
+        return g
+
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"), "source",
+        [Sum("n_chars", alias_name="n_chars"),
+         Sum("n_digits", alias_name="n_digits"),
+         Sum("n_alpha", alias_name="n_alpha"),
+         Sum("n_spaces", alias_name="n_spaces")],
+        key_domain=64)
+
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "cohort_retention": """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day
+                    FROM events),
+             f AS (SELECT user_id, MIN(day) AS day0 FROM ud GROUP BY 1)
+        SELECT strftime(make_timestamp(f.day0 * 86400 * 1000000), '%Y-%m-%d') AS cohort_day,
+               ud.day - f.day0 AS offset_days,
+               COUNT(*) AS n_active
+        FROM ud JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "all_orders_final": """
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) = SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+    """,
+    "event_paths": """
+        WITH o AS (SELECT user_id, event_type,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                   FROM events),
+             p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+                   FROM o WHERE rn <= 3 GROUP BY user_id)
+        SELECT path, COUNT(*) AS n_users FROM p GROUP BY 1
+    """,
+    "char_class_stats": """
+        SELECT source,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS n_digits,
+               CAST(SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS n_alpha,
+               CAST(SUM(length(text) - length(regexp_replace(text, ' ', '', 'g'))) AS BIGINT) AS n_spaces
+        FROM documents GROUP BY source
+    """,
 "funnel_users": """
         WITH m AS (SELECT user_id, event_type, MIN(ts) AS t0
                    FROM events GROUP BY 1, 2)

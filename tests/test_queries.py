@@ -72,7 +72,8 @@ SQL_CHECKED = [
     "corr_price_qty", "bigram_repetition", "mad_prices",
     "doc_length_histogram", "source_quota_sample",
     "funnel_users", "sliding_distinct_users_3h", "revenue_share_bps",
-    "copurchase_pairs",
+    "copurchase_pairs", "cohort_retention", "all_orders_final",
+    "event_paths", "char_class_stats",
 ]
 
 

@@ -490,6 +490,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "all_orders_final": Q.q_all_orders_final,
         "event_paths": Q.q_event_paths,
         "char_class_stats": Q.q_char_class_stats,
+        "dup_family_sizes": Q.q_dup_family_sizes,
+        "monthly_order_growth": Q.q_monthly_order_growth,
+        "weekday_histogram": Q.q_weekday_histogram,
+        "top_part_by_flag": Q.q_top_part_by_flag,
         # text analysis
         "token_stats": Q.q_token_stats,
         "quality_features": Q.q_quality_features,

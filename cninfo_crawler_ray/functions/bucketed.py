@@ -143,9 +143,11 @@ def bucketed_map_groups(
 
     def _apply_block(b: pd.DataFrame):
         if BUCKET_COL not in b.columns:
-            # a schema-less empty sort partition (Ray emits 0-column tables
-            # for ranges no sampled key fell into); nothing to type it with
-            # — pass it through, the typed peers carry the real schema
+            # a schema-less empty batch: pass it through, the typed peers
+            # carry the real schema. (Defensive only — Ray's map operator
+            # short-circuits all-empty tasks without calling the UDF, see
+            # map_transformer.py BlocksToBatches, so typing the output here
+            # cannot fix the empty-bundle warning; partition sizing does.)
             return pa.table({})
         out = bucket_fn(b.drop(columns=[BUCKET_COL]))
         # emit arrow so every block of the stage carries one metadata-free

@@ -1898,11 +1898,150 @@ def q_char_class_stats(sf_dir: str):
 
 
 
+def q_dup_family_sizes(sf_dir: str):
+    """Dedup diagnostics: the histogram of exact-duplicate family sizes
+    (how many md5 groups have 1, 2, 3… members) — the first table a dedup
+    report prints. Two keyed reductions, both over pre-aggregated partials:
+    md5 → family size (auto-sized hash reduce), then size → family count
+    (tiny domain)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"text_md5": pa.array(h, pa.string())})
+
+    def fam_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_md5", as_index=False).size().rename(columns={"size": "n"})
+        return g.astype({"n": "int64"})
+
+    fams = B.grouped_aggregate_auto(
+        ds.map_batches(add_hash, batch_format="pyarrow")
+          .map_batches(fam_partial, batch_format="pandas"),
+        "text_md5", [Sum("n", alias_name="n")])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n", as_index=False).size().rename(
+            columns={"n": "family_size", "size": "n_families"})
+        return g.astype({"family_size": "int64", "n_families": "int64"})
+
+    # auto, not grouped_aggregate_small: the histogram partials can be a
+    # single-digit row count, and repartition(8) of fewer-than-8 rows PADS
+    # the shortfall with schema-less empties (split_repartition builds
+    # 0-column tables for the missing blocks)
+    return B.grouped_aggregate_auto(
+        fams.map_batches(hist_partial, batch_format="pandas"),
+        "family_size", [Sum("n_families", alias_name="n_families")])
+
+
+def q_monthly_order_growth(sf_dir: str):
+    """Month-over-month order counts with the LAG delta — the windowed
+    growth table. Per-batch month partials → tiny keyed sum → the lag is a
+    driver-side shift over the O(months) frame."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(df["o_orderdate"])
+        month = (d.dt.year * 100 + d.dt.month).astype("int64")
+        g = month.to_frame("month").groupby("month", as_index=False).size()
+        return g.rename(columns={"size": "n_orders"}).astype({"n_orders": "int64"})
+
+    months = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"),
+        "month", [Sum("n_orders", alias_name="n_orders")],
+        key_domain=512).to_pandas().sort_values("month").reset_index(drop=True)
+    months["delta"] = months["n_orders"].diff().fillna(0).astype("int64")
+    return months.astype({"month": "int64", "n_orders": "int64"})
+
+
+def q_weekday_histogram(sf_dir: str):
+    """Events per weekday. The weekday is computed from epoch days with the
+    SAME closed formula on both engines ((days + 4) % 7, 0 = Sunday) —
+    never from a library weekday whose week-start convention differs
+    between pandas (Monday=0) and DuckDB (Sunday=0)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (df["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64")
+               // (86400 * 10**9))
+        wd = ((day + 4) % 7).astype("int64")
+        g = wd.to_frame("weekday").groupby("weekday", as_index=False).size()
+        return _pa_from_pandas(
+            g.rename(columns={"size": "n_events"}).astype({"n_events": "int64"}))
+
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "weekday", [Sum("n_events", alias_name="n_events")],
+        key_domain=7)
+
+
+def q_top_part_by_flag(sf_dir: str):
+    """Grouped argmax over a derived measure: the part with the highest
+    revenue (cents) per returnflag, ties to the smaller partkey. Partials
+    collapse (flag, part) per batch, an auto-sized hash reduce finishes the
+    sums, and the argmax is one part-keyed... flag-keyed bucket pick."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1 - df["l_discount"].to_numpy()) * 100 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                           "l_partkey": df["l_partkey"].astype("int64"),
+                           "revenue_cents": cents})
+             .groupby(["l_returnflag", "l_partkey"], as_index=False)["revenue_cents"].sum())
+        return g
+
+    sums = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_partkey"],
+        [Sum("revenue_cents", alias_name="revenue_cents")])
+
+    def argmax_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["l_returnflag", "revenue_cents", "l_partkey"],
+                          ascending=[True, False, True], kind="stable")
+        top = b.drop_duplicates("l_returnflag")
+        return pd.DataFrame({"l_returnflag": top["l_returnflag"].astype(str),
+                             "l_partkey": top["l_partkey"].astype("int64"),
+                             "revenue_cents": top["revenue_cents"].astype("int64")})
+
+    return B.bucketed_map_groups(sums, ["l_returnflag"], argmax_bucket,
+                                 key_domain=3)
+
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "dup_family_sizes": """
+        WITH fams AS (SELECT COUNT(*) AS family_size FROM documents GROUP BY md5(text))
+        SELECT family_size, COUNT(*) AS n_families FROM fams GROUP BY 1
+    """,
+    "monthly_order_growth": """
+        WITH m AS (SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                             + EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+                          COUNT(*) AS n_orders
+                   FROM orders GROUP BY 1)
+        SELECT month, n_orders,
+               CAST(COALESCE(n_orders - LAG(n_orders) OVER (ORDER BY month), 0) AS BIGINT) AS delta
+        FROM m
+    """,
+    "weekday_histogram": """
+        SELECT CAST((epoch(date_trunc('day', ts)) // 86400 + 4) % 7 AS BIGINT) AS weekday,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "top_part_by_flag": """
+        WITH s AS (SELECT l_returnflag, l_partkey,
+                          CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                   FROM lineitem GROUP BY 1, 2),
+             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                                ORDER BY revenue_cents DESC, l_partkey ASC) AS rn
+                   FROM s)
+        SELECT l_returnflag, l_partkey, revenue_cents FROM r WHERE rn = 1
+    """,
     "cohort_retention": """
         WITH ud AS (SELECT DISTINCT user_id,
                            CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day

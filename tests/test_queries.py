@@ -73,7 +73,8 @@ SQL_CHECKED = [
     "doc_length_histogram", "source_quota_sample",
     "funnel_users", "sliding_distinct_users_3h", "revenue_share_bps",
     "copurchase_pairs", "cohort_retention", "all_orders_final",
-    "event_paths", "char_class_stats",
+    "event_paths", "char_class_stats", "dup_family_sizes",
+    "monthly_order_growth", "weekday_histogram", "top_part_by_flag",
 ]
 
 

@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_order_growth": Q.q_monthly_order_growth,
         "weekday_histogram": Q.q_weekday_histogram,
         "top_part_by_flag": Q.q_top_part_by_flag,
+        "vocab_growth": Q.q_vocab_growth,
+        "source_vocab_overlap": Q.q_source_vocab_overlap,
         # text analysis
         "token_stats": Q.q_token_stats,
         "quality_features": Q.q_quality_features,

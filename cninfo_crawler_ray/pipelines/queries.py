@@ -2010,11 +2010,122 @@ def q_top_part_by_flag(sf_dir: str):
 
 
 
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary-growth curve (Heaps'-law table): for each doc_id, how
+    many vocabulary terms make their FIRST corpus appearance in it, plus
+    the running vocabulary size in doc_id order. First-occurrence is one
+    token-keyed min reduce over per-batch (tok, min doc_id) partials; the
+    per-doc new-term histogram and its prefix sum run over the O(docs)
+    result."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df.assign(tok=df["text"].str.lower().str.findall(r"[a-z0-9]+"))
+                [["doc_id", "tok"]].explode("tok").dropna(subset=["tok"]))
+        g = toks.groupby("tok", as_index=False)["doc_id"].min()
+        return pd.DataFrame({"tok": g["tok"].astype(str),
+                             "first_doc": g["doc_id"].astype("int64")})
+
+    firsts = B.grouped_aggregate_auto(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        "tok", [Min("first_doc", alias_name="first_doc")])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("first_doc", as_index=False).size()
+             .rename(columns={"first_doc": "doc_id", "size": "new_terms"}))
+        return g.astype({"doc_id": "int64", "new_terms": "int64"})
+
+    out = B.grouped_aggregate_auto(
+        firsts.map_batches(hist_partial, batch_format="pandas"),
+        "doc_id", [Sum("new_terms", alias_name="new_terms")]).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["vocab_size"] = out["new_terms"].cumsum().astype("int64")
+    return out.astype({"doc_id": "int64", "new_terms": "int64"})
+
+
+def q_source_vocab_overlap(sf_dir: str, top_pairs: int = 25):
+    """Source-level set-similarity: for the ``top_pairs`` most-overlapping
+    source pairs, the exact intersection and union sizes of their
+    vocabularies (the integer core of a Jaccard matrix — the ratio is left
+    to the reader so both engines compare integers). Distinct (source, tok)
+    pairs resolve in one token-keyed reduce that also emits every
+    same-token source pair; per-source vocabulary sizes come from the same
+    distinct table, and |A∪B| = |A| + |B| − |A∩B|."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def st_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df.assign(tok=df["text"].str.lower().str.findall(r"[a-z0-9]+"))
+                [["source", "tok"]].explode("tok").dropna(subset=["tok"]))
+        return toks.drop_duplicates().astype({"tok": str})
+
+    st = ds.map_batches(st_partial, batch_format="pandas")
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()  # global (source, tok) distinct: tok-keyed
+        m = b.merge(b, on="tok")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = (m.groupby(["source_x", "source_y"], as_index=False).size()
+                 .rename(columns={"source_x": "source_a",
+                                  "source_y": "source_b", "size": "n_inter"}))
+        sizes = (b.groupby("source", as_index=False).size()
+                 .rename(columns={"size": "n_vocab"}))
+        inter["kind"] = "pair"
+        sizes = pd.DataFrame({"source_a": sizes["source"], "source_b": "",
+                              "n_inter": sizes["n_vocab"], "kind": "size"})
+        out = pd.concat([inter, sizes], ignore_index=True)
+        return out.astype({"n_inter": "int64"})
+
+    part = B.bucketed_map_groups(st, ["tok"], pair_bucket,
+                                 auto_parallelism=True)
+    agg = B.grouped_aggregate_auto(
+        part, ["kind", "source_a", "source_b"],
+        [Sum("n_inter", alias_name="n")]).to_pandas()
+
+    sizes = (agg[agg["kind"] == "size"].set_index("source_a")["n"])
+    pairs = agg[agg["kind"] == "pair"].copy()
+    pairs["n_union"] = (pairs["source_a"].map(sizes).astype("int64")
+                        + pairs["source_b"].map(sizes).astype("int64")
+                        - pairs["n"].astype("int64"))
+    pairs = pairs.rename(columns={"n": "n_inter"})
+    pairs = pairs.sort_values(["n_inter", "source_a", "source_b"],
+                              ascending=[False, True, True]).head(top_pairs)
+    return (pairs[["source_a", "source_b", "n_inter", "n_union"]]
+            .astype({"n_inter": "int64", "n_union": "int64"})
+            .reset_index(drop=True))
+
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "vocab_growth": """
+        WITH w AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                   FROM documents),
+             f AS (SELECT tok, MIN(doc_id) AS doc_id FROM w GROUP BY 1),
+             h AS (SELECT doc_id, COUNT(*) AS new_terms FROM f GROUP BY 1)
+        SELECT doc_id, new_terms,
+               CAST(SUM(new_terms) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+        FROM h
+    """,
+    "source_vocab_overlap": """
+        WITH raw AS (SELECT source,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                     FROM documents),
+             st AS (SELECT DISTINCT source, tok FROM raw),
+             sz AS (SELECT source, COUNT(*) AS n_vocab FROM st GROUP BY 1),
+             inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                              COUNT(*) AS n_inter
+                       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+                       GROUP BY 1, 2)
+        SELECT source_a, source_b, n_inter,
+               CAST(sa.n_vocab + sb.n_vocab - n_inter AS BIGINT) AS n_union
+        FROM inter JOIN sz sa ON sa.source = inter.source_a
+                   JOIN sz sb ON sb.source = inter.source_b
+        ORDER BY n_inter DESC, source_a ASC, source_b ASC LIMIT 25
+    """,
     "dup_family_sizes": """
         WITH fams AS (SELECT COUNT(*) AS family_size FROM documents GROUP BY md5(text))
         SELECT family_size, COUNT(*) AS n_families FROM fams GROUP BY 1

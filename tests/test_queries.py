@@ -75,6 +75,7 @@ SQL_CHECKED = [
     "copurchase_pairs", "cohort_retention", "all_orders_final",
     "event_paths", "char_class_stats", "dup_family_sizes",
     "monthly_order_growth", "weekday_histogram", "top_part_by_flag",
+    "vocab_growth", "source_vocab_overlap",
 ]
 
 

@@ -496,6 +496,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_part_by_flag": Q.q_top_part_by_flag,
         "vocab_growth": Q.q_vocab_growth,
         "source_vocab_overlap": Q.q_source_vocab_overlap,
+        "priority_transitions": Q.q_priority_transitions,
+        "order_gap_stats": Q.q_order_gap_stats,
+        "active_day_streaks": Q.q_active_day_streaks,
+        "bigram_top50": Q.q_bigram_top50,
+        "returns_by_month": Q.q_returns_by_month,
+        "supplier_coverage_hist": Q.q_supplier_coverage_hist,
+        "burst_days": Q.q_burst_days,
+        "customer_rfm": Q.q_customer_rfm,
+        "exclusive_vocab": Q.q_exclusive_vocab,
+        "region_segment_revenue": Q.q_region_segment_revenue,
+        "hourly_peak_per_type": Q.q_hourly_peak_per_type,
         # text analysis
         "token_stats": Q.q_token_stats,
         "quality_features": Q.q_quality_features,

@@ -149,6 +149,12 @@ def run_bench() -> dict:
         ("cohort_retention", Q.q_cohort_retention),
         ("event_paths", Q.q_event_paths),
         ("char_class_stats", Q.q_char_class_stats),
+        ("priority_transitions", Q.q_priority_transitions),
+        ("order_gap_stats", Q.q_order_gap_stats),
+        ("active_day_streaks", Q.q_active_day_streaks),
+        ("bigram_top50", Q.q_bigram_top50),
+        ("returns_by_month", Q.q_returns_by_month),
+        ("supplier_coverage_hist", Q.q_supplier_coverage_hist),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

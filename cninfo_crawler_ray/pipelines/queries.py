@@ -2095,11 +2095,485 @@ def q_source_vocab_overlap(sf_dir: str, top_pairs: int = 25):
 
 
 
+def q_priority_transitions(sf_dir: str):
+    """Markov-style transition counts over each customer's order-priority
+    sequence (orders taken in (date, orderkey) order): how often priority A
+    is followed by priority B. One custkey-keyed bucketed reduce sorts each
+    partition and counts adjacent same-customer pairs with a vectorized
+    shift — the only shuffle is the keyed sort; the 5×5 transition matrix
+    aggregates as O(pairs × partitions) partials."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
+                                  "o_orderpriority"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (pd.to_datetime(df["o_orderdate"]).astype("datetime64[ns]")
+               .astype("int64") // (86400 * 10**9))
+        return _pa_from_pandas(pd.DataFrame(
+            {"o_custkey": df["o_custkey"].astype("int64"),
+             "day": day.astype("int64"),
+             "o_orderkey": df["o_orderkey"].astype("int64"),
+             "prio": df["o_orderpriority"].astype(str)}))
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "day", "o_orderkey"], kind="stable")
+        cust = b["o_custkey"].to_numpy()
+        prio = b["prio"].to_numpy()
+        m = cust[1:] == cust[:-1]
+        pairs = pd.DataFrame({"prio_from": prio[:-1][m], "prio_to": prio[1:][m]})
+        g = pairs.groupby(["prio_from", "prio_to"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    part = B.bucketed_map_groups(ds.map_batches(slim, batch_format="pyarrow"),
+                                 ["o_custkey"], pair_bucket,
+                                 auto_parallelism=True)
+    return B.grouped_aggregate_small(
+        part, ["prio_from", "prio_to"], [Sum("n", alias_name="n")],
+        key_domain=32)
+
+
+def q_order_gap_stats(sf_dir: str):
+    """Per-customer inter-order gap statistics in whole days (count / min /
+    max over consecutive-order deltas, (date, orderkey) order; customers
+    with a single order drop out). Same shape as q_priority_transitions:
+    one keyed sort, adjacency by vectorized shift, per-customer reduction
+    inside the bucket — output is O(customers)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (pd.to_datetime(df["o_orderdate"]).astype("datetime64[ns]")
+               .astype("int64") // (86400 * 10**9))
+        return _pa_from_pandas(pd.DataFrame(
+            {"o_custkey": df["o_custkey"].astype("int64"),
+             "day": day.astype("int64"),
+             "o_orderkey": df["o_orderkey"].astype("int64")}))
+
+    def gap_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "day", "o_orderkey"], kind="stable")
+        cust = b["o_custkey"].to_numpy()
+        day = b["day"].to_numpy()
+        m = cust[1:] == cust[:-1]
+        gaps = pd.DataFrame({"o_custkey": cust[1:][m],
+                             "gap": (day[1:] - day[:-1])[m]})
+        g = gaps.groupby("o_custkey", as_index=False).agg(
+            n_gaps=("gap", "size"), min_gap=("gap", "min"),
+            max_gap=("gap", "max"))
+        return g.astype({"o_custkey": "int64", "n_gaps": "int64",
+                         "min_gap": "int64", "max_gap": "int64"})
+
+    return B.bucketed_map_groups(ds.map_batches(slim, batch_format="pyarrow"),
+                                 ["o_custkey"], gap_bucket,
+                                 auto_parallelism=True)
+
+
+def q_active_day_streaks(sf_dir: str):
+    """Longest consecutive-active-day streak per user (gaps-and-islands).
+    All of a user's observations co-locate in one user-keyed bucket, so the
+    distinct-day dedup, the run segmentation (cumsum over break flags) and
+    the per-user max collapse into one vectorized pass per partition."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (df["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64")
+               // (86400 * 10**9))
+        out = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                            "day": day.astype("int64")}).drop_duplicates()
+        return _pa_from_pandas(out)
+
+    def streak_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates().sort_values(["user_id", "day"], kind="stable")
+        user = b["user_id"].to_numpy()
+        day = b["day"].to_numpy()
+        new_run = np.ones(len(b), dtype=bool)
+        new_run[1:] = (user[1:] != user[:-1]) | (day[1:] != day[:-1] + 1)
+        run_id = np.cumsum(new_run)
+        runs = pd.DataFrame({"user_id": user, "run": run_id})
+        lens = runs.groupby(["user_id", "run"], as_index=False).size()
+        g = lens.groupby("user_id", as_index=False)["size"].max()
+        return g.rename(columns={"size": "max_streak"}).astype(
+            {"user_id": "int64", "max_streak": "int64"})
+
+    return B.bucketed_map_groups(ds.map_batches(days, batch_format="pyarrow"),
+                                 ["user_id"], streak_bucket,
+                                 auto_parallelism=True)
+
+
+def q_bigram_top50(sf_dir: str, k: int = 50):
+    """Global top-k word bigrams by (count desc, bigram asc). Per-batch
+    value_counts is the combiner — adjacency is resolved inside each doc by
+    a vectorized same-row shift over the exploded token frame, so the
+    shuffle moves O(bigram-vocab/batch) partials, never O(tokens). The
+    final rank is a distributed sort + limit over vocabulary-sized data."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (t["text"].to_pandas().str.lower()
+                .str.findall(r"[a-z0-9]+").explode().dropna())
+        row = toks.index.to_numpy()
+        tok = toks.to_numpy()
+        m = row[1:] == row[:-1]
+        bigrams = tok[:-1][m] + " " + tok[1:][m]
+        vc = pd.Series(bigrams).value_counts()
+        return _pa_from_pandas(pd.DataFrame(
+            {"bigram": vc.index.astype(str),
+             "n": vc.to_numpy().astype(np.int64)}))
+
+    counts = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bigram", [Sum("n", alias_name="n")])
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def q_returns_by_month(sf_dir: str):
+    """Return-rate table per ship month: item count, returned count
+    (l_returnflag = 'R'), and the rate in integer basis points
+    (n_returned * 10000 // n_items) so both engines compare integers.
+    Per-batch month partials → one tiny keyed sum → the bps divide runs
+    over the O(months) frame."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        d = pd.to_datetime(df["l_shipdate"])
+        month = (d.dt.year * 100 + d.dt.month).astype("int64")
+        ret = (df["l_returnflag"].astype(str) == "R").astype("int64")
+        g = (pd.DataFrame({"month": month, "n_items": 1, "n_returned": ret})
+             .groupby("month", as_index=False).sum())
+        return _pa_from_pandas(g.astype({"n_items": "int64",
+                                         "n_returned": "int64"}))
+
+    months = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"), "month",
+        [Sum("n_items", alias_name="n_items"),
+         Sum("n_returned", alias_name="n_returned")],
+        key_domain=512).to_pandas()
+    months["return_bps"] = (months["n_returned"] * 10000
+                            // months["n_items"]).astype("int64")
+    return months.sort_values("month").reset_index(drop=True).astype(
+        {"month": "int64", "n_items": "int64", "n_returned": "int64"})
+
+
+def q_supplier_coverage_hist(sf_dir: str):
+    """How many parts are served by exactly k distinct suppliers — a
+    two-level distinct aggregation. The partkey-keyed bucket co-locates
+    every observation of a part, so the (part, supplier) dedup and the
+    per-part count are partition-local; the O(parts) counts then collapse
+    into an O(distinct k) histogram."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["l_partkey", "l_suppkey"]].drop_duplicates()
+        return _pa_from_pandas(df.astype({"l_partkey": "int64",
+                                          "l_suppkey": "int64"}))
+
+    def count_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        c = (b.drop_duplicates().groupby("l_partkey", as_index=False).size()
+             .rename(columns={"size": "n_suppliers"}))
+        h = (c.groupby("n_suppliers", as_index=False).size()
+             .rename(columns={"size": "n_parts"}))
+        return h.astype({"n_suppliers": "int64", "n_parts": "int64"})
+
+    part = B.bucketed_map_groups(ds.map_batches(slim, batch_format="pyarrow"),
+                                 ["l_partkey"], count_bucket,
+                                 auto_parallelism=True)
+    # the k-histogram partials are O(distinct k × partitions) — can be under
+    # ten rows at small scale, where a fixed partition count pads empty
+    # schema-less blocks; auto sizes the reduce from the actual row count
+    return B.grouped_aggregate_auto(
+        part, "n_suppliers", [Sum("n_parts", alias_name="n_parts")])
+
+
+def q_burst_days(sf_dir: str):
+    """Anomaly surfacing: days whose event count is at least TWICE the
+    per-day average, compared in cross-multiplied integers
+    (n_day · n_days ≥ 2 · total) so no float threshold can disagree
+    between engines. The day histogram reduces distributed; the filter
+    runs over the O(days) result."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (df["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64")
+               // (86400 * 10**9))
+        g = (day.to_frame("day").groupby("day", as_index=False).size()
+             .rename(columns={"size": "n_events"}))
+        return _pa_from_pandas(g.astype({"day": "int64", "n_events": "int64"}))
+
+    days = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "day", [Sum("n_events", alias_name="n_events")]).to_pandas()
+    n_days = len(days)
+    total = int(days["n_events"].sum())
+    hot = days[days["n_events"] * n_days >= 2 * total].copy()
+    hot = hot.sort_values("day").reset_index(drop=True)
+    out = pd.DataFrame({
+        "day": pd.to_datetime(hot["day"] * 86400, unit="s").dt.strftime("%Y-%m-%d"),
+        "n_events": hot["n_events"].astype("int64")})
+    return out
+
+
+def q_customer_rfm(sf_dir: str):
+    """The RFM base table: per customer, recency in days against the global
+    latest order date, order frequency, and monetary value in cents. One
+    keyed reduce builds the per-customer partials; the global max-day is a
+    scalar aggregate over that result, applied in a second vectorized map."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (pd.to_datetime(df["o_orderdate"]).astype("datetime64[ns]")
+               .astype("int64") // (86400 * 10**9))
+        g = (pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                           "last_day": day.astype("int64"),
+                           "frequency": 1,
+                           "monetary_cents": _cents(df["o_totalprice"])})
+             .groupby("o_custkey", as_index=False)
+             .agg(last_day=("last_day", "max"), frequency=("frequency", "size"),
+                  monetary_cents=("monetary_cents", "sum")))
+        return _pa_from_pandas(g.astype({"frequency": "int64"}))
+
+    per_cust = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), "o_custkey",
+        [Max("last_day", alias_name="last_day"),
+         Sum("frequency", alias_name="frequency"),
+         Sum("monetary_cents", alias_name="monetary_cents")]).materialize()
+    gmax = int(per_cust.max("last_day"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame(
+            {"o_custkey": df["o_custkey"].astype("int64"),
+             "recency_days": (gmax - df["last_day"]).astype("int64"),
+             "frequency": df["frequency"].astype("int64"),
+             "monetary_cents": df["monetary_cents"].astype("int64")}))
+
+    return per_cust.map_batches(finish, batch_format="pyarrow")
+
+
+def q_exclusive_vocab(sf_dir: str):
+    """Per-source count of vocabulary terms that appear in NO other source —
+    the complement of q_source_vocab_overlap. Distinct (source, tok) pairs
+    co-locate in a token-keyed bucket, where single-source tokens are
+    picked and pre-counted; only O(sources) partials shuffle afterwards."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def st_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df.assign(tok=df["text"].str.lower().str.findall(r"[a-z0-9]+"))
+                [["source", "tok"]].explode("tok").dropna(subset=["tok"]))
+        return toks.drop_duplicates().astype({"tok": str})
+
+    st = ds.map_batches(st_partial, batch_format="pandas")
+
+    def excl_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        ns = b.groupby("tok")["source"].transform("size")
+        solo = b[ns == 1]
+        g = (solo.groupby("source", as_index=False).size()
+             .rename(columns={"size": "n_exclusive"}))
+        return g.astype({"n_exclusive": "int64"})
+
+    part = B.bucketed_map_groups(st, ["tok"], excl_bucket,
+                                 auto_parallelism=True)
+    # O(sources × partitions) partials — a handful of rows; auto-sized
+    # reduce so a fixed partition count can never pad empty blocks
+    out = B.grouped_aggregate_auto(
+        part, "source",
+        [Sum("n_exclusive", alias_name="n_exclusive")]).to_pandas()
+    if len(out.columns) == 0:  # Ray to_pandas drops schema on 0-row results
+        out = pd.DataFrame({"source": pd.Series([], dtype=object),
+                            "n_exclusive": pd.Series([], dtype="int64")})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_region_segment_revenue(sf_dir: str):
+    """Order revenue (cents of o_totalprice) by (customer region, market
+    segment). The fixed dims (nation/region) broadcast as a closure; the
+    scale-growing customer side pre-composes segment+region into ONE
+    payload column so a single adaptive join shuffles the orders once."""
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pq_.read_table(f"{sf_dir}/region.parquet",
+                            columns=["r_regionkey", "r_name"]).to_pandas()
+    region_by_nk = dict(zip(nation["n_nationkey"],
+                            nation["n_regionkey"].map(
+                                dict(zip(region["r_regionkey"], region["r_name"])))))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def compose(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].astype("int64"),
+             "seg_region": (df["c_mktsegment"].astype(str) + "\x1f"
+                            + df["c_nationkey"].map(region_by_nk).astype(str))})
+
+    cust2 = cust.map_batches(compose, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    j = B.attach(orders, "o_custkey", cust2, "c_custkey",
+                 "seg_region", "seg_region")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        parts = df["seg_region"].str.partition("\x1f")
+        g = (pd.DataFrame({"mktsegment": parts[0], "region": parts[2],
+                           "revenue_cents": _cents(df["o_totalprice"])})
+             .groupby(["mktsegment", "region"], as_index=False)["revenue_cents"]
+             .sum())
+        return _pa_from_pandas(g)
+
+    return B.grouped_aggregate_small(
+        j.map_batches(partial, batch_format="pandas"),
+        ["mktsegment", "region"],
+        [Sum("revenue_cents", alias_name="revenue_cents")],
+        key_domain=64)
+
+
+def q_hourly_peak_per_type(sf_dir: str):
+    """Per event type, the hour-of-day with the most events (ties to the
+    earlier hour). The (type, hour) histogram is O(types × 24) after
+    per-batch partials; the argmax runs over that frame."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (pd.DataFrame({"event_type": df["event_type"].astype(str),
+                           "hour": df["ts"].dt.hour.astype("int64")})
+             .groupby(["event_type", "hour"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return _pa_from_pandas(g.astype({"n": "int64"}))
+
+    counts = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], [Sum("n", alias_name="n")],
+        key_domain=256).to_pandas()
+    counts = counts.sort_values(["event_type", "n", "hour"],
+                                ascending=[True, False, True], kind="stable")
+    top = counts.drop_duplicates("event_type").reset_index(drop=True)
+    return top.astype({"hour": "int64", "n": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "burst_days": """
+        WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+                          COUNT(*) AS n_events
+                   FROM events GROUP BY 1)
+        SELECT strftime(make_timestamp(day * 86400 * 1000000), '%Y-%m-%d') AS day,
+               n_events
+        FROM d
+        WHERE n_events * (SELECT COUNT(*) FROM d) >= 2 * (SELECT SUM(n_events) FROM d)
+    """,
+    "customer_rfm": """
+        WITH c AS (SELECT o_custkey,
+                          MAX(CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400
+                                   AS BIGINT)) AS last_day,
+                          COUNT(*) AS frequency,
+                          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                               AS BIGINT) AS monetary_cents
+                   FROM orders GROUP BY 1)
+        SELECT o_custkey,
+               CAST((SELECT MAX(last_day) FROM c) - last_day AS BIGINT) AS recency_days,
+               frequency, monetary_cents
+        FROM c
+    """,
+    "exclusive_vocab": """
+        WITH raw AS (SELECT source,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                     FROM documents),
+             st AS (SELECT DISTINCT source, tok FROM raw),
+             u AS (SELECT tok, MIN(source) AS source
+                   FROM st GROUP BY tok HAVING COUNT(*) = 1)
+        SELECT source, COUNT(*) AS n_exclusive FROM u GROUP BY 1
+    """,
+    "region_segment_revenue": """
+        SELECT c.c_mktsegment AS mktsegment, r.r_name AS region,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    """,
+    "hourly_peak_per_type": """
+        WITH h AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                                ORDER BY n DESC, hour ASC) AS rn
+                   FROM h)
+        SELECT event_type, hour, n FROM r WHERE rn = 1
+    """,
+    "priority_transitions": """
+        WITH o AS (SELECT o_custkey, o_orderpriority,
+                          LAG(o_orderpriority) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS prev
+                   FROM orders)
+        SELECT prev AS prio_from, o_orderpriority AS prio_to, COUNT(*) AS n
+        FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+    """,
+    "order_gap_stats": """
+        WITH o AS (SELECT o_custkey,
+                          CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400
+                               AS BIGINT) AS day,
+                          o_orderkey FROM orders),
+             g AS (SELECT o_custkey,
+                          day - LAG(day) OVER (PARTITION BY o_custkey
+                                               ORDER BY day, o_orderkey) AS gap
+                   FROM o)
+        SELECT o_custkey, COUNT(*) AS n_gaps,
+               CAST(MIN(gap) AS BIGINT) AS min_gap,
+               CAST(MAX(gap) AS BIGINT) AS max_gap
+        FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+    "active_day_streaks": """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day
+                    FROM events),
+             r AS (SELECT user_id, day,
+                          day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                   ORDER BY day) AS grp
+                   FROM ud),
+             runs AS (SELECT user_id, COUNT(*) AS len
+                      FROM r GROUP BY user_id, grp)
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+        FROM runs GROUP BY 1
+    """,
+    "bigram_top50": """
+        WITH w AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+                   FROM documents),
+             t AS (SELECT doc_id, unnest(arr) AS tok,
+                          generate_subscripts(arr, 1) AS pos FROM w),
+             b AS (SELECT doc_id, tok,
+                          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                   FROM t)
+        SELECT tok || ' ' || nxt AS bigram, COUNT(*) AS n
+        FROM b WHERE nxt IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 50
+    """,
+    "returns_by_month": """
+        WITH m AS (SELECT CAST(EXTRACT(year FROM l_shipdate) * 100
+                             + EXTRACT(month FROM l_shipdate) AS BIGINT) AS month,
+                          COUNT(*) AS n_items,
+                          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_returned
+                   FROM lineitem GROUP BY 1)
+        SELECT month, n_items, n_returned,
+               CAST(n_returned * 10000 // n_items AS BIGINT) AS return_bps
+        FROM m
+    """,
+    "supplier_coverage_hist": """
+        WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             c AS (SELECT l_partkey, COUNT(*) AS n_suppliers FROM d GROUP BY 1)
+        SELECT n_suppliers, COUNT(*) AS n_parts FROM c GROUP BY 1
+    """,
     "vocab_growth": """
         WITH w AS (SELECT doc_id,
                           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -76,6 +76,10 @@ SQL_CHECKED = [
     "event_paths", "char_class_stats", "dup_family_sizes",
     "monthly_order_growth", "weekday_histogram", "top_part_by_flag",
     "vocab_growth", "source_vocab_overlap",
+    "priority_transitions", "order_gap_stats", "active_day_streaks",
+    "bigram_top50", "returns_by_month", "supplier_coverage_hist",
+    "burst_days", "customer_rfm", "exclusive_vocab",
+    "region_segment_revenue", "hourly_peak_per_type",
 ]
 
 

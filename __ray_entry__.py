@@ -566,6 +566,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": A.q_doc_length_histogram,
         "source_quota_sample": A.q_source_quota_sample,
         "group_variance": A.q_group_variance,
+        "cume_dist_orders": A.q_cume_dist_orders,
+        "cube_revenue": A.q_cube_revenue,
+        "weighted_avg_disc": A.q_weighted_avg_disc,
+        "systematic_sample_orders": A.q_systematic_sample_orders,
+        "skyline_orders": A.q_skyline_orders,
+        "dup_ngram_docs": A.q_dup_ngram_docs,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -155,6 +155,10 @@ def run_bench() -> dict:
         ("bigram_top50", Q.q_bigram_top50),
         ("returns_by_month", Q.q_returns_by_month),
         ("supplier_coverage_hist", Q.q_supplier_coverage_hist),
+        ("cume_dist_orders", A.q_cume_dist_orders),
+        ("systematic_sample_orders", A.q_systematic_sample_orders),
+        ("skyline_orders", A.q_skyline_orders),
+        ("dup_ngram_docs", A.q_dup_ngram_docs),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

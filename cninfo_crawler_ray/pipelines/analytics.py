@@ -1532,10 +1532,319 @@ def q_source_doc_concat(sf_dir: str, k: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# CUME_DIST — tie-aware cumulative distribution (vs percent_rank's unique
+# order, this one deliberately orders by a NON-unique key so peer-row
+# semantics are exercised)
+# ---------------------------------------------------------------------------
+
+def q_cume_dist_orders(sf_dir: str):
+    """Every order's CUME_DIST within its priority group ordered by cents
+    alone (ties are peers and share a value — rank(method='max')/n, exactly
+    SQL's peer-inclusive count). One keyed shuffle of (group, cents, key);
+    whole groups per bucket make n and the max-rank exact, and the double
+    quotient of two int64s is bit-identical to DuckDB's."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "cents": _cents(df["o_totalprice"]),
+        }))
+
+    def cd_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_orderpriority", sort=False)
+        rk = g["cents"].rank(method="max").to_numpy()  # peers count together
+        n = g["cents"].transform("size").to_numpy()
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(),
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "cume_dist": rk / n,
+        })
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"], cd_bucket, key_domain=5)
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all four groupings of (mktsegment, region) from ONE base aggregate
+# ---------------------------------------------------------------------------
+
+def q_cube_revenue(sf_dir: str):
+    """Revenue by CUBE(mktsegment, region): the finest grouping is the
+    already-shuffled ``q_region_segment_revenue`` aggregate (≤ segments ×
+    regions rows — O(25) at any data scale), and every coarser grouping is
+    derived from it driver-side for free. NULL grouping slots surface as
+    'ALL' so the output is one flat string-keyed table."""
+    from .queries import q_region_segment_revenue
+
+    base = q_region_segment_revenue(sf_dir).to_pandas()
+    by_seg = base.groupby("mktsegment", as_index=False)["revenue_cents"].sum()
+    by_seg["region"] = "ALL"
+    by_reg = base.groupby("region", as_index=False)["revenue_cents"].sum()
+    by_reg["mktsegment"] = "ALL"
+    total = pd.DataFrame({"mktsegment": ["ALL"], "region": ["ALL"],
+                          "revenue_cents": [base["revenue_cents"].sum()]})
+    out = pd.concat([base, by_seg, by_reg, total], ignore_index=True)[
+        ["mktsegment", "region", "revenue_cents"]]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(["mktsegment", "region"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Weighted average — ratio-of-sums as int64 partials + one exact division
+# ---------------------------------------------------------------------------
+
+def q_weighted_avg_disc(sf_dir: str):
+    """Quantity-weighted mean discount per return flag. The distributed part
+    is two int64 partial sums (numerator bps×qty, denominator qty) — order-
+    free and overflow-safe — and the floating division happens exactly once
+    on the final per-group row, so the double is bit-identical to SQL's
+    regardless of how batches were split."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        qty = df["l_quantity"].to_numpy().astype("int64")
+        bps = np.floor(df["l_discount"].to_numpy() * 10_000 + 0.5).astype("int64")
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "sum_qty": qty, "disc_qty_bps": bps * qty})
+        return _pa_from_pandas(g.groupby("l_returnflag", as_index=False).sum())
+
+    agg = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_returnflag"],
+        [Sum("sum_qty", alias_name="sum_qty"),
+         Sum("disc_qty_bps", alias_name="disc_qty_bps")], key_domain=3)
+
+    def ratio(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_qty"] = df["sum_qty"].astype("int64")
+        df["disc_qty_bps"] = df["disc_qty_bps"].astype("int64")
+        df["wavg_disc_bps"] = (df["disc_qty_bps"].to_numpy().astype("float64")
+                               / df["sum_qty"].to_numpy().astype("float64"))
+        return df
+    return agg.map_batches(ratio, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Systematic sampling — exact global ROW_NUMBER without a global sort
+# ---------------------------------------------------------------------------
+
+def q_systematic_sample_orders(sf_dir: str, every: int = 97):
+    """Every ``every``-th order by global o_orderkey order (systematic
+    sampling — complements the hash/PPS/stratified/quota samplers). The
+    global ROW_NUMBER is computed WITHOUT a global sort: phase 1 histograms
+    fixed-width key bins (per-batch partials → one small aggregate; the
+    driver holds O(bins) ≈ keyspace/8192 and broadcasts exclusive prefix
+    offsets), phase 2 shuffles once on the bin and ranks within each bin
+    locally — rank = bin offset + local index. Both phases are
+    key-partitioned, so the operator scales as ordinary keyed reduction."""
+    import ray
+
+    BIN = 8192
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def binc(t: pa.Table) -> pa.Table:
+        b, c = np.unique(t["o_orderkey"].to_numpy() // BIN, return_counts=True)
+        return _pa_from_pandas(pd.DataFrame({"bin": b, "n": c}))
+
+    hist = (B.grouped_aggregate_auto(
+        ds.map_batches(binc, batch_format="pyarrow"),
+        "bin", [Sum("n", alias_name="n")]).to_pandas()
+        .sort_values("bin"))  # O(bins) — keyspace/8192
+    bins = hist["bin"].to_numpy().astype("int64")
+    offs = np.concatenate([[0], hist["n"].to_numpy().astype("int64").cumsum()[:-1]])
+    side = ray.put((bins, offs))
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype("int64")
+        return _pa_from_pandas(pd.DataFrame({"o_orderkey": k, "bin": k // BIN}))
+
+    def rank_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        bs, os_ = ray.get(side)  # local zero-copy after first node fetch
+        b = b.sort_values(["bin", "o_orderkey"], kind="stable")
+        local = b.groupby("bin", sort=False).cumcount().to_numpy()
+        off = os_[np.searchsorted(bs, b["bin"].to_numpy())]
+        rn = off + local + 1
+        keep = (rn - 1) % every == 0
+        return pd.DataFrame({"rn": rn[keep],
+                             "o_orderkey": b["o_orderkey"].to_numpy()[keep]})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["bin"], rank_bucket,
+        auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
+# Skyline (pareto frontier) — Ray Data has no such primitive; local-skyline
+# partials + one tiny reduce (skyline(∪ local skylines) == skyline(all))
+# ---------------------------------------------------------------------------
+
+def _skyline_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D skyline minimizing dd (days), maximizing cents. A row is dominated
+    iff some row has an earlier-or-equal date and a higher-or-equal price
+    with at least one strict — i.e. keep rows beating the strictly-earlier
+    running max AND matching their own day's max."""
+    df = df.sort_values(["dd", "cents"], ascending=[True, False], kind="stable")
+    per_day = df.groupby("dd", sort=False)["cents"].max()  # appearance order = dd asc
+    prior = per_day.cummax().shift(1, fill_value=np.int64(-1))
+    pm = df["dd"].map(prior).to_numpy()
+    sm = df["dd"].map(per_day).to_numpy()
+    c = df["cents"].to_numpy()
+    return df.loc[(c > pm) & (c == sm), ["o_orderkey", "dd", "cents"]]
+
+
+def q_skyline_orders(sf_dir: str):
+    """Pareto-optimal orders over (earliest date, highest value). Each batch
+    reduces to its local skyline (expected O(log n) survivors); survivors —
+    a provably dominance-closed superset of the answer — meet in one final
+    kernel. No global sort, no all-pairs comparison anywhere."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        d = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "dd": (df["o_orderdate"].values.astype("datetime64[D]")
+                   .astype("int64")),
+            "cents": _cents(df["o_totalprice"]),
+        })
+        return _pa_from_pandas(_skyline_kernel(d))
+
+    survivors = ds.map_batches(local, batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_one", pa.array(np.zeros(t.num_rows, dtype="int64")))
+
+    return B.bucketed_map_groups(survivors.map_batches(tag, batch_format="pyarrow"),
+                                 ["_one"], lambda b: _skyline_kernel(b),
+                                 key_domain=1)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-grams (C4/RefinedWeb-style near-dup signal)
+# ---------------------------------------------------------------------------
+
+def q_dup_ngram_docs(sf_dir: str, n: int = 3):
+    """Per document: distinct word trigrams, and how many of them appear in
+    at least one OTHER document. Stage 1 shingles each batch vectorized
+    (``text.word_grams`` — one explode + shifted str.cat) and dedups within
+    the doc; stage 2 shuffles once on the gram and, since every holder of a
+    gram is co-located, emits (doc, is_cross_dup) rows directly — no
+    join-back; stage 3 is an ordinary doc-keyed count/sum. At corpus scale
+    the gram key would be hashed to uint64 to cut shuffle width (collision
+    odds are the birthday bound); kept as the literal string here so the
+    oracle comparison stays exact."""
+    from ..functions import text as T
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = T.word_grams(df["text"], n=n)
+        g["doc_id"] = df["doc_id"].to_numpy()[g["row"].to_numpy()]
+        out = g[["doc_id", "gram"]].drop_duplicates()  # docs never split across batches
+        return _pa_from_pandas(out)
+
+    def gram_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        nd = b.groupby("gram", sort=False)["doc_id"].transform("size").to_numpy()
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "dup": (nd >= 2).astype("int64")})
+
+    flagged = B.bucketed_map_groups(
+        ds.map_batches(shingle, batch_format="pyarrow"), ["gram"],
+        gram_bucket, auto_parallelism=True)
+
+    def doc_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("doc_id", as_index=False).agg(
+            n_grams=("dup", "size"), n_cross_dup=("dup", "sum"))
+        g["n_grams"] = g["n_grams"].astype("int64")
+        g["n_cross_dup"] = g["n_cross_dup"].astype("int64")
+        return g
+
+    return B.bucketed_map_groups(flagged, ["doc_id"], doc_bucket,
+                                 auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
 ANALYTICS_ORACLE_SQL: dict[str, str] = {
+    "cume_dist_orders": """
+        SELECT o_orderkey, o_orderpriority,
+               CUME_DIST() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                   AS cume_dist
+        FROM orders
+    """,
+    "cube_revenue": """
+        WITH j AS (
+            SELECT c.c_mktsegment AS seg, r.r_name AS reg,
+                   CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey)
+        SELECT COALESCE(seg, 'ALL') AS mktsegment,
+               COALESCE(reg, 'ALL') AS region,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY CUBE (seg, reg)
+    """,
+    "weighted_avg_disc": """
+        WITH l AS (SELECT l_returnflag,
+                          CAST(l_quantity AS BIGINT) AS qty,
+                          CAST(FLOOR(l_discount*10000 + 0.5) AS BIGINT) AS bps
+                   FROM lineitem)
+        SELECT l_returnflag,
+               CAST(SUM(qty) AS BIGINT) AS sum_qty,
+               CAST(SUM(bps * qty) AS BIGINT) AS disc_qty_bps,
+               CAST(SUM(bps * qty) AS DOUBLE) / CAST(SUM(qty) AS DOUBLE)
+                   AS wavg_disc_bps
+        FROM l GROUP BY 1
+    """,
+    "systematic_sample_orders": """
+        SELECT rn, o_orderkey FROM (
+            SELECT o_orderkey,
+                   CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
+                       AS rn
+            FROM orders)
+        WHERE (rn - 1) % 97 = 0
+    """,
+    "skyline_orders": """
+        WITH o AS (SELECT o_orderkey,
+                          date_diff('day', DATE '1970-01-01', o_orderdate)
+                              AS dd,
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                              AS cents
+                   FROM orders),
+             m AS (SELECT o_orderkey, dd, cents,
+                          MAX(cents) OVER (
+                              ORDER BY dd
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm,
+                          MAX(cents) OVER (PARTITION BY dd) AS sm
+                   FROM o)
+        SELECT o_orderkey, CAST(dd AS BIGINT) AS dd, cents
+        FROM m WHERE (pm IS NULL OR cents > pm) AND cents = sm
+    """,
+    "dup_ngram_docs": """
+        WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+             t AS (SELECT doc_id,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                   FROM l, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+             g AS (SELECT DISTINCT doc_id, gram FROM t),
+             c AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cross_dup
+        FROM g JOIN c USING (gram) GROUP BY 1
+    """,
     "rolling_sum_orders": """
         SELECT o_orderkey,
                CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (

@@ -80,6 +80,8 @@ SQL_CHECKED = [
     "bigram_top50", "returns_by_month", "supplier_coverage_hist",
     "burst_days", "customer_rfm", "exclusive_vocab",
     "region_segment_revenue", "hourly_peak_per_type",
+    "cume_dist_orders", "cube_revenue", "weighted_avg_disc",
+    "systematic_sample_orders", "skyline_orders", "dup_ngram_docs",
 ]
 
 

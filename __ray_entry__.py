@@ -572,6 +572,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample_orders": A.q_systematic_sample_orders,
         "skyline_orders": A.q_skyline_orders,
         "dup_ngram_docs": A.q_dup_ngram_docs,
+        "copurchase_degree_hist": Q.q_copurchase_degree_hist,
+        "bloom_semi_join_orders": A.q_bloom_semi_join_orders,
+        "lead_next_order": A.q_lead_next_order,
+        "interval_union_days": A.q_interval_union_days,
+        "supplier_brand_diversity": A.q_supplier_brand_diversity,
+        "late_shipments_monthly": A.q_late_shipments_monthly,
+        "json_extract_stats": A.q_json_extract_stats,
+        "type_token_ratio_docs": A.q_type_token_ratio_docs,
+        "decile_docs": A.q_decile_docs,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -159,6 +159,14 @@ def run_bench() -> dict:
         ("systematic_sample_orders", A.q_systematic_sample_orders),
         ("skyline_orders", A.q_skyline_orders),
         ("dup_ngram_docs", A.q_dup_ngram_docs),
+        ("copurchase_degree_hist", Q.q_copurchase_degree_hist),
+        ("bloom_semi_join_orders", A.q_bloom_semi_join_orders),
+        ("interval_union_days", A.q_interval_union_days),
+        ("supplier_brand_diversity", A.q_supplier_brand_diversity),
+        ("late_shipments_monthly", A.q_late_shipments_monthly),
+        ("json_extract_stats", A.q_json_extract_stats),
+        ("type_token_ratio_docs", A.q_type_token_ratio_docs),
+        ("decile_docs", A.q_decile_docs),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

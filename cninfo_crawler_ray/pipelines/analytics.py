@@ -1724,6 +1724,330 @@ def q_skyline_orders(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join — exact result, sketch-sized broadcast
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # 128 KB packed — fixed-size broadcast at any scale
+_BLOOM_K = 4
+
+
+def _bloom_probe_idx(keys: np.ndarray, j: int) -> np.ndarray:
+    """j-th double-hash probe position for each key (Kirsch–Mitzenmacher:
+    h1 + j·h2 covers k independent probes from two mixes)."""
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(keys ^ np.uint64(0xA076_1D64_78BD_642F))
+    return ((h1 + np.uint64(j) * h2) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def q_bloom_semi_join_orders(sf_dir: str, segment: str = "BUILDING"):
+    """Orders belonging to customers of one market segment — a semi-join
+    where the big side is PREFILTERED by a Bloom filter of the small side's
+    keys before the exact join. The filter is a fixed 128 KB bitmap (OR of
+    per-batch partial bitmaps, broadcast once via ray.put), so at 100 TB the
+    orders scan drops every non-member row for free and only the ~f.p. rate
+    of survivors pays the exact adaptive join that removes false positives.
+    Result is EXACT — the bloom only prunes, membership is re-verified."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = df.loc[df["c_mktsegment"] == segment, "c_custkey"].to_numpy()
+        return _pa_from_pandas(pd.DataFrame({"c_custkey": k.astype("int64"),
+                                             "one": np.ones(len(k), dtype="int64")}))
+
+    # materialized once: consumed twice (bitmap build + exact verify join)
+    members = cust.map_batches(seg_keys, batch_format="pyarrow").materialize()
+
+    def partial_bitmap(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy().astype(np.uint64)
+        bits = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+        for j in range(_BLOOM_K):
+            idx = _bloom_probe_idx(k, j)
+            np.bitwise_or.at(bits, idx >> 6,
+                             np.uint64(1) << (idx & 63).astype(np.uint64))
+        nz = np.nonzero(bits)[0]
+        return _pa_from_pandas(pd.DataFrame({"word": nz.astype("int64"),
+                                             "val": bits[nz].astype("int64")}))
+
+    # OR-combine sparse partials: driver holds the FIXED-SIZE bitmap only
+    # (128 KB however big the corpus), never the key list.
+    parts = members.map_batches(partial_bitmap, batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+    if len(parts):
+        ors = parts.groupby("word")["val"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy().astype(np.uint64)))
+        bloom[ors.index.to_numpy()] = ors.to_numpy().astype(np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)  # node-local zero-copy after first fetch
+        k = t["o_custkey"].to_numpy().astype(np.uint64)
+        ok = np.ones(len(k), dtype=bool)
+        for j in range(_BLOOM_K):
+            idx = _bloom_probe_idx(k, j)
+            ok &= (bits[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
+        df = pd.DataFrame({"o_orderkey": t["o_orderkey"].to_numpy().astype("int64")[ok],
+                           "o_custkey": k[ok].astype("int64")})
+        return _pa_from_pandas(df)
+
+    survivors = orders.map_batches(prefilter, batch_format="pyarrow")
+    # exact verification: inner join against the true member set kills the
+    # bloom's false positives (adaptive: broadcast small, shuffle large)
+    exact = B.attach(survivors, "o_custkey", members, "c_custkey",
+                     "one", "_ck")
+    return exact.map_batches(
+        lambda df: df[["o_orderkey", "o_custkey"]], batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LEAD — days until the customer's next order
+# ---------------------------------------------------------------------------
+
+def q_lead_next_order(sf_dir: str):
+    """Per order: days until the same customer's next order (LEAD over the
+    per-customer date order; last orders emit nothing). Same single-shuffle
+    window shape as lag/rolling: co-locate each customer, sort group-
+    contiguously, vectorized shift."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "dd": df["o_orderdate"].values.astype("datetime64[D]").astype("int64"),
+        }))
+
+    def lead_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "dd", "o_orderkey"], kind="stable")
+        nxt = b.groupby("o_custkey", sort=False)["dd"].shift(-1)
+        keep = nxt.notna()
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy()[keep],
+            "days_to_next": (nxt.to_numpy()[keep] - b["dd"].to_numpy()[keep])
+            .astype("int64")})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_custkey"],
+        lead_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Interval union — total days covered by overlapping per-order windows
+# ---------------------------------------------------------------------------
+
+def q_interval_union_days(sf_dir: str, span: int = 7):
+    """Per customer: how many distinct calendar days fall inside the union
+    of that customer's order windows [orderdate, orderdate+span). The
+    classic sweep: sort each customer's intervals, clip every window at the
+    running max end of its predecessors, sum the positive remainders — an
+    exact interval-union without materializing per-day rows (the naive
+    explode is span× the data). One keyed shuffle, vectorized cummax/shift
+    kernel."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "s": df["o_orderdate"].values.astype("datetime64[D]").astype("int64"),
+        }))
+
+    def union_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "s"], kind="stable").copy()
+        e = b["s"] + span
+        cm = e.groupby(b["o_custkey"]).cummax()
+        pme = cm.groupby(b["o_custkey"]).shift(1)
+        start = np.maximum(b["s"].to_numpy(),
+                           pme.fillna(b["s"]).to_numpy().astype("int64"))
+        covered = np.maximum(e.to_numpy() - start, 0)
+        out = pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(),
+                            "covered_days": covered})
+        g = out.groupby("o_custkey", as_index=False).sum()
+        return g.astype({"covered_days": "int64"})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_custkey"],
+        union_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Join + grouped COUNT DISTINCT — attach a dimension, dedup, count
+# ---------------------------------------------------------------------------
+
+def q_supplier_brand_diversity(sf_dir: str):
+    """Distinct part brands shipped per supplier. Brand attaches to each
+    lineitem through the adaptive hash join (broadcast while part is small,
+    bucketed shuffle at scale); the count-distinct is per-batch (supplier,
+    brand) dedup partials → one keyed reduce that dedups exactly and
+    counts — the shuffle carries at most |suppliers|×|brands| rows per
+    batch, not the lineitem stream."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    j = B.attach(li, "l_partkey", part, "p_partkey", "p_brand", "brand")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df[["l_suppkey", "brand"]].drop_duplicates()
+        return _pa_from_pandas(g.astype({"l_suppkey": "int64"}))
+
+    def count_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        g = b.groupby("l_suppkey", as_index=False).size()
+        return pd.DataFrame({"l_suppkey": g["l_suppkey"].astype("int64"),
+                             "n_brands": g["size"].astype("int64")})
+
+    return B.bucketed_map_groups(
+        j.map_batches(partial, batch_format="pandas"), ["l_suppkey"],
+        count_bucket, auto_parallelism=True)  # supplier domain is data-dependent
+
+
+# ---------------------------------------------------------------------------
+# Join + date arithmetic — late-shipment counts per ship month
+# ---------------------------------------------------------------------------
+
+def q_late_shipments_monthly(sf_dir: str, grace_days: int = 60):
+    """Lineitems shipped more than ``grace_days`` after their order date,
+    counted per ship month. The order date attaches to each lineitem as an
+    int day through ONE adaptive join keyed on the fact table's natural key;
+    the filter and month floor are stateless vectorized maps and the final
+    aggregate is O(months)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def oprep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "odd": df["o_orderdate"].values.astype("datetime64[D]").astype("int64"),
+        }))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = B.attach(li, "l_orderkey", orders.map_batches(oprep, batch_format="pyarrow"),
+                 "o_orderkey", "odd", "odd")
+
+    def late(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].values.astype("datetime64[D]")
+        keep = sd.astype("int64") - df["odd"].to_numpy() > grace_days
+        ym = sd[keep].astype("datetime64[M]").astype(str)  # 'YYYY-MM'
+        g = (pd.Series(ym).groupby(ym).size())
+        return _pa_from_pandas(pd.DataFrame({
+            "ship_month": g.index.to_numpy(),
+            "n_late": g.to_numpy().astype("int64")}))
+
+    return B.grouped_aggregate_auto(
+        j.map_batches(late, batch_format="pandas"),
+        "ship_month", [Sum("n_late", alias_name="n_late")])
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction — JSON field stats per event type
+# ---------------------------------------------------------------------------
+
+def q_json_extract_stats(sf_dir: str):
+    """Pull the integer ``k`` out of the events' JSON ``props`` column and
+    aggregate (sum, min, max, count) per event type. Extraction is one
+    vectorized compiled-regex pass per batch (no per-row json.loads — the
+    schema-on-read fast path for flat fields); the aggregate is the usual
+    per-batch partial → small keyed reduce."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = (df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+             .astype("float64"))
+        g = (pd.DataFrame({"event_type": df["event_type"], "k": k})
+             .dropna(subset=["k"]))
+        g["k"] = g["k"].astype("int64")
+        agg = g.groupby("event_type").agg(
+            sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max"),
+            n=("k", "size")).reset_index()
+        return _pa_from_pandas(agg.astype(
+            {"sum_k": "int64", "min_k": "int64", "max_k": "int64", "n": "int64"}))
+
+    agg = B.grouped_aggregate_small(
+        ds.map_batches(extract, batch_format="pyarrow"), ["event_type"],
+        [Sum("sum_k", alias_name="sum_k"), Min("min_k", alias_name="min_k"),
+         Max("max_k", alias_name="max_k"), Sum("n", alias_name="n")],
+        key_domain=8)
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"sum_k": "int64", "min_k": "int64",
+                          "max_k": "int64", "n": "int64"})
+    return agg.map_batches(fix, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio — per-document lexical diversity (no shuffle at all)
+# ---------------------------------------------------------------------------
+
+def q_type_token_ratio_docs(sf_dir: str):
+    """Per document: token count and distinct-token (type) count — the
+    classic lexical-diversity pair, emitted as exact integers (the ratio is
+    the consumer's division). Documents never split across batches, so this
+    is embarrassingly parallel: one vectorized explode + two grouped sizes
+    per batch, zero shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ttr(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ex = df["text"].fillna("").str.split(" ").explode()
+        ids = df["doc_id"].to_numpy()[ex.index.to_numpy()]
+        g = pd.DataFrame({"doc_id": ids, "tok": ex.to_numpy()})
+        n_tok = g.groupby("doc_id").size()
+        n_typ = g.drop_duplicates().groupby("doc_id").size()
+        out = pd.DataFrame({"doc_id": n_tok.index.to_numpy().astype("int64"),
+                            "n_tokens": n_tok.to_numpy().astype("int64"),
+                            "n_types": n_typ.reindex(n_tok.index).to_numpy()
+                            .astype("int64")})
+        return _pa_from_pandas(out)
+
+    return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Global quantile binning — decile label per row without a global sort
+# ---------------------------------------------------------------------------
+
+def q_decile_docs(sf_dir: str):
+    """Assign every document the decile of its length under the GLOBAL
+    n_chars distribution. Phase 1 reuses the binned-histogram trick (unit
+    bins here — n_chars is small-domain) to derive the nine exact
+    quantile_disc boundaries from O(bins) driver state; phase 2 is a
+    stateless broadcast searchsorted — no global sort, no shuffle. Decile =
+    number of boundaries strictly below the value, matching the SQL twin
+    row-for-row including ties ON a boundary."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def binc(t: pa.Table) -> pa.Table:
+        b, c = np.unique(t["n_chars"].to_numpy(), return_counts=True)
+        return _pa_from_pandas(pd.DataFrame({"bin": b.astype("int64"),
+                                             "n": c.astype("int64")}))
+
+    hist = (B.grouped_aggregate_auto(
+        ds.map_batches(binc, batch_format="pyarrow"),
+        "bin", [Sum("n", alias_name="n")]).to_pandas().sort_values("bin"))
+    n = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["bin"].to_numpy()
+    qs = [i / 10 for i in range(1, 10)]
+    # quantile_disc: value at idx = ceil(q*n) - 1 (clamped)
+    bounds = np.array([vals[np.searchsorted(cum, min(max(math.ceil(q * n) - 1, 0), n - 1) + 1,
+                                            side="left")] for q in qs], dtype="int64")
+
+    def label(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy()
+        decile = np.searchsorted(bounds, v, side="left").astype("int64") + 1
+        return _pa_from_pandas(pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy().astype("int64"),
+            "decile": decile}))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Cross-document duplicated n-grams (C4/RefinedWeb-style near-dup signal)
 # ---------------------------------------------------------------------------
 
@@ -1844,6 +2168,87 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_cross_dup
         FROM g JOIN c USING (gram) GROUP BY 1
+    """,
+    "supplier_brand_diversity": """
+        WITH sb AS (SELECT DISTINCT l_suppkey, p_brand
+                    FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_brands
+        FROM sb GROUP BY 1
+    """,
+    "late_shipments_monthly": """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+        GROUP BY 1
+    """,
+    "json_extract_stats": """
+        WITH e AS (SELECT event_type,
+                          CAST(NULLIF(regexp_extract(props,
+                               '"k":\\s*(-?\\d+)', 1), '') AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k,
+               CAST(COUNT(k) AS BIGINT) AS n
+        FROM e WHERE k IS NOT NULL GROUP BY 1
+    """,
+    "type_token_ratio_docs": """
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+        FROM t GROUP BY 1
+    """,
+    "decile_docs": """
+        WITH b AS (SELECT unnest([
+                       quantile_disc(n_chars, 0.1), quantile_disc(n_chars, 0.2),
+                       quantile_disc(n_chars, 0.3), quantile_disc(n_chars, 0.4),
+                       quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.6),
+                       quantile_disc(n_chars, 0.7), quantile_disc(n_chars, 0.8),
+                       quantile_disc(n_chars, 0.9)]) AS q
+                   FROM documents)
+        SELECT d.doc_id,
+               CAST(1 + SUM(CASE WHEN b.q < d.n_chars THEN 1 ELSE 0 END)
+                    AS BIGINT) AS decile
+        FROM documents d CROSS JOIN b GROUP BY 1
+    """,
+    "bloom_semi_join_orders": """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+    """,
+    "lead_next_order": """
+        WITH d AS (
+            SELECT o_orderkey,
+                   date_diff('day', o_orderdate,
+                             LEAD(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey))
+                       AS days_to_next
+            FROM orders)
+        SELECT o_orderkey, CAST(days_to_next AS BIGINT) AS days_to_next
+        FROM d WHERE days_to_next IS NOT NULL
+    """,
+    "interval_union_days": """
+        WITH o AS (SELECT o_custkey,
+                          date_diff('day', DATE '1970-01-01', o_orderdate)
+                              AS s
+                   FROM orders),
+             w AS (SELECT o_custkey, s, s + 7 AS e,
+                          MAX(s + 7) OVER (
+                              PARTITION BY o_custkey ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pme
+                   FROM o)
+        SELECT o_custkey,
+               CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pme, s))))
+                    AS BIGINT) AS covered_days
+        FROM w GROUP BY 1
     """,
     "rolling_sum_orders": """
         SELECT o_orderkey,

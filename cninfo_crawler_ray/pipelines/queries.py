@@ -1735,13 +1735,13 @@ def q_revenue_share_bps(sf_dir: str):
     return base[["nation", "revenue_cents", "share_bps"]]
 
 
-def q_copurchase_pairs(sf_dir: str, min_orders: int = 2):
-    """Market-basket co-occurrence: part pairs bought together in ≥
-    ``min_orders`` distinct orders. The pair explosion runs inside an
-    order-keyed bucketed reduce (orders have ≤7 lineitems, so ≤21 pairs per
-    order — bounded by construction, the analog of ngram_jaccard's stop
-    cap); pair partial counts then reduce under an auto-sized aggregate and
-    the HAVING filter is a stateless map."""
+def _copurchase_pair_counts(sf_dir: str):
+    """Distinct co-purchased part pairs with their order co-occurrence
+    counts — the shared base of q_copurchase_pairs (HAVING filter) and
+    q_copurchase_degree_hist (graph degrees). The pair explosion runs inside
+    an order-keyed bucketed reduce (orders have ≤7 lineitems, so ≤21 pairs
+    per order — bounded by construction, the analog of ngram_jaccard's stop
+    cap); pair partial counts then reduce under an auto-sized aggregate."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -1761,12 +1761,50 @@ def q_copurchase_pairs(sf_dir: str, min_orders: int = 2):
     part = B.bucketed_map_groups(
         ds.map_batches(prep, batch_format="pyarrow"), ["l_orderkey"],
         pairs_bucket)
-    agg = B.grouped_aggregate_auto(part, ["part_a", "part_b"],
-                                   [Sum("n", alias_name="n_orders")])
+    return B.grouped_aggregate_auto(part, ["part_a", "part_b"],
+                                    [Sum("n", alias_name="n_orders")])
+
+
+def q_copurchase_pairs(sf_dir: str, min_orders: int = 2):
+    """Market-basket co-occurrence: part pairs bought together in ≥
+    ``min_orders`` distinct orders (HAVING over the shared pair base)."""
+    agg = _copurchase_pair_counts(sf_dir)
     return agg.map_batches(
         lambda df: df[df["n_orders"] >= min_orders].astype(
             {"part_a": "int64", "part_b": "int64", "n_orders": "int64"}),
         batch_format="pandas")
+
+
+def q_copurchase_degree_hist(sf_dir: str):
+    """Degree distribution of the co-purchase graph: for each part, its
+    number of distinct co-purchased partner parts, histogrammed as
+    (degree → n_parts). Built from the shared pair base: each undirected
+    pair contributes one degree unit to both endpoints (a stateless ×2
+    explode), then two auto-sized keyed aggregates — per-part degree, then
+    the O(max-degree)-row histogram. The canonical shape for graph degree
+    profiles at scale: nothing materializes but the pair list partials."""
+    agg = _copurchase_pair_counts(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        both = pd.DataFrame({
+            "part": np.concatenate([df["part_a"].to_numpy(),
+                                    df["part_b"].to_numpy()]).astype("int64")})
+        both["one"] = np.int64(1)
+        return _pa_from_pandas(both.groupby("part", as_index=False).sum())
+
+    deg = B.grouped_aggregate_auto(
+        agg.map_batches(explode, batch_format="pandas"),
+        "part", [Sum("one", alias_name="degree")])
+
+    def to_hist(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("degree", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "degree": g["degree"].astype("int64"),
+            "n_parts": g["size"].astype("int64")}))
+
+    return B.grouped_aggregate_auto(
+        deg.map_batches(to_hist, batch_format="pandas"),
+        "degree", [Sum("n_parts", alias_name="n_parts")])
 
 
 def q_cohort_retention(sf_dir: str):
@@ -2701,6 +2739,20 @@ ORACLE_SQL: dict[str, str] = {
         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                            AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    "copurchase_degree_hist": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                      AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+             d AS (SELECT part, COUNT(*) AS degree FROM (
+                       SELECT pa AS part FROM p
+                       UNION ALL SELECT pb AS part FROM p)
+                   GROUP BY 1)
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM d GROUP BY 1
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -413,3 +413,34 @@ def test_attach_null_keys_strategy_parity(ray_session):
     pd.testing.assert_frame_equal(bc, bk)
     # NaN-keyed rows (either side) joined nothing
     assert len(bc) == 2 and set(bc["pay"]) == {10, 20}
+
+
+# ---------------------------------------------------------------------------
+# bloom prefilter internals (q_bloom_semi_join_orders)
+# ---------------------------------------------------------------------------
+
+def test_bloom_bitmap_no_false_negatives_and_low_fp():
+    """The packed double-hash bitmap must admit EVERY inserted key (the
+    exactness of the semi-join rests on zero false negatives; false
+    positives are removed by the verify join) and should prune almost all
+    non-members at the sized load factor."""
+    rng = np.random.default_rng(3)
+    members = rng.choice(10_000_000, size=20_000, replace=False).astype(np.uint64)
+    others = (rng.choice(10_000_000, size=50_000, replace=False) + 10_000_000).astype(np.uint64)
+
+    bits = np.zeros(A._BLOOM_BITS // 64, dtype=np.uint64)
+    for j in range(A._BLOOM_K):
+        idx = A._bloom_probe_idx(members, j)
+        np.bitwise_or.at(bits, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+
+    def probe(keys):
+        ok = np.ones(len(keys), dtype=bool)
+        for j in range(A._BLOOM_K):
+            idx = A._bloom_probe_idx(keys, j)
+            ok &= (bits[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
+        return ok
+
+    assert probe(members).all()  # zero false negatives, unconditionally
+    fp = probe(others).mean()
+    # 20k keys in 2^20 bits, k=4 → theoretical fp ≈ (1-e^(-4*20000/2^20))^4 ≈ 3e-5
+    assert fp < 0.01

@@ -82,6 +82,10 @@ SQL_CHECKED = [
     "region_segment_revenue", "hourly_peak_per_type",
     "cume_dist_orders", "cube_revenue", "weighted_avg_disc",
     "systematic_sample_orders", "skyline_orders", "dup_ngram_docs",
+    "copurchase_degree_hist", "bloom_semi_join_orders",
+    "lead_next_order", "interval_union_days",
+    "supplier_brand_diversity", "late_shipments_monthly",
+    "json_extract_stats", "type_token_ratio_docs", "decile_docs",
 ]
 
 

@@ -581,6 +581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_stats": A.q_json_extract_stats,
         "type_token_ratio_docs": A.q_type_token_ratio_docs,
         "decile_docs": A.q_decile_docs,
+        "top_parts_with_ties": A.q_top_parts_with_ties,
+        "daily_active_users": A.q_daily_active_users,
+        "orders_running_share": A.q_orders_running_share,
+        "acctbal_histogram_signed": A.q_acctbal_histogram_signed,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

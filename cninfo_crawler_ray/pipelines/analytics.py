@@ -2048,6 +2048,122 @@ def q_decile_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Tie-inclusive top-k — RANK() ≤ k keeps ALL peers of the k-th value
+# ---------------------------------------------------------------------------
+
+def q_top_parts_with_ties(sf_dir: str, k: int = 3):
+    """Per brand: every part whose RANK() by (retail cents desc) is ≤ k —
+    ties at the boundary are all kept (WITH TIES semantics, vs
+    topk_orders_per_customer's ROW_NUMBER cut). The per-batch partial is
+    still valid under ties: a row with ≤ k-1 strictly-higher rows globally
+    has ≤ k-1 strictly-higher rows in its own batch, so batch-rank ≤ k is a
+    superset of the survivors and the shuffle stays ≈ k rows per
+    (brand, batch) plus boundary peers."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        d = pd.DataFrame({"p_brand": df["p_brand"],
+                          "p_partkey": df["p_partkey"].astype("int64"),
+                          "cents": _cents(df["p_retailprice"])})
+        rk = d.groupby("p_brand")["cents"].rank(method="min", ascending=False)
+        return _pa_from_pandas(d[rk <= k])
+
+    def rank_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        rk = b.groupby("p_brand")["cents"].rank(method="min", ascending=False)
+        out = b[rk <= k].copy()
+        out["rk"] = rk[rk <= k].astype("int64")
+        return out
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["p_brand"],
+        rank_bucket, auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact COUNT DISTINCT per day — dedup partials, never raw streams
+# ---------------------------------------------------------------------------
+
+def q_daily_active_users(sf_dir: str):
+    """Exact distinct users per calendar day (the companion to
+    approx_distinct_users' HLL and new_users_daily's first-seen). Per-batch
+    (day, user) dedup caps the shuffle at distinct observations; the
+    user-dedup then counts inside one keyed reduce."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def ud(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["ts"].values.astype("datetime64[D]").astype(str)
+        g = pd.DataFrame({"day": day,
+                          "user_id": df["user_id"].astype("int64")}).drop_duplicates()
+        return _pa_from_pandas(g)
+
+    def count_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.drop_duplicates().groupby("day", as_index=False).size()
+        return pd.DataFrame({"day": g["day"],
+                             "n_users": g["size"].astype("int64")})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(ud, batch_format="pyarrow"), ["day"], count_bucket,
+        auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
+# Global cumulative share — ordered prefix sum over a small key domain
+# ---------------------------------------------------------------------------
+
+def q_orders_running_share(sf_dir: str):
+    """Per order day: that day's revenue, the running total through that
+    day, and the cumulative share in basis points (int floor). Per-day
+    partial sums shrink the stream to O(days); the prefix scan over the
+    day-ordered totals is O(days) driver state — the same bounded-state
+    shape as pack_sequences' offset scan, legitimate at any corpus size
+    because days grow with TIME, not data volume."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def daysum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({
+            "day": df["o_orderdate"].values.astype("datetime64[D]").astype(str),
+            "day_cents": _cents(df["o_totalprice"]),
+        }).groupby("day", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"day_cents": "int64"}))
+
+    per_day = (B.grouped_aggregate_auto(
+        ds.map_batches(daysum, batch_format="pyarrow"),
+        "day", [Sum("day_cents", alias_name="day_cents")])
+        .to_pandas().sort_values("day").reset_index(drop=True))  # O(days)
+    per_day["day_cents"] = per_day["day_cents"].astype("int64")
+    cum = per_day["day_cents"].cumsum().astype("int64")
+    total = int(per_day["day_cents"].sum())
+    per_day["cum_cents"] = cum
+    per_day["share_bps"] = (cum * 10_000 // max(total, 1)).astype("int64")
+    return per_day
+
+
+# ---------------------------------------------------------------------------
+# Signed equi-width histogram — floored bucketing below zero
+# ---------------------------------------------------------------------------
+
+def q_acctbal_histogram_signed(sf_dir: str, width_cents: int = 50_000):
+    """Customer account balances histogrammed in fixed-width buckets where
+    negative balances FLOOR (bucket −1 covers [−width, 0)) — the edge the
+    truncating integer division of most engines gets wrong. Pure per-batch
+    partials + one tiny keyed aggregate."""
+    ds = _read(sf_dir, "customer", ["c_acctbal"])
+
+    def binc(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"].to_numpy())
+        b, c = np.unique(cents // width_cents, return_counts=True)  # floors
+        return _pa_from_pandas(pd.DataFrame({"bucket": b.astype("int64"),
+                                             "n": c.astype("int64")}))
+
+    return B.grouped_aggregate_auto(
+        ds.map_batches(binc, batch_format="pyarrow"),
+        "bucket", [Sum("n", alias_name="n")])
+
+
+# ---------------------------------------------------------------------------
 # Cross-document duplicated n-grams (C4/RefinedWeb-style near-dup signal)
 # ---------------------------------------------------------------------------
 
@@ -2168,6 +2284,43 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_cross_dup
         FROM g JOIN c USING (gram) GROUP BY 1
+    """,
+    "top_parts_with_ties": """
+        SELECT p_brand, p_partkey, cents, rk FROM (
+            SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey,
+                   CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS cents,
+                   CAST(RANK() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)
+                           DESC) AS BIGINT) AS rk
+            FROM part)
+        WHERE rk <= 3
+    """,
+    "daily_active_users": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    """,
+    "orders_running_share": """
+        WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                          SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS day_cents
+                   FROM orders GROUP BY 1),
+             c AS (SELECT day, day_cents,
+                          SUM(day_cents) OVER (ORDER BY day) AS cum_cents,
+                          SUM(day_cents) OVER () AS total
+                   FROM d)
+        SELECT day, CAST(day_cents AS BIGINT) AS day_cents,
+               CAST(cum_cents AS BIGINT) AS cum_cents,
+               CAST(cum_cents * 10000 // total AS BIGINT) AS share_bps
+        FROM c
+    """,
+    "acctbal_histogram_signed": """
+        WITH b AS (SELECT CAST(FLOOR(
+                       CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) / 50000.0)
+                       AS BIGINT) AS bucket
+                   FROM customer)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1
     """,
     "supplier_brand_diversity": """
         WITH sb AS (SELECT DISTINCT l_suppkey, p_brand

@@ -86,6 +86,8 @@ SQL_CHECKED = [
     "lead_next_order", "interval_union_days",
     "supplier_brand_diversity", "late_shipments_monthly",
     "json_extract_stats", "type_token_ratio_docs", "decile_docs",
+    "top_parts_with_ties", "daily_active_users",
+    "orders_running_share", "acctbal_histogram_signed",
 ]
 
 

@@ -585,6 +585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": A.q_daily_active_users,
         "orders_running_share": A.q_orders_running_share,
         "acctbal_histogram_signed": A.q_acctbal_histogram_signed,
+        "bottomk_hash_sample": A.q_bottomk_hash_sample,
+        "event_value_quantiles": A.q_event_value_quantiles,
+        "kll_quantiles_value": A.q_kll_quantiles_value,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -171,6 +171,9 @@ def run_bench() -> dict:
         ("daily_active_users", A.q_daily_active_users),
         ("orders_running_share", A.q_orders_running_share),
         ("acctbal_histogram_signed", A.q_acctbal_histogram_signed),
+        ("bottomk_hash_sample", A.q_bottomk_hash_sample),
+        ("event_value_quantiles", A.q_event_value_quantiles),
+        ("kll_quantiles_value", A.q_kll_quantiles_value),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

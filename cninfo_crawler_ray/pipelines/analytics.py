@@ -2164,6 +2164,145 @@ def q_acctbal_histogram_signed(sf_dir: str, width_cents: int = 50_000):
 
 
 # ---------------------------------------------------------------------------
+# Bottom-k priority sample — coordination-free uniform sample of fixed size
+# ---------------------------------------------------------------------------
+
+def q_bottomk_hash_sample(sf_dir: str, k: int = 100):
+    """The k documents with the smallest Knuth-hash priority — a bottom-k
+    sketch, i.e. a uniform fixed-SIZE sample (vs hash_sample_docs' fixed
+    RATE) that needs no coordination: every batch keeps its local bottom-k,
+    one tiny reduce keeps the global bottom-k. The shuffle is ≤ k rows per
+    batch no matter the corpus size, and the same hash on a second table
+    yields a coordinated sample (the classic bottom-k join trick)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF)).astype("int64")
+        d = pd.DataFrame({"doc_id": ids.astype("int64"), "h": h})
+        d = d.sort_values(["h", "doc_id"], kind="stable").head(k)
+        d["_one"] = np.int64(0)
+        return _pa_from_pandas(d)
+
+    def bottom_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["h", "doc_id"], kind="stable").head(k)
+        return b[["doc_id", "h"]]
+
+    return B.bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["_one"],
+        bottom_bucket, key_domain=1)
+
+
+# ---------------------------------------------------------------------------
+# Global exact quantiles of a float measure — cents-binned two-phase select
+# ---------------------------------------------------------------------------
+
+def q_event_value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Exact global p50/p90/p99 of the events' value measure (reduced to
+    integer cents). Same two-phase shape as the per-group quantiles: unit
+    cent bins → one keyed aggregate → O(bins) driver cumsum picks the exact
+    quantile_disc values. No sort, no sampling, exact at any scale whose
+    value domain is bounded (cents here: ~50k bins); for genuinely unbounded
+    domains see q_kll_quantiles_value."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def binc(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype("int64")
+        b, c = np.unique(cents, return_counts=True)
+        return _pa_from_pandas(pd.DataFrame({"bin": b, "n": c.astype("int64")}))
+
+    hist = (B.grouped_aggregate_auto(
+        ds.map_batches(binc, batch_format="pyarrow"),
+        "bin", [Sum("n", alias_name="n")]).to_pandas().sort_values("bin"))
+    n = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["bin"].to_numpy()
+    rows = []
+    for q in qs:
+        idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
+        rows.append((int(q * 100), int(vals[np.searchsorted(cum, idx + 1, side="left")])))
+    return pd.DataFrame({"pct": pd.Series([r[0] for r in rows], dtype="int64"),
+                         "value_cents": pd.Series([r[1] for r in rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch — for UNBOUNDED value domains where
+# the exact binned two-phase can't fix a bin width
+# ---------------------------------------------------------------------------
+
+_KLL_K = 512
+
+
+def kll_partial(vals: np.ndarray, k: int = _KLL_K) -> pd.DataFrame:
+    """One batch → a (level, value) summary where a level-L row represents
+    2^L original rows. Deterministic compaction (sorted, alternating parity
+    by level) instead of KLL's coin flip — reproducible across runs; the
+    parity alternation cancels the systematic rank bias of always keeping
+    evens."""
+    levels: dict[int, np.ndarray] = {0: np.asarray(vals, dtype="float64")}
+    return _kll_compact(levels, k)
+
+
+def _kll_compact(levels: dict[int, np.ndarray], k: int) -> pd.DataFrame:
+    lv = 0
+    while lv <= max(levels):
+        arr = levels.get(lv)
+        if arr is not None and len(arr) > 2 * k:
+            arr = np.sort(arr)
+            promoted = arr[(lv & 1)::2]  # half the items, double the weight
+            levels[lv] = np.empty(0, dtype="float64")
+            levels[lv + 1] = np.concatenate(
+                [levels.get(lv + 1, np.empty(0, dtype="float64")), promoted])
+        lv += 1
+    out = [(l, v) for l, a in levels.items() for v in a]
+    df = pd.DataFrame(out, columns=["level", "value"])
+    return df.astype({"level": "int64", "value": "float64"})
+
+
+def kll_merge(parts: pd.DataFrame, k: int = _KLL_K) -> pd.DataFrame:
+    """Merge any number of partial summaries: concat by level, re-compact.
+    Associative up to the deterministic compaction order — rank error stays
+    O(levels/k) regardless of how the stream was split."""
+    levels = {int(l): g["value"].to_numpy(dtype="float64")
+              for l, g in parts.groupby("level")}
+    return _kll_compact(levels, k)
+
+
+def kll_quantile(summary: pd.DataFrame, q: float) -> float:
+    """Weighted quantile over the summary (weight 2^level per row)."""
+    v = summary["value"].to_numpy()
+    w = np.power(2.0, summary["level"].to_numpy())
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    idx = int(np.searchsorted(cw, q * total, side="left"))
+    return float(v[min(idx, len(v) - 1)])
+
+
+def q_kll_quantiles_value(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Approximate global quantiles of events.value via the mergeable KLL
+    summary: per-batch partials (≤ 2k·levels rows each — constant-size
+    shuffle), one small reduce, weighted quantile at the end. This is the
+    scale path for CONTINUOUS/unbounded measures where no bin width works;
+    rank error is property-tested ≤ ~1% at k=512 (tests/test_analytics.py).
+    No SQL oracle — the estimate is definitionally approximate; the driver
+    records the rows-only check and the error bound lives in the tests."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _pa_from_pandas(kll_partial(t["value"].to_numpy()))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    summary = kll_merge(parts)  # O(k·levels) driver state
+    return pd.DataFrame({
+        "pct": pd.Series([int(q * 100) for q in qs], dtype="int64"),
+        "value_est": pd.Series([kll_quantile(summary, q) for q in qs],
+                               dtype="float64")})
+
+
+# ---------------------------------------------------------------------------
 # Cross-document duplicated n-grams (C4/RefinedWeb-style near-dup signal)
 # ---------------------------------------------------------------------------
 
@@ -2284,6 +2423,25 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_cross_dup
         FROM g JOIN c USING (gram) GROUP BY 1
+    """,
+    "bottomk_hash_sample": """
+        SELECT doc_id, h FROM (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+            FROM documents)
+        ORDER BY h, doc_id LIMIT 100
+    """,
+    "event_value_quantiles": """
+        WITH c AS (SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+                   FROM events)
+        SELECT CAST(50 AS BIGINT) AS pct,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS value_cents FROM c
+        UNION ALL
+        SELECT CAST(90 AS BIGINT),
+               CAST(quantile_disc(cents, 0.9) AS BIGINT) FROM c
+        UNION ALL
+        SELECT CAST(99 AS BIGINT),
+               CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
     """,
     "top_parts_with_ties": """
         SELECT p_brand, p_partkey, cents, rk FROM (

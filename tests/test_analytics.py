@@ -444,3 +444,37 @@ def test_bloom_bitmap_no_false_negatives_and_low_fp():
     fp = probe(others).mean()
     # 20k keys in 2^20 bits, k=4 → theoretical fp ≈ (1-e^(-4*20000/2^20))^4 ≈ 3e-5
     assert fp < 0.01
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (q_kll_quantiles_value)
+# ---------------------------------------------------------------------------
+
+def _kll_rank_error(vals, est, q):
+    return abs(np.searchsorted(np.sort(vals), est, side="right") / len(vals) - q)
+
+
+@pytest.mark.parametrize("nsplit", [1, 7, 64])
+def test_kll_rank_error_bound(nsplit):
+    """Rank error of the merged sketch stays ≤ ~1.5% at k=512 however the
+    stream is split into partial summaries (the mergeability property the
+    distributed reduce relies on)."""
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(3.0, 1.5, size=200_000)  # heavy-tailed, continuous
+    parts = pd.concat([A.kll_partial(c) for c in np.array_split(vals, nsplit)],
+                      ignore_index=True)
+    summary = A.kll_merge(parts)
+    # summary is bounded: ≤ 2k rows per level, ~log2(n/k) levels
+    assert len(summary) <= 2 * A._KLL_K * 12
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = A.kll_quantile(summary, q)
+        assert _kll_rank_error(vals, est, q) < 0.015, (q, est)
+
+
+def test_kll_exact_when_under_capacity():
+    """Below 2k items no compaction ever fires, so the sketch is EXACT —
+    the property that makes small-scale results reproducible."""
+    vals = np.arange(1000, dtype="float64")[::-1].copy()
+    s = A.kll_partial(vals)
+    assert (s["level"] == 0).all() and len(s) == 1000
+    assert A.kll_quantile(s, 0.5) == 499.0

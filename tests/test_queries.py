@@ -88,6 +88,7 @@ SQL_CHECKED = [
     "json_extract_stats", "type_token_ratio_docs", "decile_docs",
     "top_parts_with_ties", "daily_active_users",
     "orders_running_share", "acctbal_histogram_signed",
+    "bottomk_hash_sample", "event_value_quantiles",
 ]
 
 
@@ -107,7 +108,7 @@ def test_every_sql_key_has_a_query(entrymod):
 
 
 ROWS_ONLY = ["decode_psnr_stats", "rolling_fingerprint", "simhash", "minhash_lsh_dedup",
-             "ann_lsh_topk", "ann_ivf_topk", "dedup_retention"]
+             "ann_lsh_topk", "ann_ivf_topk", "dedup_retention", "kll_quantiles_value"]
 
 
 def test_chunk_documents_reconstructs(entrymod):

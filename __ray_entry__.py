@@ -223,6 +223,40 @@ def _image_features(sf_dir: str):
     )
 
 
+def _image_size_histogram(sf_dir: str):
+    """Decoded-dimension histogram over the validated image frontier:
+    (width, height) → count, measured from the DECODED pixel arrays inside
+    the fused fetch+decode+featurize actor (zero-copy payload views). The
+    oracle joins the golden frontier to the corpus's stored (w, h) metadata
+    — an independent path from pixel-shape measurement, so a decoder that
+    mis-parses any header dimension fails the gate."""
+    import pyarrow as pa
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+    from ray.data.aggregate import Sum
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+
+    def dims(iid: str, px) -> list[dict]:
+        h, w = px.shape[:2]
+        return [{"w": int(w), "h": int(h), "n": 1}]
+
+    schema = pa.schema([("w", pa.int64()), ("h", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", dims, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["w", "h"], [Sum("n", alias_name="n")])
+
+
 def _phash_near_dup_ds(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     """Image near-dup via perceptual-hash LSH over the corpus ``phash``
     column, as a **Dataset** of verified pairs (image_a < image_b): 16-bit
@@ -604,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_decode_stats": _fetch_decode_stats,
         "wide_report": _wide_report,
         "image_features": _image_features,
+        "image_size_histogram": _image_size_histogram,
         "decode_psnr_stats": _decode_psnr_stats,
         "image_thumbnails": _image_thumbnails,
         "phash_near_dup": _phash_near_dup,
@@ -619,7 +654,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #: correctness scale (sf0.01 ↔ 10k-image fixture) — see tools/make_goldens.py
 #: for provenance and the engine cross-check performed at generation time.
 _GOLDEN_DIR = "/root/repo/goldens/sf0.01"
+def _corpus_10k_path() -> str:
+    from cninfo_crawler_ray.sources.corpus import fixture_dir
+
+    return f"{fixture_dir(10_000)}/corpus.parquet"
+
+
 _CRAWL_ORACLE_SQL = {
+    # decoded pixel shapes vs the corpus's STORED (w, h) metadata joined to
+    # the golden frontier by image id — two independent dimension sources
+    "image_size_histogram": f"""
+        WITH f AS (SELECT regexp_extract("PDF链接", 'img_[0-9]+') AS iid
+                   FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet'))
+        SELECT CAST(c.w AS BIGINT) AS w, CAST(c.h AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM f JOIN read_parquet('{_corpus_10k_path()}') c
+            ON c.image_id = f.iid
+        GROUP BY 1, 2
+    """,
     "crawl_frontier": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')",
     "wide_report": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",
     "scheduled_crawl": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",

@@ -257,6 +257,35 @@ def _image_size_histogram(sf_dir: str):
     return grouped_aggregate_auto(parts, ["w", "h"], [Sum("n", alias_name="n")])
 
 
+def _host_fetch_histogram(sf_dir: str):
+    """Per-host URL counts over the validated frontier — the load profile
+    the politeness planner consumes (hosts × budget = achievable crawl
+    rate). Host extraction is one vectorized split per batch; the aggregate
+    is O(hosts). Oracle: the same regex over the golden frontier."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cninfo_crawler_ray.functions.bucketed import (_pa_from_pandas,
+                                                       grouped_aggregate_auto)
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from ray.data.aggregate import Sum
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        u = t.column("PDF链接").to_pandas()
+        h = u.str.split("/").str[2]
+        g = h.groupby(h).size()
+        return _pa_from_pandas(pd.DataFrame(
+            {"host": g.index.to_numpy(), "n_urls": g.to_numpy().astype("int64")}))
+
+    return grouped_aggregate_auto(
+        frontier.map_batches(hosts, batch_format="pyarrow"),
+        "host", [Sum("n_urls", alias_name="n_urls")])
+
+
 def _phash_near_dup_ds(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     """Image near-dup via perceptual-hash LSH over the corpus ``phash``
     column, as a **Dataset** of verified pairs (image_a < image_b): 16-bit
@@ -639,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wide_report": _wide_report,
         "image_features": _image_features,
         "image_size_histogram": _image_size_histogram,
+        "host_fetch_histogram": _host_fetch_histogram,
         "decode_psnr_stats": _decode_psnr_stats,
         "image_thumbnails": _image_thumbnails,
         "phash_near_dup": _phash_near_dup,
@@ -671,6 +701,12 @@ _CRAWL_ORACLE_SQL = {
         FROM f JOIN read_parquet('{_corpus_10k_path()}') c
             ON c.image_id = f.iid
         GROUP BY 1, 2
+    """,
+    "host_fetch_histogram": f"""
+        SELECT string_split("PDF链接", '/')[3] AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')
+        GROUP BY 1
     """,
     "crawl_frontier": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')",
     "wide_report": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",

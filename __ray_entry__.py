@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_hash_sample": A.q_bottomk_hash_sample,
         "event_value_quantiles": A.q_event_value_quantiles,
         "kll_quantiles_value": A.q_kll_quantiles_value,
+        "late_events_watermark": A.q_late_events_watermark,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -174,6 +174,7 @@ def run_bench() -> dict:
         ("bottomk_hash_sample", A.q_bottomk_hash_sample),
         ("event_value_quantiles", A.q_event_value_quantiles),
         ("kll_quantiles_value", A.q_kll_quantiles_value),
+        ("late_events_watermark", A.q_late_events_watermark),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

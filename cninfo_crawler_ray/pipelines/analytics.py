@@ -2303,6 +2303,80 @@ def q_kll_quantiles_value(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99))
 
 
 # ---------------------------------------------------------------------------
+# Streaming watermark — late-event accounting under arrival order
+# ---------------------------------------------------------------------------
+
+def q_late_events_watermark(sf_dir: str, lateness_us: int = 3_600_000_000):
+    """Per event type: how many events arrived LATE — event time more than
+    one hour behind the watermark (the running max event-time over the
+    arrival order, event_id, at the moment just before the event). This is
+    the allowed-lateness accounting every streaming engine needs; the
+    watermark is a global ordered prefix-MAX, computed with the same
+    sortless binned-offset machinery as systematic_sample_orders' prefix
+    count: per-bin max partials → O(bins) driver prefix-max (exclusive
+    carry-in per bin, broadcast) → one bin-keyed shuffle where each bin
+    resolves its strictly-before running max locally. Works for any monoid
+    (sum → row numbers, max → watermarks)."""
+    import ray
+
+    BIN = 8192
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def binmax(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({"bin": df["event_id"].to_numpy().astype("int64") // BIN,
+                          "mx": df["ts"].values.astype("datetime64[us]").astype("int64")})
+        return _pa_from_pandas(g.groupby("bin", as_index=False).max())
+
+    hist = (B.grouped_aggregate_auto(
+        ds.map_batches(binmax, batch_format="pyarrow"),
+        "bin", [Max("mx", alias_name="mx")]).to_pandas().sort_values("bin"))
+    bins = hist["bin"].to_numpy().astype("int64")
+    # exclusive carry-in: max over all STRICTLY EARLIER bins
+    carry = np.concatenate([[np.int64(np.iinfo("int64").min)],
+                            np.maximum.accumulate(hist["mx"].to_numpy().astype("int64"))[:-1]])
+    side = ray.put((bins, carry))
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "tsu": df["ts"].values.astype("datetime64[us]").astype("int64"),
+            "event_type": df["event_type"],
+            "bin": df["event_id"].to_numpy().astype("int64") // BIN,
+        }))
+
+    def late_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        bs, cs = ray.get(side)
+        b = b.sort_values(["bin", "event_id"], kind="stable")
+        ts = b["tsu"].to_numpy()
+        # strictly-before running max within the bin, then carry-in
+        g = b.groupby("bin", sort=False)["tsu"]
+        run = g.cummax().to_numpy()
+        prev = g.shift(1)  # NaN on each bin's first row
+        local_before = np.where(prev.notna(), np.roll(run, 1), np.iinfo("int64").min)
+        wm = np.maximum(local_before, cs[np.searchsorted(bs, b["bin"].to_numpy())])
+        # compare without subtracting: the int64-min "no watermark yet"
+        # sentinel would underflow in (wm - ts) and wrap positive
+        late = wm > ts + lateness_us
+        out = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                            "late": late.astype("int64")})
+        g2 = out.groupby("event_type", as_index=False).agg(
+            n_late=("late", "sum"), n_total=("late", "size"))
+        return g2.astype({"n_late": "int64", "n_total": "int64"})
+
+    part = B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["bin"], late_bucket,
+        auto_parallelism=True)
+    return B.grouped_aggregate_small(
+        part, ["event_type"],
+        [Sum("n_late", alias_name="n_late"), Sum("n_total", alias_name="n_total")],
+        key_domain=8).map_batches(
+            lambda df: df.astype({"n_late": "int64", "n_total": "int64"}),
+            batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Cross-document duplicated n-grams (C4/RefinedWeb-style near-dup signal)
 # ---------------------------------------------------------------------------
 
@@ -2442,6 +2516,19 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "late_events_watermark": """
+        WITH w AS (SELECT event_type, ts,
+                          MAX(ts) OVER (ORDER BY event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS wm
+                   FROM events)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN wm IS NOT NULL
+                             AND epoch_us(wm) - epoch_us(ts) > 3600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM w GROUP BY 1
     """,
     "top_parts_with_ties": """
         SELECT p_brand, p_partkey, cents, rk FROM (

@@ -89,6 +89,7 @@ SQL_CHECKED = [
     "top_parts_with_ties", "daily_active_users",
     "orders_running_share", "acctbal_histogram_signed",
     "bottomk_hash_sample", "event_value_quantiles",
+    "late_events_watermark",
 ]
 
 

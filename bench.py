@@ -175,6 +175,11 @@ def run_bench() -> dict:
         ("event_value_quantiles", A.q_event_value_quantiles),
         ("kll_quantiles_value", A.q_kll_quantiles_value),
         ("late_events_watermark", A.q_late_events_watermark),
+        ("embedding_norm_stats", A.q_embedding_norm_stats),
+        ("local_supplier_volume", A.q_local_supplier_volume),
+        ("conversion_time_stats", A.q_conversion_time_stats),
+        ("copurchase_triangles", A.q_copurchase_triangles),
+        ("fuzzy_name_pairs", A.q_fuzzy_name_pairs),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

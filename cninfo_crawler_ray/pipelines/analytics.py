@@ -2422,6 +2422,322 @@ def q_dup_ngram_docs(sf_dir: str, n: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# Embedding-column statistics (list<float> → zero-copy matrix kernels)
+# ---------------------------------------------------------------------------
+
+def q_embedding_norm_stats(sf_dir: str):
+    """Per-label L2-norm statistics over the embedding column, exact: each
+    element is quantized to milli-units (two float64 ops — widen, then
+    FLOOR(x·1000+0.5) — performed identically by numpy and the SQL oracle,
+    so the int64 results are bit-equal), squared norms are exact integer
+    sums (order-independent), and the label rollup is Sum/Min/Max of
+    integers. The batch kernel flattens the Arrow list column once
+    (zero-copy values buffer) and reduces with ``np.add.reduceat`` over the
+    list offsets — no per-row Python, ragged-safe, and the canonical shape
+    for embedding-column profiling at corpus scale (norm distributions are
+    the standard pre-filter before ANN indexing / cosine dedup)."""
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        milli = np.floor(flat * 1000.0 + 0.5).astype("int64")
+        offs = col.offsets.to_numpy()
+        offs = offs - offs[0]  # slice-relative
+        sq = np.add.reduceat(milli * milli, offs[:-1]) if len(milli) else \
+            np.zeros(0, dtype="int64")
+        g = pd.DataFrame({"label": t["label"].to_numpy().astype("int64"),
+                          "sq": sq})
+        a = g.groupby("label", as_index=False).agg(
+            n=("sq", "size"), sum_sq=("sq", "sum"),
+            min_sq=("sq", "min"), max_sq=("sq", "max"))
+        return _pa_from_pandas(a.astype({"n": "int64"}))
+
+    out = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "label", [Sum("n", alias_name="n"), Sum("sum_sq", alias_name="sum_sq"),
+                  Min("min_sq", alias_name="min_sq"),
+                  Max("max_sq", alias_name="max_sq")])
+    return out.map_batches(
+        lambda df: df.astype({c: "int64" for c in
+                              ("n", "sum_sq", "min_sq", "max_sq")}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style same-nation revenue (the 6-table join shape)
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_volume(sf_dir: str):
+    """Revenue per nation counting only lineitems whose SUPPLIER and the
+    order's CUSTOMER share a nation — the TPC-H Q5 join shape
+    (lineitem⋈supplier⋈orders⋈customer⋈nation with a cross-side equality).
+    Scale plan: the two dimension maps (supplier→nation, customer→nation)
+    go through the adaptive ``attach`` (broadcast while they fit, bucketed
+    shuffle past the limit — parquet-read counts are metadata-cheap); the
+    one always-large⋈large edge — lineitem⋈orders on orderkey — goes
+    through the bucketed hash join directly (the right side is a derived
+    pipeline whose count() would execute it, and orders never stays
+    broadcast-small at cluster scale). Revenue is the exact integer
+    cents·(10000−discount_bps) so sums are order-independent."""
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = B.attach(li, "l_suppkey", sup, "s_suppkey",
+                  "s_nationkey", "supp_nation")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o2 = B.attach(orders, "o_custkey", cust, "c_custkey",
+                  "c_nationkey", "cust_nation")
+
+    def to_rev(df: pd.DataFrame) -> pa.Table:
+        cents = _cents(df["l_extendedprice"])
+        bps = np.floor(df["l_discount"].to_numpy(dtype="float64") * 10000.0
+                       + 0.5).astype("int64")
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"].astype("int64"),
+                            "supp_nation": df["supp_nation"].astype("int64"),
+                            "rev": cents * (10000 - bps)})
+        return _pa_from_pandas(out)
+
+    joined = B.bucketed_attach(
+        li.map_batches(to_rev, batch_format="pandas"), "l_orderkey",
+        o2, "o_orderkey", "cust_nation", "cust_nation",
+        auto_parallelism=True)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df[df["supp_nation"] == df["cust_nation"]]
+        g = (df.groupby("supp_nation", as_index=False)["rev"].sum()
+             .rename(columns={"supp_nation": "nk", "rev": "revenue_units"}))
+        return _pa_from_pandas(g.astype({"nk": "int64",
+                                         "revenue_units": "int64"}))
+
+    agg = B.grouped_aggregate_small(
+        joined.map_batches(partial, batch_format="pandas"),
+        "nk", [Sum("revenue_units", alias_name="revenue_units")],
+        key_domain=25)
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "n_name": df["nk"].map(name_by_key),
+            "revenue_units": df["revenue_units"].astype("int64")}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion timing (first view → first subsequent purchase)
+# ---------------------------------------------------------------------------
+
+def q_conversion_time_stats(sf_dir: str):
+    """Across all users who PURCHASED at or after their first VIEW: count,
+    and the exact integer sum/min/max of (first qualifying purchase − first
+    view) in microseconds. One user-keyed bucketed reduce computes both
+    firsts locally (all of a user's events co-locate), emitting one
+    O(1)-row partial per bucket; a tiny constant-key aggregate folds the
+    partials. The global extrema/sum are integers, so the fold is exact
+    and order-independent."""
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df["event_type"].isin(["view", "purchase"])
+        df = df.loc[m]
+        return _pa_from_pandas(pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "tsu": df["ts"].values.astype("datetime64[us]").astype("int64"),
+            "is_view": (df["event_type"] == "view").to_numpy()}))
+
+    def conv_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        v = (b[b["is_view"]].groupby("user_id")["tsu"].min()
+             .rename("t0").reset_index())
+        p = b[~b["is_view"]].merge(v, on="user_id")
+        p = p[p["tsu"] >= p["t0"]]
+        if len(p) == 0:
+            return pd.DataFrame({"_g": pd.Series([], dtype="int64"),
+                                 "n_converted": pd.Series([], dtype="int64"),
+                                 "sum_delta_us": pd.Series([], dtype="int64"),
+                                 "min_delta_us": pd.Series([], dtype="int64"),
+                                 "max_delta_us": pd.Series([], dtype="int64")})
+        d = p.groupby("user_id", as_index=False).agg(t1=("tsu", "min"),
+                                                     t0=("t0", "first"))
+        delta = (d["t1"] - d["t0"]).to_numpy()
+        return pd.DataFrame({"_g": [np.int64(0)],
+                             "n_converted": [np.int64(len(delta))],
+                             "sum_delta_us": [np.int64(delta.sum())],
+                             "min_delta_us": [np.int64(delta.min())],
+                             "max_delta_us": [np.int64(delta.max())]})
+
+    part = B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        conv_bucket, auto_parallelism=True)
+    out = B.grouped_aggregate_small(
+        part, "_g",
+        [Sum("n_converted", alias_name="n_converted"),
+         Sum("sum_delta_us", alias_name="sum_delta_us"),
+         Min("min_delta_us", alias_name="min_delta_us"),
+         Max("max_delta_us", alias_name="max_delta_us")],
+        key_domain=1)
+    return out.map_batches(
+        lambda df: df.drop(columns=["_g"]).astype(
+            {c: "int64" for c in ("n_converted", "sum_delta_us",
+                                  "min_delta_us", "max_delta_us")}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def q_copurchase_triangles(sf_dir: str):
+    """Number of triangles in the undirected co-purchase graph (parts that
+    co-occur in an order are connected). Two bucketed hash joins, the
+    standard distributed triangle plan: (1) wedges — edges (a<b) keyed by
+    their middle vertex join edges keyed by their low vertex, producing
+    per-(a,c) wedge counts; (2) closure — wedge counts join the edge set on
+    (a,c); the triangle count is the sum of closed wedge multiplicities.
+    Edges are oriented low-id→high-id, which bounds every wedge center's
+    out-neighborhood; a production variant orients by degree to cap hub
+    explosion (documented partitioning assumption). Only edges and
+    O(wedge) partials shuffle — never the lineitems."""
+    from .queries import _copurchase_pair_counts
+
+    edges = _copurchase_pair_counts(sf_dir).map_batches(
+        lambda df: df[["part_a", "part_b"]].astype("int64"),
+        batch_format="pandas")
+
+    # -- wedge generation: tag side 0 keyed by part_b (edge (a,k)),
+    #    side 1 keyed by part_a (edge (k,c)); co-locate on k
+    def tag_mid(df: pd.DataFrame) -> pa.Table:
+        return _pa_from_pandas(pd.DataFrame({
+            "k": df["part_b"], "v": df["part_a"],
+            "_side": np.repeat(np.int8(0), len(df))}))
+
+    def tag_lo(df: pd.DataFrame) -> pa.Table:
+        return _pa_from_pandas(pd.DataFrame({
+            "k": df["part_a"], "v": df["part_b"],
+            "_side": np.repeat(np.int8(1), len(df))}))
+
+    u = edges.map_batches(tag_mid, batch_format="pandas").union(
+        edges.map_batches(tag_lo, batch_format="pandas"))
+
+    def wedge_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        lo = b.loc[b["_side"] == 0, ["k", "v"]].rename(columns={"v": "a"})
+        hi = b.loc[b["_side"] == 1, ["k", "v"]].rename(columns={"v": "c"})
+        m = lo.merge(hi, on="k")
+        g = (m.groupby(["a", "c"], as_index=False).size()
+             .rename(columns={"size": "n_wedges"}))
+        return g.astype({"a": "int64", "c": "int64", "n_wedges": "int64"})
+
+    wedges = B.bucketed_map_groups(u, ["k"], wedge_bucket,
+                                   auto_parallelism=True)
+
+    # -- closure: co-locate wedge counts with the edge set on (a,c)
+    def tag_wedge(df: pd.DataFrame) -> pa.Table:
+        return _pa_from_pandas(pd.DataFrame({
+            "a": df["a"], "c": df["c"], "n": df["n_wedges"],
+            "_side": np.repeat(np.int8(0), len(df))}))
+
+    def tag_edge(df: pd.DataFrame) -> pa.Table:
+        return _pa_from_pandas(pd.DataFrame({
+            "a": df["part_a"], "c": df["part_b"],
+            "n": np.zeros(len(df), dtype="int64"),
+            "_side": np.repeat(np.int8(1), len(df))}))
+
+    u2 = wedges.map_batches(tag_wedge, batch_format="pandas").union(
+        edges.map_batches(tag_edge, batch_format="pandas"))
+
+    def close_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        w = b.loc[b["_side"] == 0]
+        e = b.loc[b["_side"] == 1, ["a", "c"]]
+        m = w.merge(e, on=["a", "c"])
+        return pd.DataFrame({"_g": [np.int64(0)],
+                             "n": [np.int64(m["n"].sum())]})
+
+    part = B.bucketed_map_groups(u2, ["a", "c"], close_bucket,
+                                 auto_parallelism=True)
+    out = B.grouped_aggregate_small(
+        part, "_g", [Sum("n", alias_name="n_triangles")], key_domain=1)
+    return out.map_batches(
+        lambda df: df.drop(columns=["_g"]).astype({"n_triangles": "int64"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string-similarity join (banded Levenshtein inside brand blocks)
+# ---------------------------------------------------------------------------
+
+def _levenshtein_band(s: str, t: str, k: int) -> int:
+    """Exact Levenshtein distance if ≤ k, else k+1 — classic banded DP
+    (O(max(len)·(2k+1)) instead of O(len²)); matches the unrestricted DP
+    (DuckDB ``levenshtein``) wherever the true distance is within the
+    band."""
+    if abs(len(s) - len(t)) > k:
+        return k + 1
+    if len(s) > len(t):
+        s, t = t, s
+    prev = list(range(len(s) + 1))
+    for j in range(1, len(t) + 1):
+        cur = [j] + [k + 1] * len(s)
+        lo, hi = max(1, j - k), min(len(s), j + k)
+        for i in range(lo, hi + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1,
+                         prev[i - 1] + (s[i - 1] != t[j - 1]))
+        if min(cur) > k:
+            return k + 1
+        prev = cur
+    return prev[len(s)]
+
+
+def q_fuzzy_name_pairs(sf_dir: str, max_dist: int = 2):
+    """Near-duplicate part-name pairs: within each brand block, every
+    partkey pair whose names are within Levenshtein distance ``max_dist``.
+    The blocked fuzzy self-join every entity-resolution pipeline needs —
+    the blocking key (brand) bounds the quadratic comparison to
+    O(block²) and the banded DP with a length-difference prefilter skips
+    most candidates in O(1). Partitioning assumption: block sizes stay
+    worker-sized (brands are a fixed domain); production blocking on
+    higher-cardinality keys (sorted-neighborhood, q-gram LSH) drops in at
+    the same seam."""
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_name"])
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, blk in b.groupby("p_brand", sort=False):
+            keys = blk["p_partkey"].to_numpy()
+            names = blk["p_name"].to_list()
+            order = np.argsort(keys, kind="stable")
+            keys, names = keys[order], [names[i] for i in order]
+            for i in range(len(keys)):
+                si = names[i]
+                for j in range(i + 1, len(keys)):
+                    d = _levenshtein_band(si, names[j], max_dist)
+                    if d <= max_dist:
+                        out_a.append(keys[i])
+                        out_b.append(keys[j])
+                        out_d.append(d)
+        return pd.DataFrame({
+            "part_a": pd.Series(out_a, dtype="int64"),
+            "part_b": pd.Series(out_b, dtype="int64"),
+            "dist": pd.Series(out_d, dtype="int64")})
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "p_partkey": df["p_partkey"].astype("int64"),
+            "p_brand": df["p_brand"], "p_name": df["p_name"]}))
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["p_brand"],
+        pair_bucket, auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -2516,6 +2832,67 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "embedding_norm_stats": """
+        WITH m AS (SELECT CAST(label AS BIGINT) AS label,
+                          CAST(list_sum(list_transform(embedding,
+                               x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5)
+                                         AS BIGINT)
+                                  * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5)
+                                         AS BIGINT)))
+                               AS BIGINT) AS sq
+                   FROM embeddings)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sq) AS BIGINT) AS sum_sq,
+               CAST(MIN(sq) AS BIGINT) AS min_sq,
+               CAST(MAX(sq) AS BIGINT) AS max_sq
+        FROM m GROUP BY 1
+    """,
+    "local_supplier_volume": """
+        WITH l AS (SELECT l_orderkey, l_suppkey,
+                          CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                          * (10000 - CAST(FLOOR(l_discount*10000 + 0.5)
+                                          AS BIGINT)) AS rev
+                   FROM lineitem)
+        SELECT n_name, CAST(SUM(rev) AS BIGINT) AS revenue_units
+        FROM l JOIN supplier ON l_suppkey = s_suppkey
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+                            AND c_nationkey = s_nationkey
+               JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    "conversion_time_stats": """
+        WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+             p AS (SELECT e.user_id,
+                          MIN(epoch_us(e.ts)) - MIN(epoch_us(v.t0)) AS delta_us
+                   FROM events e JOIN v USING (user_id)
+                   WHERE e.event_type = 'purchase'
+                     AND e.ts >= v.t0
+                   GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(SUM(delta_us) AS BIGINT) AS sum_delta_us,
+               CAST(MIN(delta_us) AS BIGINT) AS min_delta_us,
+               CAST(MAX(delta_us) AS BIGINT) AS max_delta_us
+        FROM p
+    """,
+    "copurchase_triangles": """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                   FROM d l1 JOIN d l2 USING (l_orderkey)
+                   WHERE l1.l_partkey < l2.l_partkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "fuzzy_name_pairs": """
+        SELECT CAST(a.p_partkey AS BIGINT) AS part_a,
+               CAST(b.p_partkey AS BIGINT) AS part_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
     "late_events_watermark": """
         WITH w AS (SELECT event_type, ts,

@@ -89,7 +89,9 @@ SQL_CHECKED = [
     "top_parts_with_ties", "daily_active_users",
     "orders_running_share", "acctbal_histogram_signed",
     "bottomk_hash_sample", "event_value_quantiles",
-    "late_events_watermark",
+    "late_events_watermark", "embedding_norm_stats",
+    "local_supplier_volume", "conversion_time_stats",
+    "copurchase_triangles", "fuzzy_name_pairs",
 ]
 
 

@@ -657,6 +657,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_time_stats": A.q_conversion_time_stats,
         "copurchase_triangles": A.q_copurchase_triangles,
         "fuzzy_name_pairs": A.q_fuzzy_name_pairs,
+        "weighted_median_price": A.q_weighted_median_price,
+        "brand_price_qty_slope": A.q_brand_price_qty_slope,
+        "quality_audit": A.q_quality_audit,
+        "token_entropy_by_source": A.q_token_entropy_by_source,
+        "priority_region_grid": A.q_priority_region_grid,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -180,6 +180,11 @@ def run_bench() -> dict:
         ("conversion_time_stats", A.q_conversion_time_stats),
         ("copurchase_triangles", A.q_copurchase_triangles),
         ("fuzzy_name_pairs", A.q_fuzzy_name_pairs),
+        ("weighted_median_price", A.q_weighted_median_price),
+        ("brand_price_qty_slope", A.q_brand_price_qty_slope),
+        ("quality_audit", A.q_quality_audit),
+        ("token_entropy_by_source", A.q_token_entropy_by_source),
+        ("priority_region_grid", A.q_priority_region_grid),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)
@@ -436,6 +441,13 @@ def run_scaling() -> dict:
         "scaling_efficiency_sustained": round(eff_sustained, 3),
         "host_first_touch_probe_sec": [probe_before, probe_after],
         "host_cpu_probe_sec": [cpu_before, cpu_mid, cpu_after],
+        # per-leg phase seconds (prep/ramp/steady/drain) — read these before
+        # attributing a low wall ratio to bandwidth: a hi leg whose delta
+        # lives in ramp/drain is a fixed-cost story, not a throughput one
+        f"phases_{lo}": {k: v for k, v in r_lo.items()
+                         if k.startswith("sec_")},
+        f"phases_{hi}": {k: v for k, v in r_hi.items()
+                         if k.startswith("sec_")},
     }
 
 

@@ -2738,6 +2738,266 @@ def q_fuzzy_name_pairs(sf_dir: str, max_dist: int = 2):
 
 
 # ---------------------------------------------------------------------------
+# Weighted median (quantity-weighted price) — binned two-phase, exact
+# ---------------------------------------------------------------------------
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted median of lineitem price (integer cents): the
+    smallest cents value whose cumulative weight reaches half the total
+    (2·cw ≥ tot — the ceil-free form). Same two-phase shape as the exact
+    quantiles: per-batch (cents → Σweight) partials, ONE keyed aggregate
+    over the bounded cents domain, then an O(bins) driver cumsum picks the
+    answer. Exact at any scale whose value domain is bounded; weights ride
+    the same histogram the unweighted quantile uses for counts."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def binw(t: pa.Table) -> pa.Table:
+        cents = _cents(t["l_extendedprice"].to_numpy())
+        w = t["l_quantity"].to_numpy().astype("int64")
+        g = pd.DataFrame({"bin": cents, "w": w}).groupby(
+            "bin", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"w": "int64"}))
+
+    hist = (B.grouped_aggregate_auto(
+        ds.map_batches(binw, batch_format="pyarrow"),
+        "bin", [Sum("w", alias_name="w")]).to_pandas().sort_values("bin"))
+    tot = int(hist["w"].sum())
+    cum = hist["w"].cumsum().to_numpy()
+    vals = hist["bin"].to_numpy()
+    ans = int(vals[np.searchsorted(2 * cum, tot, side="left")])
+    return pd.DataFrame({"wmedian_cents": pd.Series([ans], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Grouped least-squares slope — exact integer numerator/denominator
+# ---------------------------------------------------------------------------
+
+def q_brand_price_qty_slope(sf_dir: str):
+    """Per-brand OLS slope of price (cents) on quantity, in parts-per-
+    million: slope_ppm = (n·Σxy − Σx·Σy)·10⁶ // (n·Σx² − (Σx)²). The five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact int64 partial
+    sums — the classic one-pass distributed regression — and the final
+    25-row division runs in arbitrary-precision Python ints so the ·10⁶
+    numerator can't wrap (the SQL side computes the same in HUGEINT).
+    Groups with zero x-variance emit no row (slope undefined)."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity",
+                                    "l_extendedprice"])
+    part_t = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    ds = B.attach(li, "l_partkey", part_t, "p_partkey", "p_brand", "brand")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        x = df["l_quantity"].to_numpy().astype("int64")
+        y = _cents(df["l_extendedprice"])
+        g = pd.DataFrame({"brand": df["brand"], "n": np.int64(1),
+                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        out = g.groupby("brand", as_index=False).sum()
+        return _pa_from_pandas(out.astype(
+            {c: "int64" for c in ("n", "sx", "sy", "sxy", "sxx")}))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"), "brand",
+        [Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+         Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+         Sum("sxx", alias_name="sxx")]).to_pandas()
+
+    rows = []
+    for _, r in agg.iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        num = (n * sxy - sx * sy) * 1_000_000
+        # DuckDB's // truncates toward zero; Python's floors — align on
+        # truncation (den = n·Var(x)·n > 0 always)
+        mag = abs(num) // den
+        rows.append((r["brand"], -mag if num < 0 else mag))
+    rows.sort()
+    return pd.DataFrame({"p_brand": [b for b, _ in rows],
+                         "slope_ppm": pd.Series([s for _, s in rows],
+                                                dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity / data-quality audit
+# ---------------------------------------------------------------------------
+
+def q_quality_audit(sf_dir: str):
+    """The dbt-style audit table every ingest pipeline runs before
+    training: one row per check with its violation count. Checks: orphan
+    lineitems (orderkey absent from orders), orphan orders (custkey absent
+    from customer), non-positive lineitem prices, lineitem discount outside
+    [0,1], empty documents. Each check is an independent streaming
+    aggregate; the two referential checks broadcast the key side as a
+    sorted array and probe with searchsorted (orders/customer keys — at
+    cluster scale the orphan check becomes the bucketed anti-join
+    `resume anti-join` already implements; this operator keeps the
+    broadcast shape to stay one-pass)."""
+    import ray
+
+    okeys = np.sort(_read(sf_dir, "orders", ["o_orderkey"])
+                    .to_pandas()["o_orderkey"].to_numpy().astype("int64"))
+    ckeys = np.sort(_read(sf_dir, "customer", ["c_custkey"])
+                    .to_pandas()["c_custkey"].to_numpy().astype("int64"))
+    oref, cref = ray.put(okeys), ray.put(ckeys)
+
+    def _absent(keys: np.ndarray, sorted_ref: np.ndarray) -> int:
+        if len(sorted_ref) == 0:
+            return len(keys)
+        pos = np.clip(np.searchsorted(sorted_ref, keys), 0,
+                      len(sorted_ref) - 1)
+        return int((sorted_ref[pos] != keys).sum())
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = ray.get(oref)
+        lk = df["l_orderkey"].to_numpy().astype("int64")
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        return pd.DataFrame({
+            "check": ["orphan_lineitems", "nonpositive_price",
+                      "discount_out_of_range"],
+            "n_bad": pd.Series([_absent(lk, ok), int((price <= 0).sum()),
+                                int(((disc < 0) | (disc > 1)).sum())],
+                               dtype="int64")})
+
+    def ord_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ck = ray.get(cref)
+        return pd.DataFrame({
+            "check": ["orphan_orders"],
+            "n_bad": pd.Series([_absent(
+                df["o_custkey"].to_numpy().astype("int64"), ck)],
+                dtype="int64")})
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "check": ["empty_documents"],
+            "n_bad": pd.Series([int((df["text"].str.len() == 0).sum())],
+                               dtype="int64")})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        ord_partial, batch_format="pandas")
+    docs = _read(sf_dir, "documents", ["text"]).map_batches(
+        doc_partial, batch_format="pandas")
+
+    out = B.grouped_aggregate_small(
+        li.union(orders).union(docs), "check",
+        [Sum("n_bad", alias_name="n_bad")], key_domain=5)
+    return out.map_batches(lambda df: df.astype({"n_bad": "int64"}),
+                           batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Token entropy per source — Shannon entropy with exact integer micro-nats
+# ---------------------------------------------------------------------------
+
+def q_token_entropy_by_source(sf_dir: str):
+    """Shannon entropy of each source's token distribution, in integer
+    micro-nats: H = ln(N) − (Σ c·ln c)/N over per-(source,word) counts c.
+    The inner sum is made order-independent by quantizing EACH TERM to an
+    int64 (FLOOR(c·ln(c)·10⁶ + 0.5)) before summing — both sides perform
+    the identical float64 op sequence on identical integers, so the hash
+    matches bit-for-bit (the same trick the norm/watermark operators use;
+    ln comes from libm via ``math.log``, matching DuckDB's std::log, where
+    numpy's SIMD log can drift an ulp). Distribution plan: per-batch word
+    explode → keyed count reduce → one source-keyed reduce emitting
+    (N, Σterm) — vocabulary never leaves the reducers."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        words = df["text"].str.split(" ")
+        lens = words.str.len().to_numpy()
+        g = pd.DataFrame({
+            "source": np.repeat(df["source"].to_numpy(), lens),
+            "word": np.concatenate(words.to_numpy()),
+        }).groupby(["source", "word"], as_index=False).size()
+        return _pa_from_pandas(g.rename(columns={"size": "c"})
+                               .astype({"c": "int64"}))
+
+    counts = B.grouped_aggregate_auto(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["source", "word"], [Sum("c", alias_name="c")])
+
+    def source_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        import math as _m
+
+        out = []
+        for src, g in b.groupby("source", sort=False):
+            c = g["c"].to_numpy().astype("int64")
+            uniq, inv = np.unique(c, return_inverse=True)
+            lnu = np.array([_m.log(int(v)) for v in uniq], dtype="float64")
+            term = np.floor((c.astype("float64") * lnu[inv]) * 1_000_000.0
+                            + 0.5).astype("int64")
+            out.append((src, int(c.sum()), int(term.sum())))
+        return pd.DataFrame({"source": [o[0] for o in out],
+                             "n_tokens": pd.Series([o[1] for o in out],
+                                                   dtype="int64"),
+                             "s_int": pd.Series([o[2] for o in out],
+                                                dtype="int64")})
+
+    part = B.bucketed_map_groups(counts, ["source"], source_bucket,
+                                 auto_parallelism=True)
+    agg = B.grouped_aggregate_small(
+        part, "source",
+        [Sum("n_tokens", alias_name="n_tokens"),
+         Sum("s_int", alias_name="s_int")], key_domain=8).to_pandas()
+
+    import math as _m
+    ent = [int(_m.floor(_m.log(int(n)) * 1_000_000.0 - s / n + 0.5))
+           for n, s in zip(agg["n_tokens"], agg["s_int"])]
+    out = pd.DataFrame({"source": agg["source"],
+                        "n_tokens": agg["n_tokens"].astype("int64"),
+                        "entropy_micronats": pd.Series(ent, dtype="int64")})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Zero-filled dimension grid (cross join + left join + COALESCE)
+# ---------------------------------------------------------------------------
+
+def q_priority_region_grid(sf_dir: str):
+    """Order counts on the full region × order-priority grid, zero-filled:
+    every (region, priority) cell appears even when no order hits it — the
+    dimensional-completeness contract reports need (the relational shape is
+    CROSS JOIN + LEFT JOIN + COALESCE). The fact side streams once through
+    a broadcast custkey→region map into keyed partials; the grid fill runs
+    on the O(regions × priorities) result."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    c2r = {c: n2r[n] for c, n in zip(cust["c_custkey"], cust["c_nationkey"])}
+    cref = ray.put(c2r)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(cref)
+        g = pd.DataFrame({
+            "rk": df["o_custkey"].map(m).astype("int64"),
+            "o_orderpriority": df["o_orderpriority"]}).groupby(
+            ["rk", "o_orderpriority"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counts = B.grouped_aggregate_small(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(partial, batch_format="pandas"),
+        ["rk", "o_orderpriority"], [Sum("n", alias_name="n")],
+        key_domain=25).to_pandas()
+
+    prios = sorted(counts["o_orderpriority"].unique())
+    grid = reg.merge(pd.DataFrame({"o_orderpriority": prios}), how="cross")
+    out = grid.merge(counts, left_on=["r_regionkey", "o_orderpriority"],
+                     right_on=["rk", "o_orderpriority"], how="left")
+    out["n_orders"] = out["n"].fillna(0).astype("int64")
+    out = out[["r_name", "o_orderpriority", "n_orders"]]
+    return out.sort_values(["r_name", "o_orderpriority"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -2832,6 +3092,76 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "token_entropy_by_source": """
+        WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS word
+                   FROM documents),
+             c AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+             s AS (SELECT source, SUM(c) AS n,
+                          SUM(CAST(FLOOR(CAST(c AS DOUBLE)
+                                         * ln(CAST(c AS DOUBLE))
+                                         * 1000000.0 + 0.5) AS BIGINT))
+                              AS s_int
+                   FROM c GROUP BY 1)
+        SELECT source, CAST(n AS BIGINT) AS n_tokens,
+               CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000.0
+                          - CAST(s_int AS DOUBLE) / CAST(n AS DOUBLE)
+                          + 0.5) AS BIGINT) AS entropy_micronats
+        FROM s
+    """,
+    "priority_region_grid": """
+        WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+             f AS (SELECT n_regionkey AS rk, o_orderpriority,
+                          COUNT(*) AS n
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                               JOIN nation ON c_nationkey = n_nationkey
+                   GROUP BY 1, 2)
+        SELECT r_name, p.o_orderpriority,
+               CAST(COALESCE(f.n, 0) AS BIGINT) AS n_orders
+        FROM region CROSS JOIN p
+        LEFT JOIN f ON f.rk = region.r_regionkey
+                   AND f.o_orderpriority = p.o_orderpriority
+    """,
+    "weighted_median_price": """
+        WITH c AS (SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                              AS cents,
+                          CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             s AS (SELECT cents, SUM(w) AS wv FROM c GROUP BY 1),
+             t AS (SELECT cents, SUM(wv) OVER (ORDER BY cents) AS cw,
+                          SUM(wv) OVER () AS tot FROM s)
+        SELECT CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+        FROM t WHERE 2*cw >= tot
+    """,
+    "brand_price_qty_slope": """
+        WITH j AS (SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+                          CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                              AS y
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+             a AS (SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx,
+                          SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+                   FROM j GROUP BY 1)
+        SELECT p_brand,
+               CAST(((n*sxy - sx*sy) * 1000000) // (n*sxx - sx*sx)
+                    AS BIGINT) AS slope_ppm
+        FROM a WHERE n*sxx - sx*sx <> 0
+    """,
+    "quality_audit": """
+        SELECT 'orphan_lineitems' AS "check", CAST(COUNT(*) AS BIGINT) AS n_bad
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orphan_orders', CAST(COUNT(*) AS BIGINT)
+        FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'nonpositive_price', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_extendedprice <= 0
+        UNION ALL
+        SELECT 'discount_out_of_range', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        UNION ALL
+        SELECT 'empty_documents', CAST(COUNT(*) AS BIGINT)
+        FROM documents WHERE length(text) = 0
     """,
     "embedding_norm_stats": """
         WITH m AS (SELECT CAST(label AS BIGINT) AS label,

@@ -478,3 +478,32 @@ def test_kll_exact_when_under_capacity():
     s = A.kll_partial(vals)
     assert (s["level"] == 0).all() and len(s) == 1000
     assert A.kll_quantile(s, 0.5) == 499.0
+
+
+# ---------------------------------------------------------------------------
+# banded Levenshtein (hypothesis) — the fuzzy-join kernel must agree with
+# the unrestricted DP (the DuckDB `levenshtein` semantics) inside the band
+# ---------------------------------------------------------------------------
+
+def _lev_full(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i in range(1, len(s) + 1):
+        cur = [i] + [0] * len(t)
+        for j in range(1, len(t) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (s[i - 1] != t[j - 1]))
+        prev = cur
+    return prev[len(t)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcde ", max_size=12),
+       st.text(alphabet="abcde ", max_size=12),
+       st.integers(min_value=0, max_value=4))
+def test_levenshtein_band_matches_full_dp(s, t, k):
+    d_true = _lev_full(s, t)
+    d_band = A._levenshtein_band(s, t, k)
+    if d_true <= k:
+        assert d_band == d_true
+    else:
+        assert d_band > k

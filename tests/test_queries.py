@@ -92,6 +92,8 @@ SQL_CHECKED = [
     "late_events_watermark", "embedding_norm_stats",
     "local_supplier_volume", "conversion_time_stats",
     "copurchase_triangles", "fuzzy_name_pairs",
+    "weighted_median_price", "brand_price_qty_slope", "quality_audit",
+    "token_entropy_by_source", "priority_region_grid",
 ]
 
 

@@ -101,9 +101,101 @@ def run_k(k: int, payloads: list[bytes]) -> dict:
     }
 
 
+N_URLS_STORE = 16_384  # URLs per worker in --store mode (~64 row groups)
+STORE_BATCH = 256      # matches cfg.fetch_batch_size on the web preset
+
+
+def _store_worker(widx: int, barrier, out_q) -> None:
+    """--store mode: the FULL fused per-batch path — CorpusStore.get_views
+    (row-group prune + parquet decompress + Arrow alignment) followed by
+    decode — exactly what a FetchDecode actor does per batch, minus Ray.
+    Each worker walks a DISTINCT contiguous id range (the locality-sorted
+    layout the real pipeline feeds its actors), so K workers decompress K
+    disjoint row-group streams concurrently. get_views and decode are timed
+    separately to localize any inflation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cninfo_crawler_ray.functions import codecs
+    from cninfo_crawler_ray.sources.corpus import fixture_dir
+    from cninfo_crawler_ray.sources.store import CorpusStore
+
+    pa.set_cpu_count(1)       # the per-actor Arrow thread cap the real
+    pa.set_io_thread_count(1)  # store applies inside Ray workers
+    path = f"{fixture_dir(50_000, sizes='web')}/corpus.parquet"
+    ids = pq.read_table(path, columns=["image_id"])["image_id"].to_pylist()
+    ids.sort()
+    start = (widx * 7919) % len(ids)
+    urls = [f"http://corpus/{ids[(start + i) % len(ids)]}.png"
+            for i in range(N_URLS_STORE)]
+    store = CorpusStore(path)
+    store.get_views(urls[:STORE_BATCH])  # warm: imports + first read
+    barrier.wait()
+    t_store = t_decode = 0.0
+    acc = 0
+    for off in range(0, N_URLS_STORE, STORE_BATCH):
+        b = urls[off:off + STORE_BATCH]
+        t0 = time.perf_counter()
+        status, _ctype, views, keep = store.get_views(b)
+        t1 = time.perf_counter()
+        for s, v in zip(status, views):
+            if s != 200 or not v:
+                continue
+            try:
+                px, _, _ = codecs.decode_image(v)
+            except Exception:
+                continue
+            acc ^= codecs.phash64(px)
+        t2 = time.perf_counter()
+        del views, keep
+        t_store += t1 - t0
+        t_decode += t2 - t1
+    out_q.put((t_store + t_decode, (t_store, t_decode, acc)))
+
+
+def run_store_k(k: int) -> dict:
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(k)
+    out_q = ctx.Queue()
+    procs = [ctx.Process(target=_store_worker, args=(w, barrier, out_q))
+             for w in range(k)]
+    for p in procs:
+        p.start()
+    res = [out_q.get() for _ in range(k)]
+    for p in procs:
+        p.join()
+    walls = sorted(r[0] for r in res)
+    stores = sorted(r[1][0] for r in res)
+    decodes = sorted(r[1][1] for r in res)
+    return {
+        "k": k,
+        "worker_wall_median_s": round(statistics.median(walls), 3),
+        "store_median_s": round(statistics.median(stores), 3),
+        "decode_median_s": round(statistics.median(decodes), 3),
+        "aggregate_urls_per_s": round(k * N_URLS_STORE /
+                                      statistics.median(walls), 1),
+    }
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--store"]
+    ks = [int(x) for x in args] or [1, 8, 32]
+    if "--store" in sys.argv[1:]:
+        results = [run_store_k(k) for k in ks]
+        by_k = {r["k"]: r for r in results}
+        out = {"metric": "Ray-free fixed-work store+decode wall per worker",
+               "n_urls_per_worker": N_URLS_STORE, "runs": results}
+        if 8 in by_k and 32 in by_k:
+            out["inflation_32_over_8"] = round(
+                by_k[32]["worker_wall_median_s"] /
+                by_k[8]["worker_wall_median_s"], 3)
+            out["inflation_store_32_over_8"] = round(
+                by_k[32]["store_median_s"] / by_k[8]["store_median_s"], 3)
+            out["inflation_decode_32_over_8"] = round(
+                by_k[32]["decode_median_s"] / by_k[8]["decode_median_s"], 3)
+        print(json.dumps(out))
+        return
     payloads = _load_payloads()
-    ks = [int(x) for x in sys.argv[1:]] or [1, 8, 32]
     results = [run_k(k, payloads) for k in ks]
     by_k = {r["k"]: r for r in results}
     out = {"metric": "Ray-free fixed-work decode wall per worker",

@@ -257,6 +257,86 @@ def _image_size_histogram(sf_dir: str):
     return grouped_aggregate_auto(parts, ["w", "h"], [Sum("n", alias_name="n")])
 
 
+def _image_luma_histogram(sf_dir: str):
+    """Mean-luminance histogram over the validated image frontier: per
+    pixel, Rec.709 luma scaled ×10⁴ in exact int64 (2126·R + 7152·G +
+    722·B); per image, the floor-divided mean; bucketed to 10-luma-unit
+    bins (mean10k // 100_000) and counted. The brightness profile every
+    vision-data curation pass computes before filtering under/over-exposed
+    crawl images. Fused fetch+decode+featurize (payload bytes never enter
+    the object store); the aggregate is O(buckets). Oracle: golden from an
+    independent channel-sum factorization (2126·ΣR + 7152·ΣG + 722·ΣB —
+    algebraically identical, different code path; exact ints either way)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+
+    def luma(iid: str, px: "np.ndarray") -> list[dict]:
+        p = px.astype(np.int64)
+        lum = 2126 * p[:, :, 0] + 7152 * p[:, :, 1] + 722 * p[:, :, 2]
+        mean10k = int(lum.sum()) // lum.size
+        return [{"bucket": mean10k // 100_000, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", luma, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def _image_dominant_color(sf_dir: str):
+    """Dominant-color histogram: each image quantized to 64 color buckets
+    (2 bits per channel), the per-image argmax bucket (ties → smallest
+    bucket id), counted across the validated frontier — the palette
+    profile a dataset card reports and a color-balance sampler consumes.
+    Same fused actor shape as the other image featurizers; per-image work
+    is one vectorized bincount. Oracle: golden from an independent
+    unique+counts implementation with an explicit min-over-maxima tie rule
+    (the engine's bincount argmax picks the first maximum — the same id)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+
+    def dom(iid: str, px: "np.ndarray") -> list[dict]:
+        q = (((px[:, :, 0] >> 6).astype(np.int64) << 4)
+             | ((px[:, :, 1] >> 6).astype(np.int64) << 2)
+             | (px[:, :, 2] >> 6).astype(np.int64))
+        c = np.bincount(q.ravel(), minlength=64)
+        return [{"bucket": int(c.argmax()), "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", dom, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
 def _host_fetch_histogram(sf_dir: str):
     """Per-host URL counts over the validated frontier — the load profile
     the politeness planner consumes (hosts × budget = achievable crawl
@@ -679,6 +759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wide_report": _wide_report,
         "image_features": _image_features,
         "image_size_histogram": _image_size_histogram,
+        "image_luma_histogram": _image_luma_histogram,
+        "image_dominant_color": _image_dominant_color,
         "host_fetch_histogram": _host_fetch_histogram,
         "decode_psnr_stats": _decode_psnr_stats,
         "image_thumbnails": _image_thumbnails,
@@ -719,6 +801,10 @@ _CRAWL_ORACLE_SQL = {
         FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')
         GROUP BY 1
     """,
+    # luma: channel-sum factorization golden; dominant color: unique+counts
+    # with explicit min-over-maxima tie rule (tools/make_goldens.py)
+    "image_luma_histogram": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_luma_histogram.parquet')",
+    "image_dominant_color": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dominant_color.parquet')",
     "crawl_frontier": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')",
     "wide_report": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",
     "scheduled_crawl": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",

@@ -742,6 +742,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_audit": A.q_quality_audit,
         "token_entropy_by_source": A.q_token_entropy_by_source,
         "priority_region_grid": A.q_priority_region_grid,
+        "asof_next_event": A.q_asof_next_event,
+        "order_count_gini": A.q_order_count_gini,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

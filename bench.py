@@ -185,6 +185,8 @@ def run_bench() -> dict:
         ("quality_audit", A.q_quality_audit),
         ("token_entropy_by_source", A.q_token_entropy_by_source),
         ("priority_region_grid", A.q_priority_region_grid),
+        ("asof_next_event", A.q_asof_next_event),
+        ("order_count_gini", A.q_order_count_gini),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -2998,6 +2998,117 @@ def q_priority_region_grid(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of join with tolerance (first event AT/AFTER each order)
+# ---------------------------------------------------------------------------
+
+def q_asof_next_event(sf_dir: str, tolerance_days: int | None = None):
+    """For every order, the FIRST same-customer event at or after the
+    order date — the forward as-of join (the backward variant is
+    q_asof_latest_order; Ray Data has neither as a primitive), with an
+    optional tolerance window (``tolerance_days``; the testdata's order
+    dates and event times live decades apart, so the conformance check
+    runs unbounded — the tolerance path shares every line but the final
+    mask). Distributed shape: union-tag → hash-bucket on
+    the customer key → ONE vectorized lexsort-merge per bucket (orders
+    sort before events at equal (key, ts), events tie-break by event_id;
+    a reverse running-min finds each order's next event position) — no
+    per-order Python loop, no per-pair expansion; a hot customer costs
+    O((E+O) log(E+O))."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["user_id"].astype("int64"),
+            "t": df["ts"].values.astype("datetime64[us]").astype("int64"),
+            "eid": df["event_id"].astype("int64"),
+            "o_orderkey": np.int64(-1), "side": np.int8(0)}),
+        batch_format="pandas")
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["o_custkey"].astype("int64"),
+            "t": (df["o_orderdate"].values.astype("datetime64[us]")
+                  .astype("int64")),
+            "eid": np.int64(-1),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "side": np.int8(1)}),
+        batch_format="pandas")
+    tol_us = (np.int64(tolerance_days) * 86_400_000_000
+              if tolerance_days is not None else None)
+
+    def asof_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["key"].to_numpy()
+        t = b["t"].to_numpy()
+        eid = b["eid"].to_numpy()
+        tag = b["side"].to_numpy()  # 0 = event, 1 = order
+        okey = b["o_orderkey"].to_numpy()
+        # orders before events at equal (key, t) → ts >= odate is inclusive;
+        # events tie-break by event_id (lexsort: last key is primary)
+        order = np.lexsort((eid, tag ^ 1, t, key))
+        key, t, eid, tag, okey = (key[order], t[order], eid[order],
+                                  tag[order], okey[order])
+        n = len(b)
+        idx = np.arange(n)
+        evt_pos = np.where(tag == 0, idx, n)
+        nxt = np.minimum.accumulate(evt_pos[::-1])[::-1]
+        op = idx[tag == 1]
+        q = nxt[op]
+        ok = q < n
+        ok[ok] &= key[q[ok]] == key[op[ok]]
+        if tol_us is not None:
+            ok[ok] &= t[q[ok]] < t[op[ok]] + tol_us
+        return pd.DataFrame({
+            "o_orderkey": okey[op[ok]].astype("int64"),
+            "event_id": eid[q[ok]].astype("int64")})
+
+    return B.bucketed_map_groups(ev.union(od), ["key"], asof_bucket,
+                                 auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of the per-customer order-count distribution
+# ---------------------------------------------------------------------------
+
+def q_order_count_gini(sf_dir: str):
+    """Inequality profile of crawl/order activity: the Gini coefficient of
+    per-customer order counts, in exact integer ppm —
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) · 10⁶ // (n·Σx) with x ascending, i 1-based
+    (tie order is immaterial: equal x over a run of consecutive i's gives
+    the same Σ i·xᵢ). Distribution plan: one keyed count aggregate →
+    an O(distinct-count) histogram → the driver evaluates the formula over
+    histogram RUNS with arbitrary-precision ints (Σ i·xᵢ for a run of m
+    customers at count v starting at rank s is v·(m·s + m(m−1)/2) — no
+    per-customer expansion anywhere)."""
+    counts = B.grouped_aggregate_auto(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda df: pd.DataFrame({"o_custkey":
+                                     df["o_custkey"].astype("int64"),
+                                     "n": np.int64(1)}),
+            batch_format="pandas").map_batches(
+            lambda df: df.groupby("o_custkey", as_index=False).sum(),
+            batch_format="pandas"),
+        "o_custkey", [Sum("n", alias_name="n")])
+
+    hist = B.grouped_aggregate_auto(
+        counts.map_batches(
+            lambda df: (df.groupby("n", as_index=False).size()
+                        .rename(columns={"n": "x", "size": "m"})
+                        .astype({"m": "int64"})),
+            batch_format="pandas"),
+        "x", [Sum("m", alias_name="m")]).to_pandas().sort_values("x")
+
+    n_tot = int(hist["m"].sum())
+    sx = int((hist["x"] * hist["m"]).sum())
+    s_ix = 0
+    rank = 1  # 1-based rank of the first customer in the current run
+    for x, m in zip(hist["x"], hist["m"]):
+        x, m = int(x), int(m)
+        s_ix += x * (m * rank + m * (m - 1) // 2)
+        rank += m
+    gini_ppm = (2 * s_ix - (n_tot + 1) * sx) * 1_000_000 // (n_tot * sx)
+    return pd.DataFrame({"gini_ppm": pd.Series([gini_ppm], dtype="int64"),
+                         "n_customers": pd.Series([n_tot], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -3092,6 +3203,25 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "order_count_gini": """
+        WITH c AS (SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY 1),
+             r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i FROM c),
+             s AS (SELECT SUM(i*x) AS six, SUM(x) AS sx, COUNT(*) AS n
+                   FROM r)
+        SELECT CAST((2*six - (n+1)*sx) * 1000000 // (n*sx) AS BIGINT)
+                   AS gini_ppm,
+               CAST(n AS BIGINT) AS n_customers
+        FROM s
+    """,
+    "asof_next_event": """
+        WITH j AS (SELECT o_orderkey, e.event_id,
+                          ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                             ORDER BY e.ts, e.event_id) AS rk
+                   FROM orders o JOIN events e
+                     ON e.user_id = o.o_custkey
+                    AND e.ts >= o.o_orderdate)
+        SELECT o_orderkey, event_id FROM j WHERE rk = 1
     """,
     "token_entropy_by_source": """
         WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS word

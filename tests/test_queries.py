@@ -93,7 +93,8 @@ SQL_CHECKED = [
     "local_supplier_volume", "conversion_time_stats",
     "copurchase_triangles", "fuzzy_name_pairs",
     "weighted_median_price", "brand_price_qty_slope", "quality_audit",
-    "token_entropy_by_source", "priority_region_grid",
+    "token_entropy_by_source", "priority_region_grid", "asof_next_event",
+    "order_count_gini",
 ]
 
 

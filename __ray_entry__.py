@@ -744,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_region_grid": A.q_priority_region_grid,
         "asof_next_event": A.q_asof_next_event,
         "order_count_gini": A.q_order_count_gini,
+        "minmax_scaled_values": A.q_minmax_scaled_values,
+        "langid_confusion": A.q_langid_confusion,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -187,6 +187,8 @@ def run_bench() -> dict:
         ("priority_region_grid", A.q_priority_region_grid),
         ("asof_next_event", A.q_asof_next_event),
         ("order_count_gini", A.q_order_count_gini),
+        ("minmax_scaled_values", A.q_minmax_scaled_values),
+        ("langid_confusion", A.q_langid_confusion),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -3109,6 +3109,92 @@ def q_order_count_gini(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Min-max feature scaling (per-group normalization to ppm)
+# ---------------------------------------------------------------------------
+
+def q_minmax_scaled_values(sf_dir: str):
+    """Per-event-type min-max normalization — the feature-scaling pass
+    every ML dataset build runs: each event value (integer cents) is
+    scaled to (cents − min)·10⁶ // (max − min) within its type, reported
+    as the per-type (n, sum of scaled ppm) so the result stays
+    O(types). Two passes over the stream, both streaming: a per-type
+    extrema aggregate (broadcast back as O(types) arrays), then one
+    stateless scaling map + partial sums. All integer arithmetic — exact
+    at any scale. Degenerate types (min == max) scale to 0 by
+    convention."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                          "mn": c, "mx": c}).groupby(
+            "event_type", as_index=False).agg(mn=("mn", "min"),
+                                              mx=("mx", "max"))
+        return _pa_from_pandas(g)
+
+    ext = B.grouped_aggregate_small(
+        ds.map_batches(cents_partial, batch_format="pyarrow"),
+        "event_type", [Min("mn", alias_name="mn"),
+                       Max("mx", alias_name="mx")], key_domain=8).to_pandas()
+    side = ray.put({r["event_type"]: (int(r["mn"]), int(r["mx"]))
+                    for _, r in ext.iterrows()})
+
+    def scale(t: pa.Table) -> pa.Table:
+        m = ray.get(side)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas()})
+        c = np.floor(t["value"].to_numpy() * 100 + 0.5).astype("int64")
+        mn = df["event_type"].map({k: v[0] for k, v in m.items()}).to_numpy()
+        mx = df["event_type"].map({k: v[1] for k, v in m.items()}).to_numpy()
+        rng = mx - mn
+        scaled = np.where(rng > 0, (c - mn) * 1_000_000 // np.maximum(rng, 1),
+                          np.int64(0))
+        g = pd.DataFrame({"event_type": df["event_type"], "n": np.int64(1),
+                          "sum_scaled_ppm": scaled}).groupby(
+            "event_type", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"n": "int64",
+                                         "sum_scaled_ppm": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        ds.map_batches(scale, batch_format="pyarrow"),
+        "event_type", [Sum("n", alias_name="n"),
+                       Sum("sum_scaled_ppm", alias_name="sum_scaled_ppm")],
+        key_domain=8)
+    return out.map_batches(
+        lambda df: df.astype({"n": "int64", "sum_scaled_ppm": "int64"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (predicted vs stored label)
+# ---------------------------------------------------------------------------
+
+def q_langid_confusion(sf_dir: str):
+    """Confusion matrix of the n-gram language-ID heuristic against the
+    corpus's stored ``lang`` labels: (lang, pred_lang) → count — the
+    eval table any classifier-driven curation gate reports before its
+    threshold is trusted. One stateless map (the shared vectorized
+    lang_id kernel) + one tiny keyed aggregate; O(langs²) output."""
+    from ..functions import text as T
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({"lang": df["lang"],
+                          "pred_lang": T.lang_id(df["text"]),
+                          "n": np.int64(1)}).groupby(
+            ["lang", "pred_lang"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"n": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "pred_lang"], [Sum("n", alias_name="n")], key_domain=16)
+    return out.map_batches(lambda df: df.astype({"n": "int64"}),
+                           batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -3203,6 +3289,31 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "minmax_scaled_values": """
+        WITH c AS (SELECT event_type,
+                          CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+             e AS (SELECT event_type, MIN(cents) AS mn, MAX(cents) AS mx
+                   FROM c GROUP BY 1)
+        SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN e.mx > e.mn
+                             THEN (c.cents - e.mn) * 1000000
+                                  // (e.mx - e.mn)
+                             ELSE 0 END) AS BIGINT) AS sum_scaled_ppm
+        FROM c JOIN e USING (event_type) GROUP BY 1
+    """,
+    "langid_confusion": """
+        SELECT lang,
+               CASE WHEN (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) * 5
+                         > GREATEST(length(text), 1) THEN 'zh'
+                    WHEN (length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))) * 5
+                         > GREATEST(length(text), 1) THEN 'ru'
+                    WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 5
+                         > GREATEST(length(text), 1) * 2 THEN 'en'
+                    ELSE 'unknown' END AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
     """,
     "order_count_gini": """
         WITH c AS (SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY 1),

@@ -94,7 +94,7 @@ SQL_CHECKED = [
     "copurchase_triangles", "fuzzy_name_pairs",
     "weighted_median_price", "brand_price_qty_slope", "quality_audit",
     "token_entropy_by_source", "priority_region_grid", "asof_next_event",
-    "order_count_gini",
+    "order_count_gini", "minmax_scaled_values", "langid_confusion",
 ]
 
 

@@ -2502,10 +2502,18 @@ def q_local_supplier_volume(sf_dir: str):
                             "rev": cents * (10000 - bps)})
         return _pa_from_pandas(out)
 
-    joined = B.bucketed_attach(
-        li.map_batches(to_rev, batch_format="pandas"), "l_orderkey",
-        o2, "o_orderkey", "cust_nation", "cust_nation",
-        auto_parallelism=True)
+    # strategy from the ORDERS PARQUET count (metadata-cheap — counting the
+    # derived o2 would execute it): broadcast while orders fit the envelope,
+    # bucketed shuffle past it (the only plan at cluster scale)
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    rev = li.map_batches(to_rev, batch_format="pandas")
+    if n_orders <= B.BROADCAST_ROW_LIMIT:
+        joined = B.broadcast_attach(rev, "l_orderkey", o2, "o_orderkey",
+                                    "cust_nation", "cust_nation")
+    else:
+        joined = B.bucketed_attach(rev, "l_orderkey", o2, "o_orderkey",
+                                   "cust_nation", "cust_nation",
+                                   auto_parallelism=True)
 
     def partial(df: pd.DataFrame) -> pa.Table:
         df = df[df["supp_nation"] == df["cust_nation"]]

@@ -746,6 +746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_gini": A.q_order_count_gini,
         "minmax_scaled_values": A.q_minmax_scaled_values,
         "langid_confusion": A.q_langid_confusion,
+        "orders_above_cust_avg": A.q_orders_above_cust_avg,
+        "name_dup_clusters": A.q_name_dup_clusters,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
@@ -888,6 +890,9 @@ _CRAWL_ORACLE_SQL = {
 #: (union-find / pure-python HLL in tools/make_text_goldens.py)
 _ANALYTICS_GOLDEN_SQL = {
     "dup_clusters": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/dup_clusters.parquet')",
+    # union-find over DuckDB-levenshtein pairs (tools/make_text_goldens.py)
+    # — independent candidate generation AND clustering algorithm
+    "name_dup_clusters": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/name_dup_clusters.parquet')",
     "approx_distinct_users": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_users.parquet')",
     "approx_distinct_by_type": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_by_type.parquet')",
 }

@@ -189,6 +189,7 @@ def run_bench() -> dict:
         ("order_count_gini", A.q_order_count_gini),
         ("minmax_scaled_values", A.q_minmax_scaled_values),
         ("langid_confusion", A.q_langid_confusion),
+        ("orders_above_cust_avg", A.q_orders_above_cust_avg),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

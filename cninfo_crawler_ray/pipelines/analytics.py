@@ -3303,6 +3303,79 @@ def q_langid_confusion(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Entity resolution end-to-end: fuzzy name pairs → connected components
+# ---------------------------------------------------------------------------
+
+def q_name_dup_clusters(sf_dir: str):
+    """Entity-resolution composition — the full dedup-by-similarity chain:
+    blocked fuzzy candidate pairs (q_fuzzy_name_pairs) feed the
+    Dataset-native connected components, labeling every part with the
+    minimum partkey reachable through ≤2-edit name edges. The canonical
+    record-linkage pipeline (candidate generation → clustering →
+    canonical id), with the edge list flowing as a Dataset end-to-end.
+    Oracle: union-find golden over DuckDB-levenshtein pairs — independent
+    candidate generation AND independent clustering algorithm."""
+    pairs = q_fuzzy_name_pairs(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"a": df["part_a"].astype("int64"),
+                                 "b": df["part_b"].astype("int64")}),
+        batch_format="pandas")
+    nodes = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda df: pd.DataFrame({"node": df["p_partkey"].astype("int64")}),
+        batch_format="pandas")
+    out = connected_components(nodes, pairs)
+    return out.map_batches(
+        lambda df: df.rename(columns={"node": "p_partkey"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery decorrelation (orders above their customer's average)
+# ---------------------------------------------------------------------------
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Orders priced above their own customer's average — the canonical
+    correlated subquery, decorrelated the way every engine must: ONE
+    per-customer (Σcents, n) aggregate joined back to the fact stream,
+    with the comparison cross-multiplied into exact integers
+    (cents·n > Σcents — no float division anywhere, so the oracle hashes
+    bit-equal). The aggregate side is O(customers) and rides a broadcast
+    here (sorted arrays + searchsorted); past the broadcast envelope the
+    join-back is `bucketed_attach` on the same key."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                          "s": _cents(df["o_totalprice"]),
+                          "n": np.int64(1)}).groupby(
+            "o_custkey", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"s": "int64", "n": "int64"}))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"),
+        "o_custkey", [Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n")]).to_pandas()
+    keys = agg["o_custkey"].to_numpy().astype("int64")
+    order = np.argsort(keys, kind="stable")
+    side = ray.put((keys[order], agg["s"].to_numpy().astype("int64")[order],
+                    agg["n"].to_numpy().astype("int64")[order]))
+
+    def above(df: pd.DataFrame) -> pa.Table:
+        ks, ss, ns = ray.get(side)
+        ck = df["o_custkey"].to_numpy().astype("int64")
+        pos = np.searchsorted(ks, ck)
+        cents = _cents(df["o_totalprice"])
+        keep = cents * ns[pos] > ss[pos]
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy()[keep].astype("int64"),
+            "o_custkey": ck[keep], "cents": cents[keep]})
+        return _pa_from_pandas(out)
+
+    return ds.map_batches(above, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -3397,6 +3470,17 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "orders_above_cust_avg": """
+        WITH c AS (SELECT o_orderkey, o_custkey,
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                              AS cents
+                   FROM orders),
+             a AS (SELECT o_custkey, SUM(cents) AS s, COUNT(*) AS n
+                   FROM c GROUP BY 1)
+        SELECT c.o_orderkey, c.o_custkey, c.cents
+        FROM c JOIN a USING (o_custkey)
+        WHERE c.cents * a.n > a.s
     """,
     "minmax_scaled_values": """
         WITH c AS (SELECT event_type,

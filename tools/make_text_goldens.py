@@ -266,6 +266,44 @@ def oracle_dup_clusters(docs: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame
                                                  dtype="int64")})
 
 
+# --- part-name fuzzy clusters (DuckDB levenshtein + union-find) ---------------
+
+def oracle_name_dup_clusters(sf_dir: str, max_dist: int = 2) -> pd.DataFrame:
+    """Independent end-to-end path for the entity-resolution composition:
+    candidate pairs from DuckDB's levenshtein (not the engine's banded
+    DP), clustered by plain union-find (not label propagation); cluster
+    id = min partkey of the component."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/part.parquet')")
+    pairs = con.execute(f"""
+        SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {max_dist}
+    """).df()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["pa"].astype(int), pairs["pb"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = con.execute("SELECT p_partkey FROM part").df()["p_partkey"].astype(int)
+    return pd.DataFrame({"p_partkey": pd.Series(ids.tolist(), dtype="int64"),
+                         "cluster_id": pd.Series([find(i) for i in ids],
+                                                 dtype="int64")})
+
+
 # --- HyperLogLog (pure-Python ints, one id at a time) -------------------------
 
 def oracle_approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
@@ -358,6 +396,7 @@ def main() -> None:
         "simhash_near_dup": oracle_simhash_near_dup(g_simhash),
         "minhash_lsh_dedup": g_minhash,
         "dup_clusters": oracle_dup_clusters(docs, g_minhash),
+        "name_dup_clusters": oracle_name_dup_clusters(SF_DIR),
         "approx_distinct_users": oracle_approx_distinct_users(SF_DIR),
         "approx_distinct_by_type": oracle_approx_distinct_by_type(SF_DIR),
         "ann_lsh_topk": oracle_ann_lsh(emb),

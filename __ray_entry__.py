@@ -748,6 +748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": A.q_langid_confusion,
         "orders_above_cust_avg": A.q_orders_above_cust_avg,
         "name_dup_clusters": A.q_name_dup_clusters,
+        "trailing_7d_spend": A.q_trailing_7d_spend,
+        "copurchase_lift": A.q_copurchase_lift,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -190,6 +190,8 @@ def run_bench() -> dict:
         ("minmax_scaled_values", A.q_minmax_scaled_values),
         ("langid_confusion", A.q_langid_confusion),
         ("orders_above_cust_avg", A.q_orders_above_cust_avg),
+        ("trailing_7d_spend", A.q_trailing_7d_spend),
+        ("copurchase_lift", A.q_copurchase_lift),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -3303,6 +3303,128 @@ def q_langid_confusion(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Market-basket lift over the co-purchase pair base
+# ---------------------------------------------------------------------------
+
+def q_copurchase_lift(sf_dir: str, min_orders: int = 3, k: int = 20):
+    """Top-k co-purchased part pairs by LIFT — P(ab)/(P(a)·P(b)) in exact
+    integer ppm: lift_ppm = n_ab·N·10⁶ // (n_a·n_b) over distinct-order
+    frequencies (N = distinct orders). The association-rule score on top
+    of the shared pair base: per-part frequencies broadcast as sorted
+    arrays, lift computed vectorized per pair batch, and the top-k folds
+    as per-batch partials (keep k) before one driver-side head — the
+    full scored pair list never lands anywhere. Ties break on
+    (part_a, part_b) for determinism."""
+    import ray
+
+    from .queries import _copurchase_pair_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return _pa_from_pandas(df.astype({"l_orderkey": "int64",
+                                          "l_partkey": "int64"}))
+
+    distinct = B.bucketed_map_groups(
+        ds.map_batches(dedup_partial, batch_format="pyarrow"),
+        ["l_orderkey"], lambda b: b.drop_duplicates(),
+        auto_parallelism=True).materialize()
+
+    pf = B.grouped_aggregate_auto(
+        distinct.map_batches(
+            lambda df: (df.groupby("l_partkey", as_index=False).size()
+                        .rename(columns={"size": "n_p"})
+                        .astype({"n_p": "int64"})),
+            batch_format="pandas"),
+        "l_partkey", [Sum("n_p", alias_name="n_p")]).to_pandas()
+    n_orders = int(B.grouped_aggregate_auto(
+        distinct.map_batches(
+            lambda df: df[["l_orderkey"]].drop_duplicates().assign(
+                n=np.int64(1)).groupby("l_orderkey", as_index=False).max(),
+            batch_format="pandas"),
+        "l_orderkey", [Max("n", alias_name="n")]).count())
+
+    keys = pf["l_partkey"].to_numpy().astype("int64")
+    order = np.argsort(keys, kind="stable")
+    side = ray.put((keys[order],
+                    pf["n_p"].to_numpy().astype("int64")[order]))
+
+    def lift_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks, ns = ray.get(side)
+        df = df[df["n_orders"] >= min_orders]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "part_a": pd.Series([], dtype="int64"),
+                "part_b": pd.Series([], dtype="int64"),
+                "n_ab": pd.Series([], dtype="int64"),
+                "lift_ppm": pd.Series([], dtype="int64")})
+        na = ns[np.searchsorted(ks, df["part_a"].to_numpy())]
+        nb = ns[np.searchsorted(ks, df["part_b"].to_numpy())]
+        nab = df["n_orders"].to_numpy().astype("int64")
+        lift = nab * np.int64(n_orders) * np.int64(1_000_000) // (na * nb)
+        out = pd.DataFrame({"part_a": df["part_a"].astype("int64"),
+                            "part_b": df["part_b"].astype("int64"),
+                            "n_ab": nab, "lift_ppm": lift})
+        return out.sort_values(["lift_ppm", "part_a", "part_b"],
+                               ascending=[False, True, True]).head(k)
+
+    part = _copurchase_pair_counts(sf_dir).map_batches(
+        lift_partial, batch_format="pandas").to_pandas()
+    return (part.sort_values(["lift_ppm", "part_a", "part_b"],
+                             ascending=[False, True, True]).head(k)
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: per-customer trailing 7-day spend
+# ---------------------------------------------------------------------------
+
+def q_trailing_7d_spend(sf_dir: str):
+    """Per order: the customer's total spend (integer cents) over the
+    trailing 7-day VALUE window [o_orderdate − 6 days, o_orderdate] — the
+    RANGE window frame (peers included by value, not by row position),
+    the one frame type the ROWS-based rolling operators can't express.
+    One customer-keyed bucketed reduce; inside each bucket the trailing
+    sum is two vectorized searchsorted probes into the per-customer
+    date-sorted prefix-sum array (ties share one answer by construction —
+    RANGE semantics exactly). O(rows log rows) per bucket, one shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = (df["o_orderdate"].values.astype("datetime64[D]")
+               .astype("int64"))
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "day": day, "cents": _cents(df["o_totalprice"])}))
+
+    def trail_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "day", "o_orderkey"], kind="stable")
+        ck = b["o_custkey"].to_numpy()
+        day = b["day"].to_numpy()
+        cents = b["cents"].to_numpy()
+        csum = np.concatenate([[np.int64(0)], np.cumsum(cents)])
+        # frame = rows of the SAME customer with day in [day-6, day]
+        # (RANGE peers: equal days share the frame end = last peer). The
+        # (custkey, day) pair packs into one int64 (days ≪ 2³²), so the
+        # window bounds are two searchsorted probes and day−6 can never
+        # underflow into the previous customer's key block.
+        comp = ck.astype("int64") * (1 << 32) + day
+        lo = np.searchsorted(comp, comp - 6, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(),
+            "trailing_cents": (csum[hi] - csum[lo]).astype("int64")})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_custkey"],
+        trail_bucket, auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
 # Entity resolution end-to-end: fuzzy name pairs → connected components
 # ---------------------------------------------------------------------------
 
@@ -3470,6 +3592,36 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "copurchase_lift": """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM d),
+             pf AS (SELECT l_partkey, COUNT(*) AS n_p FROM d GROUP BY 1),
+             pr AS (SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b,
+                           COUNT(*) AS n_ab
+                    FROM d l1 JOIN d l2 USING (l_orderkey)
+                    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2),
+             lf AS (SELECT part_a, part_b, n_ab,
+                           n_ab * tot.n * 1000000 // (pa.n_p * pb.n_p)
+                               AS lift_ppm
+                    FROM pr
+                    JOIN pf pa ON pr.part_a = pa.l_partkey
+                    JOIN pf pb ON pr.part_b = pb.l_partkey
+                    CROSS JOIN tot
+                    WHERE n_ab >= 3)
+        SELECT CAST(part_a AS BIGINT) AS part_a,
+               CAST(part_b AS BIGINT) AS part_b,
+               CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(lift_ppm AS BIGINT) AS lift_ppm
+        FROM lf ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20
+    """,
+    "trailing_7d_spend": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS trailing_cents
+        FROM orders
     """,
     "orders_above_cust_avg": """
         WITH c AS (SELECT o_orderkey, o_custkey,

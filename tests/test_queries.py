@@ -95,7 +95,7 @@ SQL_CHECKED = [
     "weighted_median_price", "brand_price_qty_slope", "quality_audit",
     "token_entropy_by_source", "priority_region_grid", "asof_next_event",
     "order_count_gini", "minmax_scaled_values", "langid_confusion",
-    "orders_above_cust_avg",
+    "orders_above_cust_avg", "trailing_7d_spend", "copurchase_lift",
 ]
 
 

@@ -750,6 +750,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_dup_clusters": A.q_name_dup_clusters,
         "trailing_7d_spend": A.q_trailing_7d_spend,
         "copurchase_lift": A.q_copurchase_lift,
+        "brand_rank_shift": A.q_brand_rank_shift,
+        "order_seasonality": A.q_order_seasonality,
+        "train_val_test_split": A.q_train_val_test_split,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -192,6 +192,9 @@ def run_bench() -> dict:
         ("orders_above_cust_avg", A.q_orders_above_cust_avg),
         ("trailing_7d_spend", A.q_trailing_7d_spend),
         ("copurchase_lift", A.q_copurchase_lift),
+        ("brand_rank_shift", A.q_brand_rank_shift),
+        ("order_seasonality", A.q_order_seasonality),
+        ("train_val_test_split", A.q_train_val_test_split),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

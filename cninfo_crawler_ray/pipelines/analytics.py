@@ -3303,6 +3303,118 @@ def q_langid_confusion(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-bucketed ratios)
+# ---------------------------------------------------------------------------
+
+def q_train_val_test_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by Knuth hash on
+    doc_id, reported as per-(source, split) document and token counts —
+    the one dataset-prep operator every training run starts with.
+    Purely per-batch (no shuffle, no state, same assignment at any
+    cluster size); hash arithmetic is the engine's uint64 idiom so it
+    never wraps. Counts reduce under one tiny keyed aggregate."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["doc_id"].to_numpy()
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF)) % np.uint64(100)
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        ntok = df["text"].str.split(" ").str.len().astype("int64")
+        g = pd.DataFrame({"source": df["source"], "split": split,
+                          "n_docs": np.int64(1), "n_tokens": ntok}).groupby(
+            ["source", "split"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"n_docs": "int64",
+                                         "n_tokens": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "split"],
+        [Sum("n_docs", alias_name="n_docs"),
+         Sum("n_tokens", alias_name="n_tokens")], key_domain=16)
+    return out.map_batches(
+        lambda df: df.astype({"n_docs": "int64", "n_tokens": "int64"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Seasonality index (calendar-month revenue vs uniform expectation)
+# ---------------------------------------------------------------------------
+
+def q_order_seasonality(sf_dir: str):
+    """Calendar-month seasonality of order revenue: each month-of-year's
+    share of total revenue scaled against the uniform 1/12 expectation,
+    in integer basis points — idx_bps = month_cents·12·10⁴ // total_cents
+    (10000 = exactly average). One keyed partial aggregate to 12 rows;
+    the index arithmetic is O(12) and exact."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = pd.to_datetime(df["o_orderdate"]).dt.month.astype("int64")
+        g = pd.DataFrame({"month": m, "cents": _cents(df["o_totalprice"])}
+                         ).groupby("month", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"cents": "int64"}))
+
+    agg = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"),
+        "month", [Sum("cents", alias_name="cents")],
+        key_domain=12).to_pandas().sort_values("month")
+    total = int(agg["cents"].sum())
+    idx = [int(c) * 12 * 10_000 // total for c in agg["cents"]]
+    return pd.DataFrame({"month": agg["month"].astype("int64").to_numpy(),
+                         "month_cents": agg["cents"].astype("int64").to_numpy(),
+                         "idx_bps": pd.Series(idx, dtype="int64")
+                         }).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period rank movement (brand revenue rank shift)
+# ---------------------------------------------------------------------------
+
+def q_brand_rank_shift(sf_dir: str):
+    """Brand revenue ranks in the latest order-year vs the year before,
+    with the movement (prev_rank − last_rank; positive = climbed) — the
+    period-over-period leaderboard every BI layer ships. ONE distributed
+    (brand, year) keyed aggregate (lineitem joined to part via the
+    adaptive attach, revenue in exact cents); the O(brands) two-period
+    rank/join runs on the reduced frame. Brands absent from a period are
+    dropped (inner join of the two leaderboards). Rank = dense ORDER BY
+    revenue DESC, brand ASC — deterministic under ties."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                                    "l_extendedprice"])
+    part_t = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    ds = B.attach(li, "l_partkey", part_t, "p_partkey", "p_brand", "brand")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        yr = pd.to_datetime(df["l_shipdate"]).dt.year.astype("int64")
+        g = pd.DataFrame({"brand": df["brand"], "yr": yr,
+                          "rev": _cents(df["l_extendedprice"])}).groupby(
+            ["brand", "yr"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"rev": "int64"}))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["brand", "yr"], [Sum("rev", alias_name="rev")]).to_pandas()
+
+    last = int(agg["yr"].max())
+    prev = last - 1
+
+    def ranked(year: int, col: str) -> pd.DataFrame:
+        sub = (agg[agg["yr"] == year]
+               .sort_values(["rev", "brand"], ascending=[False, True])
+               .reset_index(drop=True))
+        sub[col] = np.arange(1, len(sub) + 1, dtype="int64")
+        return sub[["brand", col]]
+
+    out = ranked(prev, "rank_prev").merge(ranked(last, "rank_last"),
+                                          on="brand")
+    out["shift"] = (out["rank_prev"] - out["rank_last"]).astype("int64")
+    return (out.rename(columns={"brand": "p_brand"})
+            .sort_values("p_brand").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Market-basket lift over the co-purchase pair base
 # ---------------------------------------------------------------------------
 
@@ -3592,6 +3704,48 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "train_val_test_split": """
+        WITH s AS (SELECT source,
+                          CASE WHEN (doc_id * 2654435761) % 4294967296 % 100
+                                    < 80 THEN 'train'
+                               WHEN (doc_id * 2654435761) % 4294967296 % 100
+                                    < 90 THEN 'val'
+                               ELSE 'test' END AS split,
+                          len(string_split(text, ' ')) AS n_tokens
+                   FROM documents)
+        SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM s GROUP BY 1, 2
+    """,
+    "order_seasonality": """
+        WITH m AS (SELECT EXTRACT(month FROM o_orderdate) AS month,
+                          SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS month_cents
+                   FROM orders GROUP BY 1),
+             t AS (SELECT SUM(month_cents) AS total FROM m)
+        SELECT CAST(month AS BIGINT) AS month,
+               CAST(month_cents AS BIGINT) AS month_cents,
+               CAST(month_cents * 12 * 10000 // total AS BIGINT) AS idx_bps
+        FROM m, t
+    """,
+    "brand_rank_shift": """
+        WITH j AS (SELECT p_brand, EXTRACT(year FROM l_shipdate) AS yr,
+                          CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                              AS rev
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+             a AS (SELECT p_brand, yr, SUM(rev) AS rev FROM j GROUP BY 1, 2),
+             mx AS (SELECT MAX(yr) AS ly FROM a),
+             rp AS (SELECT p_brand, ROW_NUMBER() OVER (
+                        ORDER BY rev DESC, p_brand) AS rank_prev
+                    FROM a, mx WHERE yr = ly - 1),
+             rl AS (SELECT p_brand, ROW_NUMBER() OVER (
+                        ORDER BY rev DESC, p_brand) AS rank_last
+                    FROM a, mx WHERE yr = ly)
+        SELECT p_brand, CAST(rank_prev AS BIGINT) AS rank_prev,
+               CAST(rank_last AS BIGINT) AS rank_last,
+               CAST(rank_prev - rank_last AS BIGINT) AS shift
+        FROM rp JOIN rl USING (p_brand)
     """,
     "copurchase_lift": """
         WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -96,6 +96,7 @@ SQL_CHECKED = [
     "token_entropy_by_source", "priority_region_grid", "asof_next_event",
     "order_count_gini", "minmax_scaled_values", "langid_confusion",
     "orders_above_cust_avg", "trailing_7d_spend", "copurchase_lift",
+    "brand_rank_shift", "order_seasonality", "train_val_test_split",
 ]
 
 

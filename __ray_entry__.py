@@ -753,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_rank_shift": A.q_brand_rank_shift,
         "order_seasonality": A.q_order_seasonality,
         "train_val_test_split": A.q_train_val_test_split,
+        "weekday_hour_heatmap": A.q_weekday_hour_heatmap,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -195,6 +195,7 @@ def run_bench() -> dict:
         ("brand_rank_shift", A.q_brand_rank_shift),
         ("order_seasonality", A.q_order_seasonality),
         ("train_val_test_split", A.q_train_val_test_split),
+        ("weekday_hour_heatmap", A.q_weekday_hour_heatmap),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -3303,6 +3303,40 @@ def q_langid_confusion(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Weekday × hour activity heatmap (2-D time histogram)
+# ---------------------------------------------------------------------------
+
+def q_weekday_hour_heatmap(sf_dir: str):
+    """Event count and exact value sum (cents) on the weekday × hour grid
+    — the 2-D time histogram behind every activity heatmap. ISO weekday
+    (Mon=1..Sun=7) to match SQL's isodow; one per-batch partial groupby
+    into ≤168 cells, one tiny keyed aggregate."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        dt = pd.to_datetime(df["ts"])
+        g = pd.DataFrame({
+            "weekday": (dt.dt.dayofweek + 1).astype("int64"),  # ISO Mon=1
+            "hour": dt.dt.hour.astype("int64"),
+            "n": np.int64(1),
+            "value_cents": np.floor(df["value"].to_numpy() * 100
+                                    + 0.5).astype("int64"),
+        }).groupby(["weekday", "hour"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"n": "int64",
+                                         "value_cents": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["weekday", "hour"],
+        [Sum("n", alias_name="n"),
+         Sum("value_cents", alias_name="value_cents")], key_domain=168)
+    return out.map_batches(
+        lambda df: df.astype({"n": "int64", "value_cents": "int64"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split (hash-bucketed ratios)
 # ---------------------------------------------------------------------------
 
@@ -3704,6 +3738,14 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "weekday_hour_heatmap": """
+        SELECT CAST(isodow(ts) AS BIGINT) AS weekday,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY 1, 2
     """,
     "train_val_test_split": """
         WITH s AS (SELECT source,

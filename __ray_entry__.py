@@ -754,6 +754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_seasonality": A.q_order_seasonality,
         "train_val_test_split": A.q_train_val_test_split,
         "weekday_hour_heatmap": A.q_weekday_hour_heatmap,
+        "value_outliers_by_type": A.q_value_outliers_by_type,
+        "benford_first_digit": A.q_benford_first_digit,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -196,6 +196,8 @@ def run_bench() -> dict:
         ("order_seasonality", A.q_order_seasonality),
         ("train_val_test_split", A.q_train_val_test_split),
         ("weekday_hour_heatmap", A.q_weekday_hour_heatmap),
+        ("value_outliers_by_type", A.q_value_outliers_by_type),
+        ("benford_first_digit", A.q_benford_first_digit),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -3303,6 +3303,93 @@ def q_langid_confusion(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Z-score anomaly counts (|z| > 2 without ever computing a square root)
+# ---------------------------------------------------------------------------
+
+def q_value_outliers_by_type(sf_dir: str):
+    """Per event type: how many values sit more than 2 standard deviations
+    from the type mean — the σ-threshold anomaly gate, computed WITHOUT
+    sqrt or division: |x−μ| > kσ ⟺ (x·n − s)² > k²·n·(n·s2 − s²). The
+    moment partials (n, Σx, Σx²) are exact int64; the per-row comparison
+    squares (x·n − s) — int64-exact, then widened — against a per-type
+    float64 right side computed with the IDENTICAL operation sequence on
+    both engine and oracle, so the boundary decisions agree bit-for-bit.
+    Two streaming passes: a 5-row moment aggregate broadcast back, then a
+    stateless flag-and-count map."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def mom(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                          "n": np.int64(1), "s": c, "s2": c * c}).groupby(
+            "event_type", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"n": "int64", "s": "int64",
+                                         "s2": "int64"}))
+
+    agg = B.grouped_aggregate_small(
+        ds.map_batches(mom, batch_format="pyarrow"),
+        "event_type", [Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                       Sum("s2", alias_name="s2")], key_domain=8).to_pandas()
+    rhs = {}
+    for _, r in agg.iterrows():
+        nf, sf_, s2f = float(r["n"]), float(r["s"]), float(r["s2"])
+        # op order mirrors the SQL text exactly: (4.0·n)·(n·s2 − s·s)
+        rhs[r["event_type"]] = (4.0 * nf) * (nf * s2f - sf_ * sf_)
+    stats = ray.put((rhs, {r["event_type"]: (int(r["n"]), int(r["s"]))
+                           for _, r in agg.iterrows()}))
+
+    def flag(t: pa.Table) -> pa.Table:
+        rh, ns = ray.get(stats)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas()})
+        c = np.floor(t["value"].to_numpy() * 100 + 0.5).astype("int64")
+        n_arr = df["event_type"].map({k: v[0] for k, v in ns.items()}).to_numpy()
+        s_arr = df["event_type"].map({k: v[1] for k, v in ns.items()}).to_numpy()
+        d = (c * n_arr - s_arr).astype("float64")
+        lhs = d * d
+        rh_arr = df["event_type"].map(rh).to_numpy(dtype="float64")
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "n_outliers": (lhs > rh_arr).astype("int64"),
+                          "n_total": np.int64(1)}).groupby(
+            "event_type", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"n_outliers": "int64",
+                                         "n_total": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        "event_type", [Sum("n_outliers", alias_name="n_outliers"),
+                       Sum("n_total", alias_name="n_total")], key_domain=8)
+    return out.map_batches(
+        lambda df: df.astype({"n_outliers": "int64", "n_total": "int64"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals
+# ---------------------------------------------------------------------------
+
+def q_benford_first_digit(sf_dir: str):
+    """First-significant-digit distribution of order totals (integer
+    cents) — the Benford's-law audit every financial-data QA pass runs.
+    Stateless per-batch digit extraction + one 9-row aggregate."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"].to_numpy())
+        digit = pd.Series(c).astype(str).str[0].astype("int64")
+        g = (pd.DataFrame({"digit": digit, "n": np.int64(1)})
+             .groupby("digit", as_index=False).sum())
+        return _pa_from_pandas(g.astype({"n": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "digit", [Sum("n", alias_name="n")], key_domain=9)
+    return out.map_batches(lambda df: df.astype({"n": "int64"}),
+                           batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Weekday × hour activity heatmap (2-D time histogram)
 # ---------------------------------------------------------------------------
 
@@ -3738,6 +3825,32 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "value_outliers_by_type": """
+        WITH c AS (SELECT event_type,
+                          CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS x
+                   FROM events),
+             a AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s,
+                          SUM(x*x) AS s2
+                   FROM c GROUP BY 1)
+        SELECT c.event_type,
+               CAST(SUM(CASE WHEN CAST(c.x * a.n - a.s AS DOUBLE)
+                                  * CAST(c.x * a.n - a.s AS DOUBLE)
+                             > (4.0 * CAST(a.n AS DOUBLE))
+                               * (CAST(a.n AS DOUBLE)
+                                  * CAST(a.s2 AS DOUBLE)
+                                  - CAST(a.s AS DOUBLE)
+                                    * CAST(a.s AS DOUBLE))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM c JOIN a USING (event_type) GROUP BY 1
+    """,
+    "benford_first_digit": """
+        WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                       AS cents FROM orders)
+        SELECT CAST(LEFT(CAST(cents AS VARCHAR), 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM c GROUP BY 1
     """,
     "weekday_hour_heatmap": """
         SELECT CAST(isodow(ts) AS BIGINT) AS weekday,

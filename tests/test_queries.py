@@ -97,7 +97,7 @@ SQL_CHECKED = [
     "order_count_gini", "minmax_scaled_values", "langid_confusion",
     "orders_above_cust_avg", "trailing_7d_spend", "copurchase_lift",
     "brand_rank_shift", "order_seasonality", "train_val_test_split",
-    "weekday_hour_heatmap",
+    "weekday_hour_heatmap", "value_outliers_by_type", "benford_first_digit",
 ]
 
 

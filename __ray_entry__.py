@@ -756,6 +756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_hour_heatmap": A.q_weekday_hour_heatmap,
         "value_outliers_by_type": A.q_value_outliers_by_type,
         "benford_first_digit": A.q_benford_first_digit,
+        "pareto_customers": A.q_pareto_customers,
+        "interarrival_burstiness": A.q_interarrival_burstiness,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

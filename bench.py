@@ -198,6 +198,8 @@ def run_bench() -> dict:
         ("weekday_hour_heatmap", A.q_weekday_hour_heatmap),
         ("value_outliers_by_type", A.q_value_outliers_by_type),
         ("benford_first_digit", A.q_benford_first_digit),
+        ("pareto_customers", A.q_pareto_customers),
+        ("interarrival_burstiness", A.q_interarrival_burstiness),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

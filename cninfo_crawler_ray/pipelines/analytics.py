@@ -3303,6 +3303,97 @@ def q_langid_confusion(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Pareto concentration (how many customers cover 80% of revenue)
+# ---------------------------------------------------------------------------
+
+def q_pareto_customers(sf_dir: str):
+    """The 80/20 concentration metric: the smallest number of customers
+    (taken in revenue-descending order, custkey tiebreak) whose cumulative
+    revenue reaches 80% of the total — 5·cum ≥ 4·total in exact integers.
+    One keyed revenue aggregate; the ordered scan runs on the O(customers)
+    reduced frame (inside the engine's documented broadcast envelope; past
+    it, the same binned-offset prefix trick the weighted median uses
+    applies to revenue-bucket histograms)."""
+    counts = B.grouped_aggregate_auto(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda df: pd.DataFrame({
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "rev": _cents(df["o_totalprice"])}).groupby(
+                "o_custkey", as_index=False).sum(),
+            batch_format="pandas"),
+        "o_custkey", [Sum("rev", alias_name="rev")]).to_pandas()
+    counts = counts.sort_values(["rev", "o_custkey"],
+                                ascending=[False, True]).reset_index(drop=True)
+    total = int(counts["rev"].sum())
+    cum = counts["rev"].cumsum().to_numpy()
+    k = int(np.searchsorted(5 * cum, 4 * total, side="left")) + 1
+    return pd.DataFrame({
+        "n_customers_80pct": pd.Series([k], dtype="int64"),
+        "n_customers_total": pd.Series([len(counts)], dtype="int64"),
+        "total_cents": pd.Series([total], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (CV² of the event stream's gaps, exact ppm)
+# ---------------------------------------------------------------------------
+
+def q_interarrival_burstiness(sf_dir: str):
+    """Squared coefficient of variation of the global event stream's
+    inter-arrival gaps (whole seconds, arrival order = event_id):
+    cv²_ppm = (n·Σd² − (Σd)²)·10⁶ // (Σd)² — 10⁶ = Poisson, above = bursty.
+    Consecutive diffs are computed WITHOUT a global sort: per-bin internal
+    diffs (event_id // 8192 bins, vectorized) plus O(bins) driver-side
+    boundary gaps from each bin's (first, last) timestamps — the same
+    binned-offset machinery as the watermark/systematic operators. The
+    final arithmetic runs in arbitrary-precision Python ints (the ·10⁶
+    product exceeds int64 by design)."""
+    BIN = 8192
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "tsu": df["ts"].values.astype("datetime64[us]").astype("int64"),
+            "bin": df["event_id"].to_numpy().astype("int64") // BIN}))
+
+    def bin_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a bin co-locate here (bucketed reduce), so internal
+        # gaps are exact even when upstream batches split a bin; gaps may
+        # be NEGATIVE (late events) — numpy // is true floor division
+        out = []
+        b = b.sort_values(["bin", "event_id"], kind="stable")
+        for bb, g in b.groupby("bin", sort=False):
+            ts_b = g["tsu"].to_numpy()
+            d = np.diff(ts_b) // 1_000_000
+            out.append((int(bb), len(d), int(d.sum()), int((d * d).sum()),
+                        int(ts_b[0]), int(ts_b[-1])))
+        return pd.DataFrame(out, columns=["bin", "n_d", "sd", "sd2",
+                                          "first_ts", "last_ts"]
+                            ).astype("int64")
+
+    agg = (B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["bin"], bin_bucket,
+        auto_parallelism=True).to_pandas()
+        .sort_values("bin").reset_index(drop=True))
+    n = int(agg["n_d"].sum())
+    sd = int(agg["sd"].sum())
+    sd2 = int(agg["sd2"].sum())
+    # boundary gaps between consecutive bins (driver, O(bins))
+    lt = agg["last_ts"].to_numpy()
+    ft = agg["first_ts"].to_numpy()
+    for i in range(1, len(agg)):
+        d = int((ft[i] - lt[i - 1]) // 1_000_000)
+        n += 1
+        sd += d
+        sd2 += d * d
+    cv2_ppm = (n * sd2 - sd * sd) * 1_000_000 // (sd * sd)
+    return pd.DataFrame({"n_gaps": pd.Series([n], dtype="int64"),
+                         "sum_gap_s": pd.Series([sd], dtype="int64"),
+                         "cv2_ppm": pd.Series([cv2_ppm], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # Z-score anomaly counts (|z| > 2 without ever computing a square root)
 # ---------------------------------------------------------------------------
 
@@ -3825,6 +3916,39 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
                CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+    """,
+    "pareto_customers": """
+        WITH r AS (SELECT o_custkey,
+                          SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS rev
+                   FROM orders GROUP BY 1),
+             c AS (SELECT rev,
+                          SUM(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum,
+                          SUM(rev) OVER () AS total,
+                          COUNT(*) OVER () AS n
+                   FROM r)
+        SELECT CAST(MIN(rn) AS BIGINT) AS n_customers_80pct,
+               CAST(MIN(n) AS BIGINT) AS n_customers_total,
+               CAST(MIN(total) AS BIGINT) AS total_cents
+        FROM (SELECT cum, total, n,
+                     ROW_NUMBER() OVER (ORDER BY cum) AS rn
+              FROM c)
+        WHERE 5*cum >= 4*total
+    """,
+    "interarrival_burstiness": """
+        WITH w AS (SELECT epoch_us(ts)
+                          - LAG(epoch_us(ts)) OVER (ORDER BY event_id)
+                              AS du
+                   FROM events),
+             g AS (SELECT CAST((du - (((du % 1000000) + 1000000) % 1000000))
+                               / 1000000 AS BIGINT) AS d
+                   FROM w WHERE du IS NOT NULL),
+             s AS (SELECT COUNT(*) AS n, SUM(d) AS sd, SUM(d*d) AS sd2
+                   FROM g)
+        SELECT CAST(n AS BIGINT) AS n_gaps, CAST(sd AS BIGINT) AS sum_gap_s,
+               CAST((n * sd2 - sd * sd) * 1000000 // (sd * sd) AS BIGINT)
+                   AS cv2_ppm
+        FROM s
     """,
     "value_outliers_by_type": """
         WITH c AS (SELECT event_type,

@@ -98,6 +98,7 @@ SQL_CHECKED = [
     "orders_above_cust_avg", "trailing_7d_spend", "copurchase_lift",
     "brand_rank_shift", "order_seasonality", "train_val_test_split",
     "weekday_hour_heatmap", "value_outliers_by_type", "benford_first_digit",
+    "pareto_customers", "interarrival_burstiness",
 ]
 
 

@@ -29,6 +29,7 @@ if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
 from cninfo_crawler_ray.pipelines import analytics as A
+from cninfo_crawler_ray.pipelines import images as IMG
 from cninfo_crawler_ray.pipelines import queries as Q
 
 
@@ -406,24 +407,37 @@ def _phash_near_dup_ds(sf_dir: str, bands: int = 4, max_hamming: int = 2):
 
     sh = ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def pairs_bucket(bdf: pd.DataFrame) -> pd.DataFrame:
+    def pairs_bucket(bdf: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
         m = bdf.merge(bdf, on="band_key")
         m = m[m["image_id_x"] < m["image_id_y"]].drop_duplicates(["image_id_x", "image_id_y"])
-        if len(m) == 0:
-            return pd.DataFrame({"image_a": pd.Series([], dtype=object),
-                                 "image_b": pd.Series([], dtype=object)})
-        ham = hamming64(m["phash_x"].to_numpy(), m["phash_y"].to_numpy())
-        m = m[ham <= max_hamming]
-        return m.rename(columns={"image_id_x": "image_a", "image_id_y": "image_b"})[
-            ["image_a", "image_b"]]
+        if len(m):
+            ham = hamming64(m["phash_x"].to_numpy(), m["phash_y"].to_numpy())
+            m = m[ham <= max_hamming]
+        ids_a, ids_b = m["image_id_x"].tolist(), m["image_id_y"].tolist()
+        if not ids_a:
+            # SENTINEL pair instead of a 0-row output: Ray's map operator
+            # packs any 0-row task output as a schema-less 0-column block
+            # (null/"." schema), and one of those among typed peers trips
+            # the schema-divergence warning. The sentinel keeps every task
+            # output typed; the dedup reduce below drops it.
+            ids_a, ids_b = [""], [""]
+        return pa.table({"image_a": pa.array(ids_a, pa.string()),
+                         "image_b": pa.array(ids_b, pa.string())})
 
-    from ray.data.aggregate import Count
+    # same pair surfaces once per shared band: dedup with a keyed bucketed
+    # reduce (distributed — nothing lands on the driver in this core). The
+    # reduce is auto-sized from the ACTUAL pair count, so partitions are
+    # never empty; sentinel rows all share one key and co-locate with real
+    # pairs at any realistic partition size.
+    def dedup_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["image_a"] != ""]
+        return b.drop_duplicates(["image_a", "image_b"])[["image_a", "image_b"]]
 
-    # same pair surfaces once per shared band: dedup with a keyed aggregate
-    # (distributed — nothing lands on the driver in this core)
-    ded = B.grouped_aggregate_auto(
+    ded = B.bucketed_map_groups(
         B.bucketed_map_groups(sh, ["band_key"], pairs_bucket),
-        ["image_a", "image_b"], [Count(alias_name="_n")])
+        ["image_a", "image_b"], dedup_bucket, auto_parallelism=True)
     return ded.select_columns(["image_a", "image_b"])
 
 
@@ -431,6 +445,10 @@ def _phash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     """Query wrapper over :func:`_phash_near_dup_ds` — collects the (small)
     verified pair list sorted for the golden compare."""
     out = _phash_near_dup_ds(sf_dir, bands=bands, max_hamming=max_hamming).to_pandas()
+    if out.empty and "image_a" not in out.columns:
+        # zero pairs end-to-end: the single empty bundle is column-less
+        out = pd.DataFrame({"image_a": pd.Series([], dtype=object),
+                            "image_b": pd.Series([], dtype=object)})
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
@@ -758,6 +776,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_first_digit": A.q_benford_first_digit,
         "pareto_customers": A.q_pareto_customers,
         "interarrival_burstiness": A.q_interarrival_burstiness,
+        "supplier_hhi_by_nation": A.q_supplier_hhi_by_nation,
+        "daily_peak_drop": A.q_daily_peak_drop,
+        "theil_index_spend": A.q_theil_index_spend,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
@@ -784,6 +805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dup_clusters": _image_dup_clusters,
         "image_region_near_dup": _image_region_near_dup,
         "scheduled_crawl": _scheduled_crawl,
+        "image_aspect_ratio_hist": IMG.q_image_aspect_ratio_hist,
+        "image_gradient_energy_hist": IMG.q_image_gradient_energy_hist,
+        "image_dhash_near_dup": IMG.q_image_dhash_near_dup,
     }
 
 
@@ -811,6 +835,18 @@ _CRAWL_ORACLE_SQL = {
             ON c.image_id = f.iid
         GROUP BY 1, 2
     """,
+    # decoded aspect ratio vs the corpus's STORED (w, h) metadata joined to
+    # the golden frontier — the same two-independent-source design as
+    # image_size_histogram
+    "image_aspect_ratio_hist": f"""
+        WITH f AS (SELECT regexp_extract("PDF链接", 'img_[0-9]+') AS iid
+                   FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet'))
+        SELECT CAST((100 * c.w) // c.h AS BIGINT) AS ar_pct,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM f JOIN read_parquet('{_corpus_10k_path()}') c
+            ON c.image_id = f.iid
+        GROUP BY 1
+    """,
     "host_fetch_histogram": f"""
         SELECT string_split("PDF链接", '/')[3] AS host,
                CAST(COUNT(*) AS BIGINT) AS n_urls
@@ -821,6 +857,12 @@ _CRAWL_ORACLE_SQL = {
     # with explicit min-over-maxima tie rule (tools/make_goldens.py)
     "image_luma_histogram": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_luma_histogram.parquet')",
     "image_dominant_color": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dominant_color.parquet')",
+    # gradient energy: factorization golden (Σa²+Σb²−2Σab vs the engine's
+    # direct Σ(a−b)² — identical exact integers, different code path);
+    # dhash near-dup: brute-force hamming golden (pigeonhole: 4 bands cover
+    # every pair at hamming ≤ 3) — both in tools/make_goldens_r3.py
+    "image_gradient_energy_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_gradient_energy_hist.parquet')",
+    "image_dhash_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dhash_near_dup.parquet')",
     "crawl_frontier": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')",
     "wide_report": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",
     "scheduled_crawl": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",

@@ -38,6 +38,7 @@ def run_bench() -> dict:
 
     from cninfo_crawler_ray.config import CrawlConfig
     from cninfo_crawler_ray.pipelines import analytics as A
+    from cninfo_crawler_ray.pipelines import images as IMG
     from cninfo_crawler_ray.pipelines import queries as Q
     from cninfo_crawler_ray.pipelines import stage1, stage2
     from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
@@ -200,6 +201,12 @@ def run_bench() -> dict:
         ("benford_first_digit", A.q_benford_first_digit),
         ("pareto_customers", A.q_pareto_customers),
         ("interarrival_burstiness", A.q_interarrival_burstiness),
+        ("supplier_hhi_by_nation", A.q_supplier_hhi_by_nation),
+        ("daily_peak_drop", A.q_daily_peak_drop),
+        ("theil_index_spend", A.q_theil_index_spend),
+        ("image_aspect_ratio_hist", IMG.q_image_aspect_ratio_hist),
+        ("image_gradient_energy_hist", IMG.q_image_gradient_energy_hist),
+        ("image_dhash_near_dup", IMG.q_image_dhash_near_dup),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

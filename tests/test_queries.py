@@ -99,6 +99,7 @@ SQL_CHECKED = [
     "brand_rank_shift", "order_seasonality", "train_val_test_split",
     "weekday_hour_heatmap", "value_outliers_by_type", "benford_first_digit",
     "pareto_customers", "interarrival_burstiness",
+    "supplier_hhi_by_nation", "daily_peak_drop", "theil_index_spend",
 ]
 
 

@@ -779,6 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi_by_nation": A.q_supplier_hhi_by_nation,
         "daily_peak_drop": A.q_daily_peak_drop,
         "theil_index_spend": A.q_theil_index_spend,
+        "q6_forecast_revenue": A.q_q6_forecast_revenue,
+        "chi2_priority_by_region": A.q_chi2_priority_by_region,
+        "top_bigrams_per_source": A.q_top_bigrams_per_source,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
@@ -808,6 +811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_aspect_ratio_hist": IMG.q_image_aspect_ratio_hist,
         "image_gradient_energy_hist": IMG.q_image_gradient_energy_hist,
         "image_dhash_near_dup": IMG.q_image_dhash_near_dup,
+        "image_format_size_stats": IMG.q_image_format_size_stats,
+        "image_channel_cast_hist": IMG.q_image_channel_cast_hist,
     }
 
 
@@ -863,6 +868,27 @@ _CRAWL_ORACLE_SQL = {
     # every pair at hamming ≤ 3) — both in tools/make_goldens_r3.py
     "image_gradient_energy_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_gradient_energy_hist.parquet')",
     "image_dhash_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dhash_near_dup.parquet')",
+    # channel cast: per-channel bincount-factorization golden
+    "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
+    # encoded-bytes + decoded-pixels totals vs the corpus's STORED
+    # octet_length(bytes) and w×h metadata — independent of fetch AND decode
+    # the fmt column LIES for planted rows (sources/corpus.py:172-175:
+    # i % 103 == 0 stores a raw payload under fmt='qlossy'); the engine
+    # reports the SNIFFED container, so the oracle corrects the metadata by
+    # the planted rule — a decoder that trusts the metadata fails the gate
+    "image_format_size_stats": f"""
+        WITH f AS (SELECT regexp_extract("PDF链接", 'img_[0-9]+') AS iid
+                   FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet'))
+        SELECT CASE WHEN CAST(SUBSTR(c.image_id, 5) AS BIGINT) % 103 = 0
+                         AND CAST(SUBSTR(c.image_id, 5) AS BIGINT) > 0
+                    THEN 'raw' ELSE c.fmt END AS fmt,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(octet_length(c.bytes)) AS BIGINT) AS total_bytes,
+               CAST(SUM(CAST(c.w AS BIGINT) * c.h) AS BIGINT) AS total_pixels
+        FROM f JOIN read_parquet('{_corpus_10k_path()}') c
+            ON c.image_id = f.iid
+        GROUP BY 1
+    """,
     "crawl_frontier": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')",
     "wide_report": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",
     "scheduled_crawl": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/wide_report.parquet')",

@@ -204,9 +204,14 @@ def run_bench() -> dict:
         ("supplier_hhi_by_nation", A.q_supplier_hhi_by_nation),
         ("daily_peak_drop", A.q_daily_peak_drop),
         ("theil_index_spend", A.q_theil_index_spend),
+        ("q6_forecast_revenue", A.q_q6_forecast_revenue),
+        ("chi2_priority_by_region", A.q_chi2_priority_by_region),
+        ("top_bigrams_per_source", A.q_top_bigrams_per_source),
         ("image_aspect_ratio_hist", IMG.q_image_aspect_ratio_hist),
         ("image_gradient_energy_hist", IMG.q_image_gradient_energy_hist),
         ("image_dhash_near_dup", IMG.q_image_dhash_near_dup),
+        ("image_format_size_stats", IMG.q_image_format_size_stats),
+        ("image_channel_cast_hist", IMG.q_image_channel_cast_hist),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -3965,6 +3965,152 @@ def q_theil_index_spend(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 shape — predicate pushdown at the parquet read
+# ---------------------------------------------------------------------------
+
+def q_q6_forecast_revenue(sf_dir: str):
+    """The canonical pushdown scan (TPC-H Q6): potential revenue from
+    lineitems shipped in 1996 with discount in [0.05, 0.07] and quantity
+    < 24. The THREE row predicates are a pyarrow dataset expression pushed
+    into the fragment scan (``_read(filter_expr=...)``) — row groups whose
+    stats exclude the window never leave storage, and the filter columns
+    (shipdate, quantity) aren't even in the projection. Revenue term =
+    cents(extendedprice) · bps(discount), exact int64 per row; one
+    streaming pass, O(1) result."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    expr = ((pc.field("l_shipdate") >= pa.scalar(datetime(1996, 1, 1)))
+            & (pc.field("l_shipdate") < pa.scalar(datetime(1997, 1, 1)))
+            & (pc.field("l_discount") >= pa.scalar(0.05))
+            & (pc.field("l_discount") <= pa.scalar(0.07))
+            & (pc.field("l_quantity") < pa.scalar(24.0)))
+    # the filter columns must be in the projection: Ray binds the pushed
+    # expression against the projected schema (row groups are still pruned
+    # by the predicate before any column leaves storage)
+    ds = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
+               filter_expr=expr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = _cents(t["l_extendedprice"].to_numpy())
+        bps = np.floor(t["l_discount"].to_numpy()
+                       * 10_000.0 + 0.5).astype("int64")
+        return pa.table({
+            "n": pa.array([len(price)], pa.int64()),
+            "rev": pa.array([int((price * bps).sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_items": pd.Series([int(parts["n"].sum())], dtype="int64"),
+        "revenue_cents_bps": pd.Series([sum(int(v) for v in parts["rev"])],
+                                       dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence audit (region × order priority, exact integer ppm)
+# ---------------------------------------------------------------------------
+
+def q_chi2_priority_by_region(sf_dir: str):
+    """Integerized chi-square independence statistic between customer region
+    and order priority — the drift/bias audit a dataset card reports: with
+    N orders, row sums rᵢ, column sums cⱼ and observed counts oᵢⱼ on the
+    ZERO-FILLED grid, chi2_ppm = Σᵢⱼ (oᵢⱼ·N − rᵢ·cⱼ)²·10⁶ // (N·rᵢ·cⱼ),
+    each cell floor-divided in arbitrary-precision ints (HUGEINT in SQL)
+    then summed — exact at any scale, no floats anywhere. Distribution
+    plan: fact stream × broadcast custkey→region map → keyed count partials
+    → one O(regions×priorities) reduce; the formula runs on that grid."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    cr = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey")
+    keys = cr["c_custkey"].to_numpy().astype("int64")
+    order = np.argsort(keys, kind="stable")
+    side = ray.put((keys[order], cr["r_name"].to_numpy()[order]))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, rn = ray.get(side)
+        ck = t["o_custkey"].to_numpy().astype("int64")
+        pos = np.searchsorted(ks, ck)
+        g = pd.DataFrame({"r_name": rn[pos],
+                          "pr": t["o_orderpriority"].to_pandas(),
+                          "o_ij": np.int64(1)}).groupby(
+            ["r_name", "pr"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"o_ij": "int64"}))
+
+    grid = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["r_name", "pr"], [Sum("o_ij", alias_name="o_ij")],
+        key_domain=32).to_pandas()
+
+    # zero-fill the full region × priority grid (absent cells still
+    # contribute (0·N − r·c)²/(N·r·c) to the statistic)
+    rows = sorted(grid["r_name"].unique())
+    cols = sorted(grid["pr"].unique())
+    full = pd.MultiIndex.from_product([rows, cols], names=["r_name", "pr"]
+                                      ).to_frame(index=False)
+    grid = full.merge(grid, on=["r_name", "pr"], how="left").fillna({"o_ij": 0})
+    grid["o_ij"] = grid["o_ij"].astype("int64")
+    ri = grid.groupby("r_name")["o_ij"].sum()
+    cj = grid.groupby("pr")["o_ij"].sum()
+    n_tot = int(grid["o_ij"].sum())
+    chi2 = 0
+    for _, row in grid.iterrows():
+        r, c, o = int(ri[row["r_name"]]), int(cj[row["pr"]]), int(row["o_ij"])
+        d = o * n_tot - r * c
+        chi2 += d * d * 1_000_000 // (n_tot * r * c)
+    return pd.DataFrame({"n_orders": pd.Series([n_tot], dtype="int64"),
+                         "chi2_ppm": pd.Series([chi2], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Per-source top-k bigrams (grouped rank over exploded text)
+# ---------------------------------------------------------------------------
+
+def q_top_bigrams_per_source(sf_dir: str, k: int = 3):
+    """Top-k word bigrams PER SOURCE by (count desc, bigram asc), with the
+    rank — the per-domain phrase profile a corpus card reports. Per-batch
+    bigram value_counts per source is the combiner (adjacency resolved by a
+    same-row shift over the exploded token frame, same trick as the global
+    bigram_top50); one keyed count reduce; the top-k rank runs inside a
+    source-bucketed reduce, so only O(sources × k) rows leave it."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        row = toks.index.to_numpy()
+        tok = toks.to_numpy()
+        m = row[1:] == row[:-1]
+        g = pd.DataFrame({
+            "source": df["source"].to_numpy()[row[:-1][m]],
+            "bigram": tok[:-1][m] + " " + tok[1:][m],
+        }).groupby(["source", "bigram"], as_index=False).size()
+        return _pa_from_pandas(g.rename(columns={"size": "n"})
+                               .astype({"n": "int64"}))
+
+    counts = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "bigram"], [Sum("n", alias_name="n")])
+
+    def topk_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["source", "n", "bigram"],
+                          ascending=[True, False, True], kind="stable")
+        b = b.groupby("source", sort=False).head(k).copy()
+        b["rk"] = b.groupby("source", sort=False).cumcount().astype("int64") + 1
+        return b
+
+    return B.bucketed_map_groups(counts, ["source"], topk_bucket,
+                                 auto_parallelism=True)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -4875,6 +5021,65 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(MAX(peak) AS BIGINT) AS peak_day_cents,
                CAST(MAX(peak - rev) AS BIGINT) AS max_peak_drop_cents
         FROM m
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(l_discount*10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents_bps
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "chi2_priority_by_region": """
+        WITH cr AS (SELECT c_custkey, r_name
+                    FROM customer
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey),
+             o AS (SELECT r_name, o_orderpriority AS pr,
+                          CAST(COUNT(*) AS BIGINT) AS o_ij
+                   FROM orders JOIN cr ON o_custkey = c_custkey
+                   GROUP BY 1, 2),
+             rr AS (SELECT r_name, SUM(o_ij) AS ri FROM o GROUP BY 1),
+             cc AS (SELECT pr, SUM(o_ij) AS cj FROM o GROUP BY 1),
+             grid AS (SELECT rr.r_name, cc.pr, rr.ri, cc.cj,
+                             COALESCE(o.o_ij, 0) AS o_ij
+                      FROM rr CROSS JOIN cc
+                      LEFT JOIN o ON o.r_name = rr.r_name AND o.pr = cc.pr),
+             m AS (SELECT SUM(o_ij) AS n_tot FROM grid)
+        SELECT CAST(m.n_tot AS BIGINT) AS n_orders,
+               CAST(SUM((CAST(o_ij AS HUGEINT) * m.n_tot
+                         - CAST(ri AS HUGEINT) * cj)
+                        * (CAST(o_ij AS HUGEINT) * m.n_tot
+                           - CAST(ri AS HUGEINT) * cj)
+                        * 1000000
+                        // (CAST(m.n_tot AS HUGEINT) * ri * cj))
+                    AS BIGINT) AS chi2_ppm
+        FROM grid, m GROUP BY m.n_tot
+    """,
+    "top_bigrams_per_source": """
+        WITH w AS (SELECT source,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS arr,
+                          doc_id
+                   FROM documents),
+             t AS (SELECT source, doc_id, unnest(arr) AS tok,
+                          generate_subscripts(arr, 1) AS pos FROM w),
+             b AS (SELECT source, tok,
+                          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                              AS nxt
+                   FROM t),
+             c AS (SELECT source, tok || ' ' || nxt AS bigram,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             r AS (SELECT source, bigram, n,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY n DESC, bigram ASC)
+                              AS rk
+                   FROM c)
+        SELECT source, bigram, n, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 3
     """,
     "theil_index_spend": """
         WITH r AS (SELECT o_custkey,

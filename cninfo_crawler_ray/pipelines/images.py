@@ -96,6 +96,99 @@ def q_image_gradient_energy_hist(sf_dir: str):
     return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
 
 
+class _FormatSizeProbe:
+    """Fused fetch+decode stats actor: per format — row count, total encoded
+    payload bytes (zero-copy view lengths, no byte copies) and total decoded
+    pixels. Emits O(formats) partials per batch."""
+
+    def __init__(self, corpus_path: str):
+        from cninfo_crawler_ray.sources.store import CorpusStore
+
+        self.store = CorpusStore(corpus_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from cninfo_crawler_ray.functions import codecs
+
+        urls = batch["PDF链接"].to_pylist()
+        statuses, _, views, keep = self.store.get_views(urls)
+        agg: dict[str, list] = {}
+        for url, st, blob in zip(urls, statuses, views):
+            if st != 200 or not blob:
+                continue
+            try:
+                px, fmt, _ = codecs.decode_image(blob)
+            except (ValueError, NotImplementedError):
+                continue
+            a = agg.setdefault(fmt, [0, 0, 0])
+            a[0] += 1
+            a[1] += len(blob)
+            a[2] += px.shape[0] * px.shape[1]
+        del views, keep
+        fmts = sorted(agg)
+        return pa.table({
+            "fmt": pa.array(fmts, pa.string()),
+            "n": pa.array([agg[f][0] for f in fmts], pa.int64()),
+            "total_bytes": pa.array([agg[f][1] for f in fmts], pa.int64()),
+            "total_pixels": pa.array([agg[f][2] for f in fmts], pa.int64()),
+        })
+
+
+def q_image_format_size_stats(sf_dir: str):
+    """Per-format storage/decode-cost profile of the validated frontier:
+    row count, total ENCODED payload bytes (measured as zero-copy GET view
+    lengths inside the fused actor) and total DECODED pixels — the
+    footprint table a crawl-storage planner and a decode-cost model both
+    start from. Oracle: the golden frontier joined to the corpus's stored
+    octet_length(bytes) and w×h metadata — independent of the fetch path
+    AND of the decoder (a decoder that mis-sniffs a format or drops a byte
+    fails the gate)."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions import bucketed as B
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+    parts = frontier.map_batches(
+        _FormatSizeProbe, fn_constructor_args=(f"{fdir}/corpus.parquet",),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return B.grouped_aggregate_small(
+        parts, "fmt",
+        [Sum("n", alias_name="n"),
+         Sum("total_bytes", alias_name="total_bytes"),
+         Sum("total_pixels", alias_name="total_pixels")], key_domain=4)
+
+
+def q_image_channel_cast_hist(sf_dir: str):
+    """Color-cast histogram: per image, the channel imbalance in exact ppm —
+    (max(ΣR,ΣG,ΣB) − min(ΣR,ΣG,ΣB)) · 10⁶ // (ΣR+ΣG+ΣB) — bucketed by
+    1000 ppm. The white-balance audit a vision curation pass runs to flag
+    tinted crawl images before training. Per-image kernel is three int64
+    channel sums. Oracle: golden from an independent per-channel BINCOUNT
+    factorization (Σ v·count_v — identical exact integers, different code
+    path; tools/make_goldens_r3.py)."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def cast(iid: str, px: "np.ndarray") -> list[dict]:
+        s = [int(px[:, :, c].sum(dtype=np.int64)) for c in range(3)]
+        ppm = ((max(s) - min(s)) * 1_000_000) // (s[0] + s[1] + s[2])
+        return [{"bucket": ppm // 1000, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", cast, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
 def q_image_dhash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     """Image near-dup mining via the SECOND hash family — difference hash
     (edge structure; codecs.dhash64) — computed from the decoded pixels

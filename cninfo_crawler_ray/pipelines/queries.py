@@ -37,7 +37,13 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          filter_expr=None) -> rd.Dataset:
+    """Pruned parquet read: column projection, metadata-free schema, block
+    sizing from the footer row count, and (``filter_expr``) an optional
+    pyarrow dataset expression pushed INTO the fragment scan — row groups
+    whose stats exclude the predicate never leave storage, and the filter
+    may reference columns outside the projection."""
     path = f"{sf_dir}/{table}.parquet"
     kwargs = {}
     import pyarrow.parquet as _pq
@@ -59,12 +65,16 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     # any downstream strip-map could run (VERDICT r02 §1).
     full = pf.schema_arrow.remove_metadata()
     sub = pa.schema([full.field(c) for c in columns]) if columns else full
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
     ds = rd.read_parquet(path, columns=columns, schema=sub, **kwargs)
-    # carry the footer row count: count() on a mapped dataset EXECUTES the
-    # plan (Ray can't know the map is row-preserving), so consumers that
-    # only need cardinality — attach()'s broadcast-vs-shuffle decision —
-    # would otherwise pay a full read per join side
-    ds._graft_nrows = n
+    if filter_expr is None:
+        # carry the footer row count: count() on a mapped dataset EXECUTES
+        # the plan (Ray can't know the map is row-preserving), so consumers
+        # that only need cardinality — attach()'s broadcast-vs-shuffle
+        # decision — would otherwise pay a full read per join side.
+        # (Not valid under a row filter: the footer count is pre-filter.)
+        ds._graft_nrows = n
     return ds
 
 

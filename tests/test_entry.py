@@ -77,10 +77,34 @@ def test_image_hist_queries_cover_decoded_frontier(entrymod):
     count (image_features rows, same fused actor path)."""
     n_decoded = len(entrymod.queries()["image_features"](SF).to_pandas())
     assert n_decoded > 0
-    for name in ("image_aspect_ratio_hist", "image_gradient_energy_hist"):
+    for name in ("image_aspect_ratio_hist", "image_gradient_energy_hist",
+                 "image_channel_cast_hist"):
         out = entrymod.queries()[name](SF).to_pandas()
         assert int(out["n"].sum()) == n_decoded, name
         assert (out["n"] > 0).all()
+
+
+def test_image_format_size_stats_sniffs_the_lie(entrymod):
+    """Per-format counts must follow the SNIFFED container, not the lying
+    fmt metadata: planted rows (i % 103 == 0) store raw payloads under
+    fmt='qlossy', so any such frontier row must be counted as raw. Totals
+    must cover every decoded frontier image."""
+    out = entrymod.queries()["image_format_size_stats"](SF).to_pandas()
+    n_decoded = len(entrymod.queries()["image_features"](SF).to_pandas())
+    assert int(out["n"].sum()) == n_decoded
+    assert (out["total_bytes"] > out["n"]).all()  # every payload is >1 byte
+    import pyarrow.parquet as pq
+
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures
+
+    fdir = ensure_fixtures(1000)
+    corpus = pq.read_table(f"{fdir}/corpus.parquet",
+                           columns=["image_id", "fmt"]).to_pandas()
+    n_qlossy_meta = int((corpus["fmt"] == "qlossy").sum())
+    n_qlossy_got = int(out.set_index("fmt")["n"].get("qlossy", 0))
+    # the frontier is a subset, so sniffed qlossy < metadata qlossy is the
+    # weak bound; the exact check is the sf0.01 oracle gate
+    assert n_qlossy_got < n_qlossy_meta
 
 
 def test_image_region_near_dup_clones_score_four(entrymod):

@@ -100,6 +100,7 @@ SQL_CHECKED = [
     "weekday_hour_heatmap", "value_outliers_by_type", "benford_first_digit",
     "pareto_customers", "interarrival_burstiness",
     "supplier_hhi_by_nation", "daily_peak_drop", "theil_index_spend",
+    "q6_forecast_revenue", "chi2_priority_by_region", "top_bigrams_per_source",
 ]
 
 

@@ -782,6 +782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": A.q_q6_forecast_revenue,
         "chi2_priority_by_region": A.q_chi2_priority_by_region,
         "top_bigrams_per_source": A.q_top_bigrams_per_source,
+        "ks_click_vs_purchase": A.q_ks_click_vs_purchase,
+        "q3_shipping_priority": A.q_q3_shipping_priority,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
@@ -813,6 +815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_near_dup": IMG.q_image_dhash_near_dup,
         "image_format_size_stats": IMG.q_image_format_size_stats,
         "image_channel_cast_hist": IMG.q_image_channel_cast_hist,
+        "caption_token_stats": IMG.q_caption_token_stats,
+        "caption_dup_groups": IMG.q_caption_dup_groups,
     }
 
 
@@ -872,6 +876,36 @@ _CRAWL_ORACLE_SQL = {
     "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
     # encoded-bytes + decoded-pixels totals vs the corpus's STORED
     # octet_length(bytes) and w×h metadata — independent of fetch AND decode
+    # captions measured from the PAYLOAD metadata trailer; oracle = the
+    # stored caption column (fmt lie corrected) — a codec that mangles the
+    # trailer fails. Token rule: whitespace split, '' → 0 tokens.
+    "caption_token_stats": f"""
+        WITH f AS (SELECT regexp_extract("PDF链接", 'img_[0-9]+') AS iid
+                   FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet')),
+             j AS (SELECT CASE WHEN CAST(SUBSTR(c.image_id, 5) AS BIGINT)
+                                    % 103 = 0
+                               AND CAST(SUBSTR(c.image_id, 5) AS BIGINT) > 0
+                          THEN 'raw' ELSE c.fmt END AS fmt,
+                          c.caption
+                   FROM f JOIN read_parquet('{_corpus_10k_path()}') c
+                       ON c.image_id = f.iid)
+        SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN caption = '' THEN 0
+                             ELSE len(string_split(caption, ' ')) END)
+                    AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN caption = '' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_empty
+        FROM j GROUP BY 1
+    """,
+    "caption_dup_groups": f"""
+        WITH f AS (SELECT regexp_extract("PDF链接", 'img_[0-9]+') AS iid
+                   FROM read_parquet('{_GOLDEN_DIR}/crawl_frontier.parquet'))
+        SELECT c.caption, CAST(COUNT(*) AS BIGINT) AS n
+        FROM f JOIN read_parquet('{_corpus_10k_path()}') c
+            ON c.image_id = f.iid
+        WHERE c.caption <> ''
+        GROUP BY 1 HAVING COUNT(*) > 1
+    """,
     # the fmt column LIES for planted rows (sources/corpus.py:172-175:
     # i % 103 == 0 stores a raw payload under fmt='qlossy'); the engine
     # reports the SNIFFED container, so the oracle corrects the metadata by

@@ -212,6 +212,10 @@ def run_bench() -> dict:
         ("image_dhash_near_dup", IMG.q_image_dhash_near_dup),
         ("image_format_size_stats", IMG.q_image_format_size_stats),
         ("image_channel_cast_hist", IMG.q_image_channel_cast_hist),
+        ("ks_click_vs_purchase", A.q_ks_click_vs_purchase),
+        ("q3_shipping_priority", A.q_q3_shipping_priority),
+        ("caption_token_stats", IMG.q_caption_token_stats),
+        ("caption_dup_groups", IMG.q_caption_dup_groups),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

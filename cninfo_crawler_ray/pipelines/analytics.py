@@ -4111,6 +4111,117 @@ def q_top_bigrams_per_source(sf_dir: str, k: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov distance (exact integer numerator)
+# ---------------------------------------------------------------------------
+
+def q_ks_click_vs_purchase(sf_dir: str):
+    """Two-sample KS distance between the click and purchase value
+    distributions — the distribution-drift test an event-pipeline monitor
+    runs — kept EXACT by reporting the integer numerator: D·n_a·n_b =
+    max over distinct cent values of |cum_a·n_b − cum_b·n_a|. The event
+    stream is filtered at the parquet scan (type pushdown), reduced to
+    per-value counts by one keyed reduce; the cumulative max runs over the
+    O(distinct cents) frame (bounded driver state, the gini contract)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               filter_expr=pc.field("event_type").isin(["click", "purchase"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        v = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        a = (df["event_type"] == "click").to_numpy()
+        g = pd.DataFrame({"v": v, "da": a.astype("int64"),
+                          "db": (~a).astype("int64")}).groupby(
+            "v", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"da": "int64", "db": "int64"}))
+
+    counts = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "v", [Sum("da", alias_name="da"), Sum("db", alias_name="db")]
+    ).to_pandas().sort_values("v")
+    na = int(counts["da"].sum())
+    nb = int(counts["db"].sum())
+    ca = counts["da"].to_numpy().cumsum()
+    cb = counts["db"].to_numpy().cumsum()
+    d_num = int(np.abs(ca * nb - cb * na).max())
+    return pd.DataFrame({"n_click": pd.Series([na], dtype="int64"),
+                         "n_purchase": pd.Series([nb], dtype="int64"),
+                         "d_num": pd.Series([d_num], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — filtered 3-table join + keyed revenue + top-k
+# ---------------------------------------------------------------------------
+
+def q_q3_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape: top-k open-order revenue — BUILDING-segment
+    customers, orders placed before 1996-07-01, lineitems shipped after it;
+    revenue = Σ cents(extendedprice·(1−discount)) per order, ranked by
+    (revenue desc, o_orderdate asc, o_orderkey asc). Plan: the segment's
+    custkey set broadcasts (dimension-small); BOTH fact scans carry their
+    date predicate pushed into the parquet read; lineitem reduces to
+    per-order revenue partials before ONE keyed reduce; eligible orders
+    attach their orderdate via the adaptive join; top-k is a distributed
+    sort + limit over the O(open orders) frame."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ck = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING",
+                          "c_custkey"].to_numpy().astype("int64"))
+    side = ray.put(ck)
+
+    cut = datetime(1996, 7, 1)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter_expr=pc.field("o_orderdate") < pa.scalar(cut))
+
+    def eligible(t: pa.Table) -> pa.Table:
+        ks = ray.get(side)
+        df = t.to_pandas()
+        c = df["o_custkey"].to_numpy().astype("int64")
+        pos = np.clip(np.searchsorted(ks, c), 0, max(len(ks) - 1, 0))
+        keep = (ks[pos] == c) if len(ks) else np.zeros(len(c), dtype=bool)
+        out = df.loc[keep, ["o_orderkey", "o_orderdate"]].copy()
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        out["o_orderdate"] = out["o_orderdate"].astype(str)
+        return _pa_from_pandas(out)
+
+    # materialize: attach() sizes its broadcast-vs-shuffle choice by
+    # right.count(), which would otherwise execute this derived plan twice
+    elig = orders.map_batches(eligible, batch_format="pyarrow").materialize()
+
+    # l_shipdate rides in the projection because Ray binds the pushed
+    # filter against the projected schema (row groups still prune)
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                 filter_expr=pc.field("l_shipdate") > pa.scalar(cut))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"),
+                          "revenue_cents": cents}).groupby(
+            "o_orderkey", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"revenue_cents": "int64"}))
+
+    rev = B.grouped_aggregate_auto(
+        line.map_batches(rev_partial, batch_format="pyarrow"),
+        "o_orderkey", [Sum("revenue_cents", alias_name="revenue_cents")])
+
+    joined = B.attach(rev, "o_orderkey", elig, "o_orderkey",
+                      "o_orderdate", "o_orderdate")
+    out = joined.sort(["revenue_cents", "o_orderdate", "o_orderkey"],
+                      descending=[True, False, False]).limit(k).to_pandas()
+    return out[["o_orderkey", "o_orderdate", "revenue_cents"]].astype(
+        {"o_orderkey": "int64", "revenue_cents": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -5021,6 +5132,44 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(MAX(peak) AS BIGINT) AS peak_day_cents,
                CAST(MAX(peak - rev) AS BIGINT) AS max_peak_drop_cents
         FROM m
+    """,
+    "ks_click_vs_purchase": """
+        WITH c AS (SELECT event_type,
+                          CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+             g AS (SELECT v,
+                          SUM(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END) AS da,
+                          SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS db
+                   FROM c GROUP BY 1),
+             s AS (SELECT SUM(da) OVER (ORDER BY v) AS ca,
+                          SUM(db) OVER (ORDER BY v) AS cb
+                   FROM g),
+             n AS (SELECT SUM(da) AS na, SUM(db) AS nb FROM g)
+        SELECT CAST(n.na AS BIGINT) AS n_click,
+               CAST(n.nb AS BIGINT) AS n_purchase,
+               CAST(MAX(ABS(s.ca * n.nb - s.cb * n.na)) AS BIGINT) AS d_num
+        FROM s, n GROUP BY n.na, n.nb
+    """,
+    "q3_shipping_priority": """
+        WITH e AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+                              AS o_orderdate
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   WHERE c_mktsegment = 'BUILDING'
+                     AND o_orderdate < TIMESTAMP '1996-07-01'),
+             r AS (SELECT l_orderkey AS o_orderkey,
+                          SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100
+                                         + 0.5) AS BIGINT)) AS revenue_cents
+                   FROM lineitem
+                   WHERE l_shipdate > TIMESTAMP '1996-07-01'
+                   GROUP BY 1)
+        SELECT e.o_orderkey, e.o_orderdate,
+               CAST(r.revenue_cents AS BIGINT) AS revenue_cents
+        FROM r JOIN e USING (o_orderkey)
+        ORDER BY revenue_cents DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 10
     """,
     "q6_forecast_revenue": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -189,6 +189,115 @@ def q_image_channel_cast_hist(sf_dir: str):
     return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
 
 
+class _CaptionProbe:
+    """Fused fetch+decode actor emitting per-image caption metadata rows
+    (fmt, caption). Captions ride INSIDE the encoded payload (the codec's
+    metadata trailer), so this exercises the full payload round-trip; the
+    oracles read the corpus's stored caption column — two independent
+    sources, and a codec that drops or mangles the trailer fails the gate."""
+
+    def __init__(self, corpus_path: str):
+        from cninfo_crawler_ray.sources.store import CorpusStore
+
+        self.store = CorpusStore(corpus_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from cninfo_crawler_ray.functions import codecs
+
+        urls = batch["PDF链接"].to_pylist()
+        statuses, _, views, keep = self.store.get_views(urls)
+        fmts, caps = [], []
+        for url, st, blob in zip(urls, statuses, views):
+            if st != 200 or not blob:
+                continue
+            try:
+                _, fmt, meta = codecs.decode_image(blob)
+            except (ValueError, NotImplementedError):
+                continue
+            fmts.append(fmt)
+            caps.append(meta.get("caption", ""))
+        del views, keep
+        return pa.table({"fmt": pa.array(fmts, pa.string()),
+                         "caption": pa.array(caps, pa.string())})
+
+
+def _captions(sf_dir: str):
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+    return frontier.map_batches(
+        _CaptionProbe, fn_constructor_args=(f"{fdir}/corpus.parquet",),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+
+
+def q_caption_token_stats(sf_dir: str):
+    """Per (sniffed) format: image count, total caption tokens and
+    empty-caption count, measured from captions decoded OUT OF THE PAYLOADS
+    — the text-side profile of an image+caption corpus (the stats a
+    captioning-data card reports). Oracle: the stored caption column with
+    the planted fmt lie corrected — independent of fetch, decode and the
+    metadata trailer."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions import bucketed as B
+    from cninfo_crawler_ray.functions.bucketed import _pa_from_pandas
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = df["caption"].str.split().str.len().astype("int64")
+        g = pd.DataFrame({
+            "fmt": df["fmt"],
+            "n": np.int64(1),
+            "total_tokens": toks,
+            "n_empty": (df["caption"] == "").astype("int64"),
+        }).groupby("fmt", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"n": "int64", "total_tokens": "int64",
+                                         "n_empty": "int64"}))
+
+    return B.grouped_aggregate_small(
+        _captions(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        "fmt",
+        [Sum("n", alias_name="n"),
+         Sum("total_tokens", alias_name="total_tokens"),
+         Sum("n_empty", alias_name="n_empty")], key_domain=4)
+
+
+def q_caption_dup_groups(sf_dir: str):
+    """Duplicate-caption groups over the validated frontier: (caption, n)
+    for every non-empty caption appearing on ≥2 images — the text-side
+    exact-dup audit of an image+caption corpus (dup captions flag scraped
+    boilerplate / mirrored pages). Captions come from the payload metadata;
+    one keyed count reduce; the n>1 filter runs INSIDE the reduce with a
+    sentinel row per partition (sparse outputs stay typed — same pattern as
+    the near-dup pair reduces), dropped at the end."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions import bucketed as B
+    from cninfo_crawler_ray.functions.bucketed import _pa_from_pandas
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.loc[df["caption"] != ""].groupby("caption", as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return _pa_from_pandas(g.astype({"n": "int64"}))
+
+    counts = B.grouped_aggregate_auto(
+        _captions(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        "caption", [Sum("n", alias_name="n")])
+
+    def dups_bucket(b: pd.DataFrame) -> pa.Table:
+        d = b.loc[b["n"] > 1]
+        caps = d["caption"].tolist() + [""]  # sentinel keeps the task typed
+        ns = d["n"].astype("int64").tolist() + [0]
+        return pa.table({"caption": pa.array(caps, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    out = B.bucketed_map_groups(counts, ["caption"], dups_bucket,
+                                auto_parallelism=True).to_pandas()
+    out = out.loc[out["caption"] != ""]
+    return out.sort_values(["caption"]).reset_index(drop=True)
+
+
 def q_image_dhash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
     """Image near-dup mining via the SECOND hash family — difference hash
     (edge structure; codecs.dhash64) — computed from the decoded pixels

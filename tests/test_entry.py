@@ -107,6 +107,34 @@ def test_image_format_size_stats_sniffs_the_lie(entrymod):
     assert n_qlossy_got < n_qlossy_meta
 
 
+def test_caption_ops_match_stored_column(entrymod):
+    """Captions decoded out of the payload metadata trailer must agree with
+    the corpus's stored caption column over the validated frontier — token
+    totals and duplicate groups both (independent pandas recomputation)."""
+    import pyarrow.parquet as pq
+
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures
+
+    fr = entrymod.queries()["crawl_frontier"](SF).to_pandas()
+    iids = {u.rsplit("/", 1)[-1].rsplit(".", 1)[0] for u in fr["PDF链接"]}
+    fdir = ensure_fixtures(1000)
+    corpus = pq.read_table(f"{fdir}/corpus.parquet",
+                           columns=["image_id", "caption"]).to_pandas()
+    sub = corpus[corpus["image_id"].isin(iids)]
+
+    stats = entrymod.queries()["caption_token_stats"](SF).to_pandas()
+    assert int(stats["n"].sum()) == len(sub)
+    assert int(stats["total_tokens"].sum()) == sum(
+        len(c.split()) for c in sub["caption"])
+    assert int(stats["n_empty"].sum()) == int((sub["caption"] == "").sum())
+
+    dups = entrymod.queries()["caption_dup_groups"](SF)
+    vc = sub.loc[sub["caption"] != "", "caption"].value_counts()
+    want = {(c, int(n)) for c, n in vc[vc > 1].items()}
+    got = set(zip(dups["caption"], (int(v) for v in dups["n"])))
+    assert got == want
+
+
 def test_image_region_near_dup_clones_score_four(entrymod):
     """Planted pixel clones share every quadrant, so any clone pair in the
     output must score n_quads == 4; at least one must be present, and no

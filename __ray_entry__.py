@@ -784,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_per_source": A.q_top_bigrams_per_source,
         "ks_click_vs_purchase": A.q_ks_click_vs_purchase,
         "q3_shipping_priority": A.q_q3_shipping_priority,
+        "mutual_info_priority_region": A.q_mutual_info_priority_region,
+        "q10_returned_items": A.q_q10_returned_items,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
@@ -817,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_channel_cast_hist": IMG.q_image_channel_cast_hist,
         "caption_token_stats": IMG.q_caption_token_stats,
         "caption_dup_groups": IMG.q_caption_dup_groups,
+        "phash_bit_balance": IMG.q_phash_bit_balance,
     }
 
 
@@ -876,6 +879,15 @@ _CRAWL_ORACLE_SQL = {
     "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
     # encoded-bytes + decoded-pixels totals vs the corpus's STORED
     # octet_length(bytes) and w×h metadata — independent of fetch AND decode
+    # hash-health audit: engine = numpy shift/mask popcounts per bit;
+    # oracle = DuckDB arithmetic-shift bit ops over the same stored column
+    "phash_bit_balance": f"""
+        SELECT CAST(t.b AS BIGINT) AS b,
+               CAST(SUM((c.phash >> t.b) & 1) AS BIGINT) AS n_set,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM read_parquet('{_corpus_10k_path()}') c, range(64) t(b)
+        GROUP BY 1
+    """,
     # captions measured from the PAYLOAD metadata trailer; oracle = the
     # stored caption column (fmt lie corrected) — a codec that mangles the
     # trailer fails. Token rule: whitespace split, '' → 0 tokens.

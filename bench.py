@@ -216,6 +216,9 @@ def run_bench() -> dict:
         ("q3_shipping_priority", A.q_q3_shipping_priority),
         ("caption_token_stats", IMG.q_caption_token_stats),
         ("caption_dup_groups", IMG.q_caption_dup_groups),
+        ("mutual_info_priority_region", A.q_mutual_info_priority_region),
+        ("q10_returned_items", A.q_q10_returned_items),
+        ("phash_bit_balance", IMG.q_phash_bit_balance),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

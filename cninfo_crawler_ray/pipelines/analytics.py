@@ -4222,6 +4222,129 @@ def q_q3_shipping_priority(sf_dir: str, k: int = 10):
 
 
 # ---------------------------------------------------------------------------
+# Mutual information (region × priority, exact milli-nat quantization)
+# ---------------------------------------------------------------------------
+
+def q_mutual_info_priority_region(sf_dir: str):
+    """Mutual information between customer region and order priority in
+    integer milli-nats — the dependence audit that complements chi2 (MI is
+    the quantity a feature-selection pass ranks by): over the OBSERVED
+    cells, MI·N = Σ o·(ln o + ln N − ln r − ln c). Each cell's term is
+    quantized to an int64 (FLOOR(·10³ + 0.5), libm log on both sides — the
+    token-entropy recipe; terms may be negative, floor is toward −∞ on
+    both sides), summed exactly, then mi_millinats = FLOOR(Σt/N + 0.5).
+    Same contingency machinery as chi2_priority_by_region: broadcast
+    custkey→region, keyed count partials, O(grid) driver formula."""
+    import math as _m
+
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    cr = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey")
+    keys = cr["c_custkey"].to_numpy().astype("int64")
+    order = np.argsort(keys, kind="stable")
+    side = ray.put((keys[order], cr["r_name"].to_numpy()[order]))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, rn = ray.get(side)
+        ck = t["o_custkey"].to_numpy().astype("int64")
+        pos = np.searchsorted(ks, ck)
+        g = pd.DataFrame({"r_name": rn[pos],
+                          "pr": t["o_orderpriority"].to_pandas(),
+                          "o_ij": np.int64(1)}).groupby(
+            ["r_name", "pr"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"o_ij": "int64"}))
+
+    grid = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["r_name", "pr"], [Sum("o_ij", alias_name="o_ij")],
+        key_domain=32).to_pandas()
+    ri = grid.groupby("r_name")["o_ij"].sum()
+    cj = grid.groupby("pr")["o_ij"].sum()
+    n_tot = int(grid["o_ij"].sum())
+    ln_n = _m.log(n_tot)
+    st = 0
+    for _, row in grid.iterrows():
+        o = int(row["o_ij"])
+        r, c = int(ri[row["r_name"]]), int(cj[row["pr"]])
+        term = o * (_m.log(o) + ln_n - _m.log(r) - _m.log(c))
+        st += int(_m.floor(term * 1000.0 + 0.5))
+    mi = int(_m.floor(st / n_tot + 0.5))
+    return pd.DataFrame({"n_orders": pd.Series([n_tot], dtype="int64"),
+                         "mi_millinats": pd.Series([mi], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item revenue per customer, top-k
+# ---------------------------------------------------------------------------
+
+def q_q10_returned_items(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: the top-k customers by revenue LOST to returns in
+    1996Q1 — orders in the quarter (date pushdown), lineitems with
+    l_returnflag = 'R' (string-equality pushdown), revenue =
+    Σ cents(extendedprice·(1−discount)). Plan: the quarter's orderkey→
+    custkey map broadcasts (quarter-bounded, dimension-small at any scale
+    ONLY if the window is; documented), lineitem partials reduce per
+    custkey, c_name attaches via the adaptive join, top-k by (revenue
+    desc, custkey asc)."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import ray
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter_expr=((pc.field("o_orderdate") >= pa.scalar(lo))
+                                & (pc.field("o_orderdate") < pa.scalar(hi)))
+                   ).to_pandas()
+    ok = orders["o_orderkey"].to_numpy().astype("int64")
+    order = np.argsort(ok, kind="stable")
+    side = ray.put((ok[order],
+                    orders["o_custkey"].to_numpy().astype("int64")[order]))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_returnflag"],
+                 filter_expr=pc.field("l_returnflag") == pa.scalar("R"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, cks = ray.get(side)
+        df = t.to_pandas()
+        lk = df["l_orderkey"].to_numpy().astype("int64")
+        pos = np.clip(np.searchsorted(ks, lk), 0, max(len(ks) - 1, 0))
+        keep = (ks[pos] == lk) if len(ks) else np.zeros(len(lk), dtype=bool)
+        if not keep.any():
+            # sentinel partial instead of a 0-row output (Ray packs those
+            # as schema-less blocks); custkey −1 never joins a real
+            # customer, so the attach below drops it with no extra stage
+            return pa.table({"o_custkey": pa.array([-1], pa.int64()),
+                             "revenue_cents": pa.array([0], pa.int64())})
+        cents = np.floor(df["l_extendedprice"].to_numpy()[keep]
+                         * (1.0 - df["l_discount"].to_numpy()[keep])
+                         * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"o_custkey": cks[pos[keep]],
+                          "revenue_cents": cents}).groupby(
+            "o_custkey", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"revenue_cents": "int64"}))
+
+    rev = B.grouped_aggregate_auto(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "o_custkey", [Sum("revenue_cents", alias_name="revenue_cents")])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = B.attach(rev, "o_custkey", cust, "c_custkey", "c_name", "c_name")
+    out = joined.sort(["revenue_cents", "o_custkey"],
+                      descending=[True, False]).limit(k).to_pandas()
+    return out[["o_custkey", "c_name", "revenue_cents"]].astype(
+        {"o_custkey": "int64", "revenue_cents": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -5132,6 +5255,48 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(MAX(peak) AS BIGINT) AS peak_day_cents,
                CAST(MAX(peak - rev) AS BIGINT) AS max_peak_drop_cents
         FROM m
+    """,
+    "mutual_info_priority_region": """
+        WITH cr AS (SELECT c_custkey, r_name
+                    FROM customer
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey),
+             o AS (SELECT r_name, o_orderpriority AS pr,
+                          CAST(COUNT(*) AS BIGINT) AS o_ij
+                   FROM orders JOIN cr ON o_custkey = c_custkey
+                   GROUP BY 1, 2),
+             rr AS (SELECT r_name, SUM(o_ij) AS ri FROM o GROUP BY 1),
+             cc AS (SELECT pr, SUM(o_ij) AS cj FROM o GROUP BY 1),
+             m AS (SELECT SUM(o_ij) AS n_tot FROM o),
+             t AS (SELECT CAST(FLOOR(CAST(o_ij AS DOUBLE)
+                                     * (LN(CAST(o_ij AS DOUBLE))
+                                        + LN(CAST(m.n_tot AS DOUBLE))
+                                        - LN(CAST(rr.ri AS DOUBLE))
+                                        - LN(CAST(cc.cj AS DOUBLE)))
+                                     * 1000.0 + 0.5) AS BIGINT) AS term,
+                          m.n_tot
+                   FROM o JOIN rr USING (r_name) JOIN cc USING (pr), m)
+        SELECT CAST(n_tot AS BIGINT) AS n_orders,
+               CAST(FLOOR(CAST(SUM(term) AS DOUBLE)
+                          / CAST(n_tot AS DOUBLE) + 0.5) AS BIGINT)
+                   AS mi_millinats
+        FROM t GROUP BY n_tot
+    """,
+    "q10_returned_items": """
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate <  TIMESTAMP '1996-04-01'),
+             r AS (SELECT o.o_custkey,
+                          SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100
+                                         + 0.5) AS BIGINT)) AS revenue_cents
+                   FROM lineitem JOIN o ON l_orderkey = o.o_orderkey
+                   WHERE l_returnflag = 'R'
+                   GROUP BY 1)
+        SELECT r.o_custkey, c.c_name,
+               CAST(r.revenue_cents AS BIGINT) AS revenue_cents
+        FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+        ORDER BY revenue_cents DESC, o_custkey ASC
+        LIMIT 20
     """,
     "ks_click_vs_purchase": """
         WITH c AS (SELECT event_type,

@@ -189,6 +189,42 @@ def q_image_channel_cast_hist(sf_dir: str):
     return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
 
 
+def q_phash_bit_balance(sf_dir: str):
+    """Hash-health audit of the stored perceptual-fingerprint column: per
+    bit position, how many of the corpus's 64-bit phashes have it set. A
+    healthy hash family sits near 50% per bit; a stuck bit means broken
+    banding for every LSH consumer. One vectorized shift-and-mask partial
+    per batch (O(64) rows out), one tiny keyed reduce. Oracle: DuckDB bit
+    ops over the same column — an independent arithmetic path (arithmetic
+    shift on signed BIGINT preserves bit b after `& 1`)."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions import bucketed as B
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.sources.readers import read_parquet_clean
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{fdir}/corpus.parquet").metadata.num_rows
+    ds = read_parquet_clean(
+        f"{fdir}/corpus.parquet", columns=["phash"],
+        override_num_blocks=max(1, min(64, -(-n_rows // 8192))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["phash"].to_numpy().view(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+        return pa.table({"b": pa.array(np.arange(64, dtype=np.int64)),
+                         "n_set": pa.array(bits.astype(np.int64)),
+                         "n": pa.array(np.full(64, len(h), dtype=np.int64))})
+
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"), "b",
+        [Sum("n_set", alias_name="n_set"), Sum("n", alias_name="n")],
+        key_domain=64)
+
+
 class _CaptionProbe:
     """Fused fetch+decode actor emitting per-image caption metadata rows
     (fmt, caption). Captions ride INSIDE the encoded payload (the codec's

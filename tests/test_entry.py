@@ -135,6 +135,27 @@ def test_caption_ops_match_stored_column(entrymod):
     assert got == want
 
 
+def test_phash_bit_balance_matches_numpy(entrymod):
+    """Per-bit set counts over the stored phash column must equal a direct
+    numpy recomputation at the 1k fixture, and n must equal the corpus row
+    count for every bit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures
+
+    out = entrymod.queries()["phash_bit_balance"](SF).to_pandas()
+    fdir = ensure_fixtures(1000)
+    h = pq.read_table(f"{fdir}/corpus.parquet", columns=["phash"]
+                      )["phash"].to_numpy().view(np.uint64)
+    assert len(out) == 64
+    assert (out["n"] == len(h)).all()
+    got = out.sort_values("b")["n_set"].to_numpy()
+    want = np.array([int(((h >> np.uint64(b)) & np.uint64(1)).sum())
+                     for b in range(64)])
+    assert (got == want).all()
+
+
 def test_image_region_near_dup_clones_score_four(entrymod):
     """Planted pixel clones share every quadrant, so any clone pair in the
     output must score n_quads == 4; at least one must be present, and no

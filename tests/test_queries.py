@@ -102,6 +102,7 @@ SQL_CHECKED = [
     "supplier_hhi_by_nation", "daily_peak_drop", "theil_index_spend",
     "q6_forecast_revenue", "chi2_priority_by_region", "top_bigrams_per_source",
     "ks_click_vs_purchase", "q3_shipping_priority",
+    "mutual_info_priority_region", "q10_returned_items",
 ]
 
 

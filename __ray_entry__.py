@@ -786,6 +786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": A.q_q3_shipping_priority,
         "mutual_info_priority_region": A.q_mutual_info_priority_region,
         "q10_returned_items": A.q_q10_returned_items,
+        "decile_transition_matrix": A.q_decile_transition_matrix,
+        "embedding_dim_stats": A.q_embedding_dim_stats,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

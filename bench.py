@@ -219,6 +219,8 @@ def run_bench() -> dict:
         ("mutual_info_priority_region", A.q_mutual_info_priority_region),
         ("q10_returned_items", A.q_q10_returned_items),
         ("phash_bit_balance", IMG.q_phash_bit_balance),
+        ("decile_transition_matrix", A.q_decile_transition_matrix),
+        ("embedding_dim_stats", A.q_embedding_dim_stats),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

@@ -4345,6 +4345,109 @@ def q_q10_returned_items(sf_dir: str, k: int = 20):
 
 
 # ---------------------------------------------------------------------------
+# Decile transition matrix (two-period NTILE + full-outer self-join)
+# ---------------------------------------------------------------------------
+
+def q_decile_transition_matrix(sf_dir: str):
+    """Customer-spend decile migration 1996 → 1997 — the cohort-mobility
+    matrix a retention analysis reports: NTILE(10) of per-customer spend
+    within each year (exact SQL semantics via the ntile_orders closed
+    form), FULL-OUTER self-joined on customer with decile 0 meaning
+    'inactive that year' (entry/churn rows), counted into the ≤121-cell
+    matrix. Plan: date-pushdown scan → keyed (customer, year) spend reduce
+    → year-bucketed exact NTILE (each year co-locates, the ntile_orders
+    contract) → customer-bucketed pairing emitting per-partition matrix
+    partials → O(cells) reduce."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"],
+               filter_expr=((pc.field("o_orderdate") >= pa.scalar(lo))
+                            & (pc.field("o_orderdate") < pa.scalar(hi))))
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        y = pd.to_datetime(df["o_orderdate"]).dt.year.astype("int64")
+        g = pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                          "y": y, "spend": _cents(df["o_totalprice"])
+                          }).groupby(["o_custkey", "y"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"spend": "int64"}))
+
+    spend = B.grouped_aggregate_auto(
+        ds.map_batches(spend_partial, batch_format="pyarrow"),
+        ["o_custkey", "y"], [Sum("spend", alias_name="spend")])
+
+    def tile(b: pd.DataFrame, n: int = 10) -> pd.DataFrame:
+        b = b.sort_values(["y", "spend", "o_custkey"], kind="stable")
+        g = b.groupby("y", sort=False)
+        r = g.cumcount().to_numpy()
+        size = g["spend"].transform("size").to_numpy()
+        base, rem = size // n, size % n
+        split = rem * (base + 1)
+        t_ = np.where(r < split, r // np.maximum(base + 1, 1),
+                      rem + (r - split) // np.maximum(base, 1))
+        return pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(),
+                             "y": b["y"].to_numpy(),
+                             "tile": (t_ + 1).astype(np.int64)})
+
+    tiles = B.bucketed_map_groups(spend, ["y"], tile, key_domain=2)
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b.pivot_table(index="o_custkey", columns="y", values="tile",
+                          aggfunc="first", fill_value=0)
+        d96 = w[1996].to_numpy() if 1996 in w.columns else np.zeros(len(w), dtype=np.int64)
+        d97 = w[1997].to_numpy() if 1997 in w.columns else np.zeros(len(w), dtype=np.int64)
+        g = pd.DataFrame({"d96": d96.astype("int64"),
+                          "d97": d97.astype("int64"),
+                          "n": np.int64(1)}).groupby(
+            ["d96", "d97"], as_index=False).sum()
+        return g.astype({"n": "int64"})
+
+    return B.grouped_aggregate_small(
+        B.bucketed_map_groups(tiles, ["o_custkey"], pair_partial,
+                              auto_parallelism=True),
+        ["d96", "d97"], [Sum("n", alias_name="n")], key_domain=121)
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding stats (vector-column profiling for quantization)
+# ---------------------------------------------------------------------------
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension profile of the embedding column — the table an int8
+    quantization / PCA-whitening pass starts from: for every dimension,
+    (n, min, max, sum) of the element values in exact integer micro-units
+    (FLOOR(v·10⁶ + 0.5); float32 → float64 widening is exact on both
+    sides). The list column flattens to one contiguous numpy matrix per
+    batch (zero row-wise Python); partials are O(dims) rows per batch and
+    the reduce is keyed on the dimension index."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n_rows = len(col)
+        dim = len(flat) // max(n_rows, 1)
+        m = np.floor(flat.astype(np.float64) * 1_000_000.0
+                     + 0.5).astype("int64").reshape(n_rows, dim)
+        return pa.table({
+            "dim": pa.array(np.arange(dim, dtype=np.int64)),
+            "n": pa.array(np.full(dim, n_rows, dtype=np.int64)),
+            "min_micro": pa.array(m.min(axis=0)),
+            "max_micro": pa.array(m.max(axis=0)),
+            "sum_micro": pa.array(m.sum(axis=0, dtype=np.int64)),
+        })
+
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"), "dim",
+        [Sum("n", alias_name="n"), Min("min_micro", alias_name="min_micro"),
+         Max("max_micro", alias_name="max_micro"),
+         Sum("sum_micro", alias_name="sum_micro")], key_domain=64)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -5255,6 +5358,43 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(MAX(peak) AS BIGINT) AS peak_day_cents,
                CAST(MAX(peak - rev) AS BIGINT) AS max_peak_drop_cents
         FROM m
+    """,
+    "embedding_dim_stats": """
+        WITH u AS (SELECT unnest(embedding) AS v,
+                          generate_subscripts(embedding, 1) AS d
+                   FROM embeddings),
+             q AS (SELECT CAST(d - 1 AS BIGINT) AS dim,
+                          CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5)
+                               AS BIGINT) AS m
+                   FROM u)
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(m) AS BIGINT) AS min_micro,
+               CAST(MAX(m) AS BIGINT) AS max_micro,
+               CAST(SUM(m) AS BIGINT) AS sum_micro
+        FROM q GROUP BY 1
+    """,
+    "decile_transition_matrix": """
+        WITH s AS (SELECT o_custkey,
+                          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+                          SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS spend
+                   FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate <  TIMESTAMP '1998-01-01'
+                   GROUP BY 1, 2),
+             t AS (SELECT o_custkey, y,
+                          NTILE(10) OVER (PARTITION BY y
+                                          ORDER BY spend, o_custkey) AS tile
+                   FROM s),
+             p AS (SELECT COALESCE(a.tile, 0) AS d96,
+                          COALESCE(b.tile, 0) AS d97
+                   FROM (SELECT o_custkey, tile FROM t WHERE y = 1996) a
+                   FULL OUTER JOIN
+                        (SELECT o_custkey, tile FROM t WHERE y = 1997) b
+                   USING (o_custkey))
+        SELECT CAST(d96 AS BIGINT) AS d96, CAST(d97 AS BIGINT) AS d97,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2
     """,
     "mutual_info_priority_region": """
         WITH cr AS (SELECT c_custkey, r_name

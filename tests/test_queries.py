@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "q6_forecast_revenue", "chi2_priority_by_region", "top_bigrams_per_source",
     "ks_click_vs_purchase", "q3_shipping_priority",
     "mutual_info_priority_region", "q10_returned_items",
+    "decile_transition_matrix", "embedding_dim_stats",
 ]
 
 

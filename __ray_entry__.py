@@ -786,6 +786,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": A.q_q3_shipping_priority,
         "mutual_info_priority_region": A.q_mutual_info_priority_region,
         "q10_returned_items": A.q_q10_returned_items,
+        "q4_priority_semijoin": A.q_q4_priority_semijoin,
+        "q7_volume_shipping": A.q_q7_volume_shipping,
+        "q8_market_share": A.q_q8_market_share,
+        "q13_custdist": A.q_q13_custdist,
+        "q14_promo_revenue": A.q_q14_promo_revenue,
         "decile_transition_matrix": A.q_decile_transition_matrix,
         "embedding_dim_stats": A.q_embedding_dim_stats,
         # sort / limit / set ops

@@ -4448,6 +4448,365 @@ def q_embedding_dim_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H join suite (Q4/Q7/Q8/Q13/Q14 shapes over the trimmed schema)
+# ---------------------------------------------------------------------------
+
+def _day_i64(s: pd.Series) -> np.ndarray:
+    """Timestamps → integer epoch days (exact; all corpus dates are midnight)."""
+    return pd.to_datetime(s).to_numpy().astype("datetime64[D]").astype("int64")
+
+
+def q_q4_priority_semijoin(sf_dir: str):
+    """TPC-H Q4 shape (adapted — this corpus has no l_commitdate, so "late"
+    is l_shipdate > o_orderdate + 60 days): 1996Q1 orders counted per
+    priority when AT LEAST ONE lineitem shipped late. EXISTS is a dup-safe
+    semi-join: the quarter's (orderkey, epoch-day, priority) broadcasts
+    once (window-bounded small side), lineitem batches emit per-batch
+    DISTINCT late orderkeys, a keyed distinct reduce collapses across
+    batches, and the final count is a ≤5-key grouped reduce. No lineitem
+    row is ever shuffled — only candidate orderkeys move."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import ray
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                   filter_expr=((pc.field("o_orderdate") >= pa.scalar(lo))
+                                & (pc.field("o_orderdate") < pa.scalar(hi)))
+                   ).to_pandas()
+    ok = orders["o_orderkey"].to_numpy().astype("int64")
+    order = np.argsort(ok, kind="stable")
+    ok = ok[order]
+    odays = _day_i64(orders["o_orderdate"])[order]
+    prio = orders["o_orderpriority"].to_numpy()[order]
+    side = ray.put((ok, odays))
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        ks, ds_ = ray.get(side)
+        df = t.to_pandas()
+        lk = df["l_orderkey"].to_numpy().astype("int64")
+        sd = _day_i64(df["l_shipdate"])
+        if len(ks):
+            pos = np.clip(np.searchsorted(ks, lk), 0, len(ks) - 1)
+            keep = (ks[pos] == lk) & (sd > ds_[pos] + 60)
+        else:
+            keep = np.zeros(len(lk), dtype=bool)
+        u = np.unique(lk[keep])
+        if not len(u):
+            u = np.array([-1], dtype=np.int64)  # typed sentinel, never joins
+        return pa.table({"o_orderkey": pa.array(u, pa.int64())})
+
+    distinct = B.bucketed_map_groups(
+        line.map_batches(late_keys, batch_format="pyarrow"),
+        ["o_orderkey"],
+        lambda b: b.drop_duplicates("o_orderkey"),
+        auto_parallelism=True)
+
+    def count_prio(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ok, k), 0, max(len(ok) - 1, 0))
+        keep = (ok[pos] == k) if len(ok) else np.zeros(len(k), dtype=bool)
+        g = pd.Series(prio[pos[keep]]).value_counts()
+        return pa.table({"o_orderpriority": pa.array(g.index.to_numpy()),
+                         "order_count": pa.array(
+                             g.to_numpy().astype("int64"), pa.int64())})
+
+    out = B.grouped_aggregate_small(
+        distinct.map_batches(count_prio, batch_format="pyarrow"),
+        "o_orderpriority", [Sum("order_count", alias_name="order_count")],
+        key_domain=8).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True).astype(
+        {"order_count": "int64"})
+
+
+def q_q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape generalized to the full nation×nation grid: revenue
+    cents between (supplier nation, customer nation) per ship year,
+    1996–1997. Plan: lineitem batches attach s_nationkey from a broadcast
+    sorted supplier array and pre-reduce to (orderkey, supp nation, year)
+    partials — the shuffle then moves ~|orders| rows, not ~|lineitem|;
+    o_custkey and c_nationkey attach via the adaptive join (broadcast at
+    test SF, bucketed shuffle at scale); 25-row nation names broadcast;
+    final grouped reduce is ≤ 25·25·2 keys."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import ray
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy().astype("int64")
+    so = np.argsort(sk, kind="stable")
+    sup_side = ray.put((sk[so],
+                        sup["s_nationkey"].to_numpy().astype("int64")[so]))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"],
+                 filter_expr=((pc.field("l_shipdate") >= pa.scalar(lo))
+                              & (pc.field("l_shipdate") < pa.scalar(hi))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, nat = ray.get(sup_side)
+        df = t.to_pandas()
+        lsk = df["l_suppkey"].to_numpy().astype("int64")
+        pos = np.clip(np.searchsorted(ks, lsk), 0, max(len(ks) - 1, 0))
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype("int64")
+        y = pd.to_datetime(df["l_shipdate"]).dt.year.to_numpy().astype("int64")
+        g = pd.DataFrame({"l_orderkey": df["l_orderkey"].astype("int64"),
+                          "supp_nat": nat[pos], "l_year": y,
+                          "revenue_cents": cents}).groupby(
+            ["l_orderkey", "supp_nat", "l_year"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"revenue_cents": "int64"}))
+
+    part_ds = B.grouped_aggregate_auto(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey", "supp_nat", "l_year"],
+        [Sum("revenue_cents", alias_name="revenue_cents")])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    with_cust = B.attach(part_ds, "l_orderkey", orders, "o_orderkey",
+                         "o_custkey", "o_custkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    with_nat = B.attach(with_cust, "o_custkey", cust, "c_custkey",
+                        "c_nationkey", "cust_nat")
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = nation["n_nationkey"].to_numpy().astype("int64")
+    no = np.argsort(nk, kind="stable")
+    nk, nname = nk[no], nation["n_name"].to_numpy()[no]
+
+    def name_pair(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        sn = np.searchsorted(nk, df["supp_nat"].to_numpy().astype("int64"))
+        cn = np.searchsorted(nk, df["cust_nat"].to_numpy().astype("int64"))
+        g = pd.DataFrame({"supp_nation": nname[sn], "cust_nation": nname[cn],
+                          "l_year": df["l_year"].astype("int64"),
+                          "revenue_cents": df["revenue_cents"].astype("int64")
+                          }).groupby(["supp_nation", "cust_nation", "l_year"],
+                                     as_index=False).sum()
+        return _pa_from_pandas(g.astype({"revenue_cents": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        with_nat.map_batches(name_pair, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        [Sum("revenue_cents", alias_name="revenue_cents")],
+        key_domain=25 * 25 * 2).to_pandas()
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]
+                           ).reset_index(drop=True).astype(
+        {"l_year": "int64", "revenue_cents": "int64"})
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_1 suppliers' share (bps) of PROMO-part revenue
+    sold to AMERICA-region customers, per order year 1996–1997. Plan: the
+    PROMO partkey set and the supplier→nation array broadcast once;
+    lineitem batches filter on partkey membership, flag target-nation
+    suppliers and pre-reduce to (orderkey, flag) partials; order year and
+    customer nation attach adaptively; region filter via the 25-row
+    nation map; 2-key final reduce computes the share in integer bps."""
+    import pyarrow.compute as pc
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"],
+                 filter_expr=pc.field("p_type") == pa.scalar("PROMO")
+                 ).to_pandas()
+    promo = np.sort(part["p_partkey"].to_numpy().astype("int64"))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy().astype("int64")
+    so = np.argsort(sk, kind="stable")
+    side = ray.put((promo, sk[so],
+                    sup["s_nationkey"].to_numpy().astype("int64")[so]))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pm, ks, nat = ray.get(side)
+        df = t.to_pandas()
+        lp = df["l_partkey"].to_numpy().astype("int64")
+        pos = np.clip(np.searchsorted(pm, lp), 0, max(len(pm) - 1, 0))
+        keep = (pm[pos] == lp) if len(pm) else np.zeros(len(lp), dtype=bool)
+        if not keep.any():
+            return pa.table({"l_orderkey": pa.array([-1], pa.int64()),
+                             "nation_cents": pa.array([0], pa.int64()),
+                             "total_cents": pa.array([0], pa.int64())})
+        df = df.loc[keep]
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype("int64")
+        spos = np.clip(np.searchsorted(ks, df["l_suppkey"].to_numpy()
+                                       .astype("int64")), 0, len(ks) - 1)
+        is_target = (nat[spos] == 1).astype("int64")
+        g = pd.DataFrame({"l_orderkey": df["l_orderkey"].astype("int64"),
+                          "nation_cents": is_target * cents,
+                          "total_cents": cents}).groupby(
+            "l_orderkey", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"nation_cents": "int64",
+                                         "total_cents": "int64"}))
+
+    part_ds = B.grouped_aggregate_auto(
+        line.map_batches(partial, batch_format="pyarrow"), "l_orderkey",
+        [Sum("nation_cents", alias_name="nation_cents"),
+         Sum("total_cents", alias_name="total_cents")])
+
+    from datetime import datetime
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter_expr=((pc.field("o_orderdate") >= pa.scalar(lo))
+                                & (pc.field("o_orderdate") < pa.scalar(hi))))
+
+    def with_year(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["o_year"] = pd.to_datetime(df["o_orderdate"]).dt.year.astype("int64")
+        return _pa_from_pandas(df[["o_orderkey", "o_custkey", "o_year"]])
+
+    ody = orders.map_batches(with_year, batch_format="pyarrow")
+    j1 = B.attach(part_ds, "l_orderkey", ody, "o_orderkey",
+                  "o_custkey", "o_custkey")
+    j2 = B.attach(j1, "l_orderkey", ody, "o_orderkey", "o_year", "o_year")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j3 = B.attach(j2, "o_custkey", cust, "c_custkey", "c_nationkey",
+                  "cust_nat")
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]
+                   ).to_pandas()
+    nk = nation["n_nationkey"].to_numpy().astype("int64")
+    no = np.argsort(nk, kind="stable")
+    nk, nreg = nk[no], nation["n_regionkey"].to_numpy().astype("int64")[no]
+
+    def america_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cn = df["cust_nat"].to_numpy().astype("int64")
+        keep = nreg[np.searchsorted(nk, cn)] == 1  # AMERICA
+        if not keep.any():
+            return pa.table({"o_year": pa.array([-1], pa.int64()),
+                             "nation_cents": pa.array([0], pa.int64()),
+                             "total_cents": pa.array([0], pa.int64())})
+        g = df.loc[keep].groupby("o_year", as_index=False)[
+            ["nation_cents", "total_cents"]].sum()
+        return _pa_from_pandas(g.astype({"o_year": "int64",
+                                         "nation_cents": "int64",
+                                         "total_cents": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        j3.map_batches(america_partial, batch_format="pyarrow"), "o_year",
+        [Sum("nation_cents", alias_name="nation_cents"),
+         Sum("total_cents", alias_name="total_cents")],
+        key_domain=8).to_pandas()
+    out = out.loc[out["o_year"] >= 0].sort_values("o_year").reset_index(
+        drop=True)
+    out["share_bps"] = np.floor(
+        out["nation_cents"].to_numpy().astype(np.float64) * 10000.0
+        / out["total_cents"].to_numpy().astype(np.float64) + 0.5
+    ).astype("int64")
+    return out.astype({"o_year": "int64", "nation_cents": "int64",
+                       "total_cents": "int64"})
+
+
+def q_q13_custdist(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    INCLUDING the zero-order bucket (the LEFT-JOIN semantics). Plan:
+    per-custkey counts via batch partials + keyed reduce, a second tiny
+    reduce histograms the counts, and the zero bucket is total customers
+    (parquet footer count — no scan) minus customers seen in orders.
+    Nothing wider than |customers| rows ever shuffles."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pd.Series(t.column("o_custkey").to_numpy(zero_copy_only=False)
+                      ).value_counts()
+        return pa.table({"o_custkey": pa.array(
+            v.index.to_numpy().astype("int64"), pa.int64()),
+            "c_count": pa.array(v.to_numpy().astype("int64"), pa.int64())})
+
+    per_cust = B.grouped_aggregate_auto(
+        orders.map_batches(partial, batch_format="pyarrow"), "o_custkey",
+        [Sum("c_count", alias_name="c_count")])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = pd.Series(t.column("c_count").to_numpy(zero_copy_only=False)
+                      ).value_counts()
+        return pa.table({"c_count": pa.array(
+            v.index.to_numpy().astype("int64"), pa.int64()),
+            "custdist": pa.array(v.to_numpy().astype("int64"), pa.int64())})
+
+    hist = B.grouped_aggregate_auto(
+        per_cust.map_batches(hist_partial, batch_format="pyarrow"), "c_count",
+        [Sum("custdist", alias_name="custdist")]).to_pandas()
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = int(n_cust) - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"c_count": [0], "custdist": [zero]})], ignore_index=True)
+    return hist.sort_values(["custdist", "c_count"], ascending=[False, False]
+                            ).reset_index(drop=True).astype(
+        {"c_count": "int64", "custdist": "int64"})
+
+
+def q_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape per month of 1996: PROMO-part revenue share in
+    integer bps. The PROMO partkey set broadcasts once (sorted array,
+    membership via searchsorted — never re-shipped per batch); lineitem
+    batches pre-reduce to ≤12 (month, sums) partials so the final reduce
+    is a 12-key grouped aggregate."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"],
+                 filter_expr=pc.field("p_type") == pa.scalar("PROMO")
+                 ).to_pandas()
+    promo_ref = ray.put(np.sort(part["p_partkey"].to_numpy().astype("int64")))
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                 filter_expr=((pc.field("l_shipdate") >= pa.scalar(lo))
+                              & (pc.field("l_shipdate") < pa.scalar(hi))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pm = ray.get(promo_ref)
+        df = t.to_pandas()
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype("int64")
+        lp = df["l_partkey"].to_numpy().astype("int64")
+        pos = np.clip(np.searchsorted(pm, lp), 0, max(len(pm) - 1, 0))
+        is_promo = ((pm[pos] == lp) if len(pm)
+                    else np.zeros(len(lp), dtype=bool)).astype("int64")
+        m = pd.to_datetime(df["l_shipdate"]).dt.month.to_numpy().astype(
+            "int64")
+        g = pd.DataFrame({"l_month": m, "promo_cents": is_promo * cents,
+                          "total_cents": cents}).groupby(
+            "l_month", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"promo_cents": "int64",
+                                         "total_cents": "int64"}))
+
+    out = B.grouped_aggregate_small(
+        line.map_batches(partial, batch_format="pyarrow"), "l_month",
+        [Sum("promo_cents", alias_name="promo_cents"),
+         Sum("total_cents", alias_name="total_cents")],
+        key_domain=12).to_pandas().sort_values("l_month").reset_index(
+        drop=True)
+    out["promo_bps"] = np.floor(
+        out["promo_cents"].to_numpy().astype(np.float64) * 10000.0
+        / out["total_cents"].to_numpy().astype(np.float64) + 0.5
+    ).astype("int64")
+    return out.astype({"l_month": "int64", "promo_cents": "int64",
+                       "total_cents": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -5553,5 +5912,81 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                              - LN(CAST(sx AS DOUBLE))) * 1000.0
                           + 0.5) AS BIGINT) AS theil_millinats
         FROM s
+    """,
+    "q4_priority_semijoin": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey
+                        AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        WITH l AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                              AS o_year,
+                          CAST(FLOOR(l_extendedprice*(1 - l_discount)*100
+                                     + 0.5) AS BIGINT) AS cents,
+                          CASE WHEN s_nationkey = 1 THEN 1 ELSE 0 END AS tgt
+                   FROM lineitem
+                   JOIN part     ON l_partkey = p_partkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN orders   ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation   ON c_nationkey = n_nationkey
+                   JOIN region   ON n_regionkey = r_regionkey
+                   WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+                     AND o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate <  TIMESTAMP '1998-01-01')
+        SELECT o_year,
+               CAST(SUM(tgt * cents) AS BIGINT) AS nation_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(FLOOR(CAST(SUM(tgt * cents) AS DOUBLE) * 10000.0
+                          / CAST(SUM(cents) AS DOUBLE) + 0.5) AS BIGINT)
+                   AS share_bps
+        FROM l GROUP BY 1 ORDER BY 1
+    """,
+    "q13_custdist": """
+        WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                   FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                   GROUP BY 1)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """,
+    "q14_promo_revenue": """
+        WITH l AS (SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT)
+                              AS l_month,
+                          CAST(FLOOR(l_extendedprice*(1 - l_discount)*100
+                                     + 0.5) AS BIGINT) AS cents,
+                          CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END
+                              AS promo
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate <  TIMESTAMP '1997-01-01')
+        SELECT l_month,
+               CAST(SUM(promo * cents) AS BIGINT) AS promo_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(FLOOR(CAST(SUM(promo * cents) AS DOUBLE) * 10000.0
+                          / CAST(SUM(cents) AS DOUBLE) + 0.5) AS BIGINT)
+                   AS promo_bps
+        FROM l GROUP BY 1 ORDER BY 1
     """,
 }

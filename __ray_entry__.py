@@ -791,6 +791,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": A.q_q8_market_share,
         "q13_custdist": A.q_q13_custdist,
         "q14_promo_revenue": A.q_q14_promo_revenue,
+        "q15_top_supplier": A.q_q15_top_supplier,
+        "q17_small_qty_revenue": A.q_q17_small_qty_revenue,
+        "q18_large_orders": A.q_q18_large_orders,
+        "q19_disjunctive_pred": A.q_q19_disjunctive_pred,
         "decile_transition_matrix": A.q_decile_transition_matrix,
         "embedding_dim_stats": A.q_embedding_dim_stats,
         # sort / limit / set ops

@@ -4806,6 +4806,199 @@ def q_q14_promo_revenue(sf_dir: str):
                        "total_cents": "int64"})
 
 
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the top supplier(s) by 1996Q1 ship revenue, ties
+    included (the view + MAX correlated filter). Plan: date-pushdown
+    lineitem scan → per-batch suppkey partials → keyed reduce to
+    |suppliers| rows (dimension-sized: ~10k/SF100 — safe to collect), max
+    + tie filter + s_name merge on the reduced frame."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                 filter_expr=((pc.field("l_shipdate") >= pa.scalar(lo))
+                              & (pc.field("l_shipdate") < pa.scalar(hi))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype("int64")
+        g = pd.DataFrame({"s_suppkey": df["l_suppkey"].astype("int64"),
+                          "total_cents": cents}).groupby(
+            "s_suppkey", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"total_cents": "int64"}))
+
+    rev = B.grouped_aggregate_auto(
+        line.map_batches(partial, batch_format="pyarrow"), "s_suppkey",
+        [Sum("total_cents", alias_name="total_cents")]).to_pandas()
+    top = rev.loc[rev["total_cents"] == rev["total_cents"].max()]
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(sup, on="s_suppkey").sort_values("s_suppkey")
+    return out[["s_suppkey", "s_name", "total_cents"]].reset_index(
+        drop=True).astype({"s_suppkey": "int64", "total_cents": "int64"})
+
+
+def q_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue locked in small-quantity orders — lineitems
+    with l_quantity < 0.2 × that part's average quantity. The per-part
+    threshold is float-EXACT on both sides (quantities are integral ≤ 50,
+    so the float64 sum is exact at any order; 0.2·(sum/count) is one
+    deterministic op sequence mirrored in the SQL). Plan: per-part
+    (sum, count) partials → keyed reduce → threshold column → adaptive
+    attach back onto lineitem (broadcast at test SF, bucketed at scale) →
+    filtered partial sums → 1-key reduce."""
+    line1 = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({"l_partkey": df["l_partkey"].astype("int64"),
+                          "sq": df["l_quantity"].astype("float64"),
+                          "cnt": np.ones(len(df), dtype=np.int64)}).groupby(
+            "l_partkey", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"cnt": "int64"}))
+
+    per_part = B.grouped_aggregate_auto(
+        line1.map_batches(qty_partial, batch_format="pyarrow"), "l_partkey",
+        [Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt")])
+
+    def thr_col(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        thr = 0.2 * (df["sq"].to_numpy()
+                     / df["cnt"].to_numpy().astype(np.float64))
+        return pa.table({"l_partkey": pa.array(
+            df["l_partkey"].to_numpy().astype("int64"), pa.int64()),
+            "thr": pa.array(thr, pa.float64())})
+
+    thr_ds = per_part.map_batches(thr_col, batch_format="pyarrow")
+    line2 = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"])
+    joined = B.attach(line2, "l_partkey", thr_ds, "l_partkey", "thr", "thr")
+
+    def small_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = df["l_quantity"].to_numpy() < df["thr"].to_numpy()
+        cents = np.floor(df["l_extendedprice"].to_numpy()[keep] * 100.0
+                         + 0.5).astype("int64")
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n_small": pa.array([int(keep.sum())], pa.int64()),
+                         "total_cents": pa.array([int(cents.sum())],
+                                                 pa.int64())})
+
+    out = B.grouped_aggregate_small(
+        joined.map_batches(small_partial, batch_format="pyarrow"), "k",
+        [Sum("n_small", alias_name="n_small"),
+         Sum("total_cents", alias_name="total_cents")],
+        key_domain=1).to_pandas().drop(columns=["k"])
+    out["avg_yearly_cents"] = np.floor(
+        out["total_cents"].to_numpy().astype(np.float64) / 7.0 + 0.5
+    ).astype("int64")
+    return out.astype({"n_small": "int64", "total_cents": "int64"})
+
+
+def q_q18_large_orders(sf_dir: str, min_qty: float = 250.0):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds 250,
+    with customer name — the HAVING tail. Plan: per-orderkey quantity
+    partials → keyed reduce → tail filter (O(SF) survivors) → order
+    attributes and c_name attach via the adaptive join chain (each
+    broadcast at test SF, bucketed shuffle at scale — survivors GROW with
+    SF, so no driver-side collection happens before the final result)."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"),
+                          "sum_qty": df["l_quantity"].astype("float64")
+                          }).groupby("o_orderkey", as_index=False).sum()
+        return _pa_from_pandas(g)
+
+    sums = B.grouped_aggregate_auto(
+        line.map_batches(partial, batch_format="pyarrow"), "o_orderkey",
+        [Sum("sum_qty", alias_name="sum_qty")])
+
+    def tail(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.loc[df["sum_qty"].to_numpy() > min_qty]
+        if not len(df):
+            df = pd.DataFrame({"o_orderkey": np.array([-1], dtype=np.int64),
+                               "sum_qty": np.array([0.0])})
+        return _pa_from_pandas(df.astype({"o_orderkey": "int64"}))
+
+    surv = sums.map_batches(tail, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = B.attach(surv, "o_orderkey", orders, "o_orderkey",
+                 "o_custkey", "o_custkey")
+    j = B.attach(j, "o_orderkey", orders, "o_orderkey",
+                 "o_orderdate", "o_orderdate")
+    j = B.attach(j, "o_orderkey", orders, "o_orderkey",
+                 "o_totalprice", "o_totalprice")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = B.attach(j, "o_custkey", cust, "c_custkey", "c_name", "c_name")
+    out = j.to_pandas()
+    out["total_cents"] = _cents(out["o_totalprice"].to_numpy())
+    out["sum_qty"] = out["sum_qty"].to_numpy().astype("int64")
+    out = out.sort_values(["sum_qty", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                "total_cents", "sum_qty"]].astype(
+        {"o_custkey": "int64", "o_orderkey": "int64",
+         "total_cents": "int64", "sum_qty": "int64"})
+
+
+def q_q19_disjunctive_pred(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a 3-way disjunction of correlated
+    (brand, size-range, quantity-range) predicates — the classic
+    OR-of-ANDs that defeats naive pushdown. Plan: the part side of each
+    disjunct pre-evaluates driver-side into three partkey bitmasks over a
+    sorted key array (broadcast once); lineitem batches evaluate the
+    quantity windows vectorized and OR the three masks; 1-key reduce."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+                 ).to_pandas()
+    pk = part["p_partkey"].to_numpy().astype("int64")
+    po = np.argsort(pk, kind="stable")
+    pk = pk[po]
+    brand = part["p_brand"].to_numpy()[po]
+    size = part["p_size"].to_numpy().astype("int64")[po]
+    b1 = (brand == "Brand#12") & (size >= 1) & (size <= 15)
+    b2 = (brand == "Brand#23") & (size >= 1) & (size <= 25)
+    b3 = (brand == "Brand#3") & (size >= 1) & (size <= 35)
+    side = ray.put((pk, b1, b2, b3))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, m1, m2, m3 = ray.get(side)
+        df = t.to_pandas()
+        lp = df["l_partkey"].to_numpy().astype("int64")
+        q = df["l_quantity"].to_numpy()
+        pos = np.clip(np.searchsorted(ks, lp), 0, max(len(ks) - 1, 0))
+        hit = (ks[pos] == lp) if len(ks) else np.zeros(len(lp), dtype=bool)
+        keep = hit & ((m1[pos] & (q >= 1) & (q <= 11))
+                      | (m2[pos] & (q >= 10) & (q <= 20))
+                      | (m3[pos] & (q >= 20) & (q <= 30)))
+        cents = np.floor(df["l_extendedprice"].to_numpy()[keep]
+                         * (1.0 - df["l_discount"].to_numpy()[keep])
+                         * 100.0 + 0.5).astype("int64")
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n_matched": pa.array([int(keep.sum())], pa.int64()),
+                         "revenue_cents": pa.array([int(cents.sum())],
+                                                   pa.int64())})
+
+    return B.grouped_aggregate_small(
+        line.map_batches(partial, batch_format="pyarrow"), "k",
+        [Sum("n_matched", alias_name="n_matched"),
+         Sum("revenue_cents", alias_name="revenue_cents")],
+        key_domain=1).to_pandas().drop(columns=["k"]).astype(
+        {"n_matched": "int64", "revenue_cents": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -5988,5 +6181,57 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                           / CAST(SUM(cents) AS DOUBLE) + 0.5) AS BIGINT)
                    AS promo_bps
         FROM l GROUP BY 1 ORDER BY 1
+    """,
+    "q15_top_supplier": """
+        WITH r AS (SELECT l_suppkey AS s_suppkey,
+                          SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100
+                                         + 0.5) AS BIGINT)) AS total_cents
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate <  TIMESTAMP '1996-04-01'
+                   GROUP BY 1)
+        SELECT r.s_suppkey, s.s_name,
+               CAST(r.total_cents AS BIGINT) AS total_cents
+        FROM r JOIN supplier s USING (s_suppkey)
+        WHERE r.total_cents = (SELECT MAX(total_cents) FROM r)
+        ORDER BY r.s_suppkey
+    """,
+    "q17_small_qty_revenue": """
+        WITH t AS (SELECT l_partkey,
+                          0.2 * (SUM(l_quantity) / COUNT(*)) AS thr
+                   FROM lineitem GROUP BY 1),
+             s AS (SELECT l_extendedprice
+                   FROM lineitem JOIN t USING (l_partkey)
+                   WHERE l_quantity < thr)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+                                        AS BIGINT)) AS DOUBLE) / 7.0 + 0.5)
+                    AS BIGINT) AS avg_yearly_cents
+        FROM s
+    """,
+    "q18_large_orders": """
+        WITH q AS (SELECT l_orderkey, SUM(l_quantity) AS sq
+                   FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+        SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+               CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents,
+               CAST(sq AS BIGINT) AS sum_qty
+        FROM orders JOIN q ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY sum_qty DESC, o_orderkey
+    """,
+    "q19_disjunctive_pred": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
     """,
 }

@@ -795,6 +795,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": A.q_q17_small_qty_revenue,
         "q18_large_orders": A.q_q18_large_orders,
         "q19_disjunctive_pred": A.q_q19_disjunctive_pred,
+        "q9_profit": A.q_q9_profit,
+        "q12_late_lines": A.q_q12_late_lines,
+        "q16_supplier_cnt": A.q_q16_supplier_cnt,
+        "q21_waiting_supplier": A.q_q21_waiting_supplier,
+        "q22_idle_rich": A.q_q22_idle_rich,
         "decile_transition_matrix": A.q_decile_transition_matrix,
         "embedding_dim_stats": A.q_embedding_dim_stats,
         # sort / limit / set ops

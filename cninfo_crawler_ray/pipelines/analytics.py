@@ -5000,6 +5000,328 @@ def q_q19_disjunctive_pred(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H adapted shapes round 2: Q9 profit, Q12 late-line priority classes,
+# Q16 supplier count-distinct, Q21 lone-late supplier, Q22 idle-rich audit.
+# (Adapted because the synthetic schema has no partsupp / l_shipmode /
+# l_commitdate / c_phone; each docstring states the substitution.)
+# ---------------------------------------------------------------------------
+
+def q_q9_profit(sf_dir: str):
+    """TPC-H Q9 shape (adapted: no partsupp table, so per-unit part cost is
+    proxied as 10% of p_retailprice): profit by supplier nation × ship year
+    over parts whose name contains 'widget'. Plan: the name-filtered part
+    side reduces to (partkey → retailprice) and attaches adaptively
+    (broadcast at test SF, bucketed shuffle at scale); suppkey→nation is a
+    broadcast dimension map; per-batch (nation, year) partials reduce under
+    an auto-sized keyed aggregate. Profit is exact int64 cents: the revenue
+    and cost terms are floored per row with the same float64 op sequence as
+    the SQL oracle."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def part_prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["p_name"].str.contains("widget", regex=False)]
+        return pa.table({
+            "p_partkey": pa.array(df["p_partkey"].to_numpy().astype("int64"),
+                                  pa.int64()),
+            "p_retail": pa.array(df["p_retailprice"].to_numpy(),
+                                 pa.float64())})
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    sk = sup["s_suppkey"].to_numpy().astype("int64")
+    order = np.argsort(sk, kind="stable")
+    nation_names = sorted(nat["n_name"].tolist())
+    name_idx = {n: i for i, n in enumerate(nation_names)}
+    side = ray.put((sk[order],
+                    sup["n_name"].map(name_idx).to_numpy().astype("int64")[order]))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount", "l_shipdate"])
+    joined = B.attach(line, "l_partkey",
+                      part.map_batches(part_prep, batch_format="pyarrow"),
+                      "p_partkey", "p_retail", "p_retail")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ks, nidx = ray.get(side)
+        rev = np.floor(df["l_extendedprice"].to_numpy()
+                       * (1.0 - df["l_discount"].to_numpy())
+                       * 100.0 + 0.5).astype("int64")
+        cost = np.floor(df["l_quantity"].to_numpy()
+                        * df["p_retail"].to_numpy() * 10.0 + 0.5).astype("int64")
+        lsk = df["l_suppkey"].to_numpy().astype("int64")
+        pos = np.clip(np.searchsorted(ks, lsk), 0, max(len(ks) - 1, 0))
+        year = pd.to_datetime(df["l_shipdate"]).dt.year.to_numpy().astype("int64")
+        g = pd.DataFrame({"nidx": nidx[pos], "o_year": year,
+                          "profit_cents": rev - cost}).groupby(
+            ["nidx", "o_year"], as_index=False).sum()
+        return _pa_from_pandas(g.astype({"profit_cents": "int64"}))
+
+    agg = B.grouped_aggregate_auto(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["nidx", "o_year"],
+        [Sum("profit_cents", alias_name="profit_cents")]).to_pandas()
+    agg["n_name"] = agg["nidx"].map(dict(enumerate(nation_names)))
+    out = agg[["n_name", "o_year", "profit_cents"]].sort_values(
+        ["n_name", "o_year"]).reset_index(drop=True)
+    return out.astype({"o_year": "int64", "profit_cents": "int64"})
+
+
+def q_q12_late_lines(sf_dir: str):
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_commitdate — 'mode' is
+    l_returnflag and 'late' means shipped >90 days after the order date):
+    per returnflag, 1996-shipped late-line counts split by order priority
+    class (1-URGENT/2-HIGH vs the rest). One adaptive attach carries BOTH
+    order columns as a single packed int64 payload (epoch_day·2 + is_high)
+    so lineitem is shuffled at most once; the year bound is pushed into the
+    parquet fragment scan."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        return pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy().astype("int64"),
+                                   pa.int64()),
+            "packed": pa.array(day * 2 + high.astype("int64"), pa.int64())})
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_shipdate"],
+                 filter_expr=((pc.field("l_shipdate") >= pa.scalar(lo))
+                              & (pc.field("l_shipdate") < pa.scalar(hi))))
+    joined = B.attach(line, "l_orderkey",
+                      orders.map_batches(pack, batch_format="pyarrow"),
+                      "o_orderkey", "packed", "packed")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        packed = df["packed"].to_numpy()
+        oday = packed >> 1
+        high = (packed & 1).astype("int64")
+        sday = df["l_shipdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        late = sday > oday + 90
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"].to_numpy()[late],
+                          "high_line_count": high[late],
+                          "low_line_count": (1 - high)[late]}).groupby(
+            "l_returnflag", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"high_line_count": "int64",
+                                         "low_line_count": "int64"}))
+
+    return B.grouped_aggregate_auto(
+        joined.map_batches(partial, batch_format="pandas"), "l_returnflag",
+        [Sum("high_line_count", alias_name="high_line_count"),
+         Sum("low_line_count", alias_name="low_line_count")])
+
+
+def q_q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape (adapted: supplier↔part relation comes from lineitem
+    instead of the absent partsupp; the 'complaints' exclusion is suppliers
+    with negative account balance): distinct supplier count per
+    (p_brand, p_type, p_size) with brand/type/size predicates. Plan:
+    bucketed dedup of (partkey, suppkey) pairs → one adaptive attach of the
+    pipe-packed part attribute string (predicate-filtered part side, so
+    non-qualifying lineitems drop at the join) → excluded-supplier
+    broadcast filter → second bucketed dedup on (attrs, suppkey) → keyed
+    count. The pair dedup shuffles at most |distinct pairs| rows — never
+    raw lineitem."""
+    supf = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    excl = set(supf.loc[supf["s_acctbal"] < 0, "s_suppkey"].astype("int64"))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    sizes = {1, 4, 7, 10, 13, 16, 19, 22}
+
+    def part_prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = ((df["p_brand"] != "Brand#13") & (df["p_type"] != "ECONOMY")
+                & df["p_size"].isin(sizes))
+        df = df[keep]
+        attrs = (df["p_brand"] + "|" + df["p_type"] + "|"
+                 + df["p_size"].astype(str))
+        return pa.table({
+            "p_partkey": pa.array(df["p_partkey"].to_numpy().astype("int64"),
+                                  pa.int64()),
+            "attrs": pa.array(attrs.to_numpy(), pa.string())})
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return _pa_from_pandas(df.astype({"l_partkey": "int64",
+                                          "l_suppkey": "int64"}))
+
+    pairs = B.bucketed_map_groups(
+        line.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], lambda b: b.drop_duplicates())
+    joined = B.attach(pairs, "l_partkey",
+                      part.map_batches(part_prep, batch_format="pyarrow"),
+                      "p_partkey", "attrs", "attrs")
+
+    def drop_excl(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[~df["l_suppkey"].isin(excl)][["attrs", "l_suppkey"]]
+        return out.astype({"l_suppkey": "int64"})
+
+    dedup2 = B.bucketed_map_groups(
+        joined.map_batches(drop_excl, batch_format="pandas"),
+        ["attrs", "l_suppkey"], lambda b: b.drop_duplicates())
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("attrs", as_index=False).size().rename(
+            columns={"size": "supplier_cnt"})
+        return _pa_from_pandas(g.astype({"supplier_cnt": "int64"}))
+
+    agg = B.grouped_aggregate_auto(
+        dedup2.map_batches(count_partial, batch_format="pandas"), "attrs",
+        [Sum("supplier_cnt", alias_name="supplier_cnt")]).to_pandas()
+    split = agg["attrs"].str.split("|", expand=True)
+    out = pd.DataFrame({"p_brand": split[0], "p_type": split[1],
+                        "p_size": split[2].astype("int64"),
+                        "supplier_cnt": agg["supplier_cnt"].astype("int64")})
+    return out.sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+
+
+def q_q21_waiting_supplier(sf_dir: str):
+    """TPC-H Q21 shape (adapted: no l_commitdate/l_receiptdate — 'late'
+    means shipped >60 days after the order date): suppliers who were the
+    ONLY late supplier on a finished ('F') multi-supplier order, counted.
+    Plan: orders pre-filtered to status F at the fragment scan, order date
+    attaches as epoch-day int64; per-batch partial dedup of (orderkey,
+    suppkey, late-any); ONE orderkey-bucketed reduce does both levels in
+    pandas (pair max(late), then the ≥2-suppliers ∧ exactly-1-late gate),
+    emitting the lone late suppkey; auto-sized count per supplier; s_name
+    via the adaptive attach."""
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderstatus"],
+                   filter_expr=pc.field("o_orderstatus") == pa.scalar("F"))
+
+    def pack(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        return pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy().astype("int64"),
+                                   pa.int64()),
+            "oday": pa.array(day, pa.int64())})
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = B.attach(line, "l_orderkey",
+                      orders.map_batches(pack, batch_format="pyarrow"),
+                      "o_orderkey", "oday", "oday")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        sday = df["l_shipdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        late = (sday > df["oday"].to_numpy() + 60).astype("int64")
+        g = pd.DataFrame({"l_orderkey": df["l_orderkey"].astype("int64"),
+                          "l_suppkey": df["l_suppkey"].astype("int64"),
+                          "late": late}).groupby(
+            ["l_orderkey", "l_suppkey"], as_index=False).max()
+        return _pa_from_pandas(g.astype({"late": "int64"}))
+
+    def lone_late(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_orderkey", "l_suppkey"], as_index=False)["late"].max()
+        st = g.groupby("l_orderkey").agg(nsup=("l_suppkey", "size"),
+                                         nlate=("late", "sum"))
+        ok = st[(st["nsup"] >= 2) & (st["nlate"] == 1)].index
+        out = g[g["l_orderkey"].isin(ok) & (g["late"] == 1)][["l_suppkey"]].copy()
+        out["one"] = np.int64(1)
+        return out.astype({"l_suppkey": "int64", "one": "int64"})
+
+    hits = B.bucketed_map_groups(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["l_orderkey"], lone_late)
+    counts = B.grouped_aggregate_auto(
+        hits, "l_suppkey", [Sum("one", alias_name="numwait")])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    named = B.attach(counts, "l_suppkey", sup, "s_suppkey", "s_name", "s_name")
+    out = named.to_pandas()[["s_name", "numwait"]]
+    return out.sort_values("s_name").reset_index(drop=True).astype(
+        {"numwait": "int64"})
+
+
+def q_q22_idle_rich(sf_dir: str):
+    """TPC-H Q22 shape (adapted: no c_phone — 'country code' is
+    c_nationkey mod 5 in {0,2,3}; in this corpus every customer has orders,
+    so the anti-join is against URGENT-priority orders): customers richer
+    than the positive-balance average of their code group with no urgent
+    order, counted + summed per code. The average threshold never becomes a
+    float: the comparison cross-multiplies exact int64 cents
+    (bal·cnt > total), mirrored verbatim in the SQL. The urgent-custkey
+    side broadcasts as an exact sorted array (a Bloom filter at 100 TB, as
+    q_customers_without_orders documents)."""
+    import pyarrow.compute as pc
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cc = (df["c_nationkey"].to_numpy().astype("int64") % 5)
+        keep = np.isin(cc, (0, 2, 3))
+        bal = np.floor(df["c_acctbal"].to_numpy() * 100.0 + 0.5).astype("int64")
+        return pa.table({
+            "c_custkey": pa.array(df["c_custkey"].to_numpy().astype("int64")[keep],
+                                  pa.int64()),
+            "cntrycode": pa.array(cc[keep], pa.int64()),
+            "bal_cents": pa.array(bal[keep], pa.int64())})
+
+    coded = cust.map_batches(prep, batch_format="pyarrow")
+
+    def thr_partial(t: pa.Table) -> pa.Table:
+        bal = t["bal_cents"].to_numpy()
+        pos = bal[bal > 0]
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "tot": pa.array([int(pos.sum())], pa.int64()),
+                         "cnt": pa.array([len(pos)], pa.int64())})
+
+    thr = B.grouped_aggregate_small(
+        coded.map_batches(thr_partial, batch_format="pyarrow"), "k",
+        [Sum("tot", alias_name="tot"), Sum("cnt", alias_name="cnt")],
+        key_domain=1).to_pandas()
+    tot, cnt = int(thr["tot"].iloc[0]), int(thr["cnt"].iloc[0])
+
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+              filter_expr=pc.field("o_orderpriority") == pa.scalar("1-URGENT"))
+        .map_batches(lambda t: t.select(["o_custkey"]), batch_format="pyarrow")
+        .unique("o_custkey"))
+    keys_ref = ray.put(pa.array(sorted(urgent), pa.int64()))
+
+    class Filter:
+        def __init__(self):
+            self.value_set = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rich = pc.greater(pc.multiply(t["bal_cents"], pa.scalar(cnt, pa.int64())),
+                              pa.scalar(tot, pa.int64()))
+            no_urgent = pc.invert(pc.is_in(t["c_custkey"],
+                                           value_set=self.value_set))
+            kept = t.filter(pc.and_(rich, no_urgent))
+            df = kept.to_pandas()
+            g = df.groupby("cntrycode", as_index=False).agg(
+                numcust=("c_custkey", "size"),
+                totacctbal_cents=("bal_cents", "sum"))
+            return _pa_from_pandas(g.astype({"numcust": "int64",
+                                             "totacctbal_cents": "int64"}))
+
+    return B.grouped_aggregate_auto(
+        coded.map_batches(Filter, batch_format="pyarrow",
+                          concurrency=(1, 4), num_cpus=0.5),
+        "cntrycode",
+        [Sum("numcust", alias_name="numcust"),
+         Sum("totacctbal_cents", alias_name="totacctbal_cents")])
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -6233,5 +6555,74 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q9_profit": """
+        SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100
+                                   + 0.5) AS BIGINT)
+                        - CAST(FLOOR(l_quantity*p_retailprice*10
+                                     + 0.5) AS BIGINT)) AS BIGINT)
+                   AS profit_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q12_late_lines": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+    """,
+    "q16_supplier_cnt": """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type <> 'ECONOMY'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q21_waiting_supplier": """
+        WITH l AS (SELECT l_orderkey, l_suppkey,
+                          MAX(CASE WHEN l_shipdate > o_orderdate
+                                        + INTERVAL 60 DAY
+                                   THEN 1 ELSE 0 END) AS late
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   WHERE o_orderstatus = 'F'
+                   GROUP BY 1, 2),
+        w AS (SELECT l_orderkey FROM l GROUP BY 1
+              HAVING COUNT(*) >= 2 AND SUM(late) = 1)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM l JOIN w USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late = 1 GROUP BY 1 ORDER BY 1
+    """,
+    "q22_idle_rich": """
+        WITH c AS (SELECT c_custkey,
+                          CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+                          CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)
+                              AS bal_cents
+                   FROM customer WHERE c_nationkey % 5 IN (0, 2, 3)),
+        t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS tot,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM c WHERE bal_cents > 0)
+        SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+        FROM c, t
+        WHERE bal_cents * cnt > tot
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY 1
     """,
 }

@@ -800,6 +800,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_cnt": A.q_q16_supplier_cnt,
         "q21_waiting_supplier": A.q_q21_waiting_supplier,
         "q22_idle_rich": A.q_q22_idle_rich,
+        "ewma_daily_revenue": A.q_ewma_daily_revenue,
+        "cusum_daily_orders": A.q_cusum_daily_orders,
+        "pagerank_2iter": A.q_pagerank_2iter,
+        "two_hop_reach": A.q_two_hop_reach,
         "decile_transition_matrix": A.q_decile_transition_matrix,
         "embedding_dim_stats": A.q_embedding_dim_stats,
         # sort / limit / set ops

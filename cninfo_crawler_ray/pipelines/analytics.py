@@ -5322,6 +5322,215 @@ def q_q22_idle_rich(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Sequential / iterative shapes: integer EWMA + CUSUM recurrences over the
+# calendar-bounded daily series, and unrolled integer PageRank / two-hop
+# reach over the co-purchase graph. The recurrences reduce distributed to
+# O(days) rows first (the driver scan is over a bounded calendar domain, not
+# the data); the graph passes shuffle edge-sized frames only.
+# ---------------------------------------------------------------------------
+
+def q_ewma_daily_revenue(sf_dir: str):
+    """Integer EWMA (α=1/2) over daily order revenue: e₀=r₀,
+    e_t=(e_{t-1}+r_t)//2 in exact int64 cents. The distributed part reduces
+    orders to one row per calendar day (auto-sized keyed aggregate); the
+    recurrence itself is inherently sequential and runs on the driver over
+    the O(days) frame — bounded by the calendar, not the data. Oracle is a
+    recursive CTE with the same floor-halving recurrence."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["o_orderdate"].values.astype("datetime64[D]").astype(str)
+        g = pd.DataFrame({"day": day,
+                          "rev_cents": _cents(df["o_totalprice"])}).groupby(
+            "day", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"rev_cents": "int64"}))
+
+    daily = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), "day",
+        [Sum("rev_cents", alias_name="rev_cents")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    rev = daily["rev_cents"].to_numpy()
+    ewma = np.empty(len(rev), dtype=np.int64)
+    acc = 0
+    for i, r in enumerate(rev):
+        acc = int(r) if i == 0 else (acc + int(r)) // 2
+        ewma[i] = acc
+    daily["ewma_cents"] = ewma
+    return daily.astype({"rev_cents": "int64", "ewma_cents": "int64"})
+
+
+def q_cusum_daily_orders(sf_dir: str):
+    """One-sided integer CUSUM changepoint score over daily order counts:
+    s_t = max(0, s_{t-1} + x_t·1000 − k) with reference k = ⌊total·1000 /
+    n_days⌋ (the global daily mean in milli-orders). Same structure as the
+    EWMA: distributed day reduce, driver recurrence over the calendar-
+    bounded frame, recursive-CTE oracle with GREATEST/// mirrored ops."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["o_orderdate"].values.astype("datetime64[D]").astype(str)
+        g = pd.DataFrame({"day": day}).groupby("day", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame(
+            {"day": g["day"], "n_orders": g["size"].astype("int64")}))
+
+    daily = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), "day",
+        [Sum("n_orders", alias_name="n_orders")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    x = daily["n_orders"].to_numpy().astype(np.int64)
+    k = (int(x.sum()) * 1000) // len(x)
+    cusum = np.empty(len(x), dtype=np.int64)
+    s = 0
+    for i, v in enumerate(x):
+        s = max(0, s + int(v) * 1000 - k)
+        cusum[i] = s
+    daily["cusum_milli"] = cusum
+    return daily.astype({"n_orders": "int64", "cusum_milli": "int64"})
+
+
+def _copurchase_edges(sf_dir: str):
+    """Directed edge list of the undirected co-purchase graph (each distinct
+    part pair emitted both ways), materialized once — the pair base is
+    bounded (≤21 pairs/order) and ≪ lineitem, and three consumers
+    (degrees, rank iterations, hop expansions) re-read it."""
+    from .queries import _copurchase_pair_counts
+
+    pairs = _copurchase_pair_counts(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        src = np.concatenate([df["part_a"].to_numpy(), df["part_b"].to_numpy()])
+        dst = np.concatenate([df["part_b"].to_numpy(), df["part_a"].to_numpy()])
+        return pa.table({"src": pa.array(src.astype("int64"), pa.int64()),
+                         "dst": pa.array(dst.astype("int64"), pa.int64())})
+
+    return pairs.map_batches(explode, batch_format="pandas").materialize()
+
+
+def q_pagerank_2iter(sf_dir: str):
+    """Two unrolled PageRank iterations over the co-purchase graph in exact
+    integer ppm (d=0.85 as ·85//100, uniform s₀=10⁶): the canonical
+    iterative-graph pattern as pure Ray Data — each iteration is ONE
+    adaptive attach of the packed (score, degree) int64 onto edge sources
+    plus one keyed sum by destination; nothing but node- and edge-sized
+    frames ever shuffles. Packing bound: score·2²⁰+deg stays < 2⁶³ up to
+    ~10⁶-degree hubs (documented here, asserted below)."""
+    edges = _copurchase_edges(sf_dir)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("src", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame(
+            {"src": g["src"].astype("int64"),
+             "deg": g["size"].astype("int64")}))
+
+    # the degree frame is node-sized and consumed twice (attach counts the
+    # right side, then reads it) — materialize so no pass re-runs upstream
+    deg = B.grouped_aggregate_auto(
+        edges.map_batches(deg_partial, batch_format="pyarrow",
+                          batch_size=None), "src",
+        [Sum("deg", alias_name="deg")]).materialize()
+
+    # deg_u rides along on every edge from here on: ONE adaptive attach
+    # (broadcast at dimension size, bucketed beyond), instead of re-joining
+    # per iteration
+    edges2 = B.attach(edges, "src", deg, "src", "deg", "deg_u").materialize()
+
+    def agg_score(partials) -> "rd.Dataset":
+        sums = B.grouped_aggregate_auto(partials, "dst",
+                                        [Sum("c", alias_name="c")])
+
+        def score(df: pd.DataFrame) -> pa.Table:
+            s = 150_000 + (85 * df["c"].to_numpy().astype("int64")) // 100
+            return pa.table({"node": pa.array(df["dst"].to_numpy().astype("int64"),
+                                              pa.int64()),
+                             "s": pa.array(s, pa.int64())})
+
+        return sums.map_batches(score, batch_format="pandas")
+
+    def contrib0(df: pd.DataFrame) -> pa.Table:
+        c = 1_000_000 // df["deg_u"].to_numpy().astype("int64")
+        g = pd.DataFrame({"dst": df["dst"].astype("int64"),
+                          "c": c}).groupby("dst", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"c": "int64"}))
+
+    s1 = agg_score(edges2.map_batches(contrib0, batch_format="pandas",
+                                      batch_size=None))
+    att = B.attach(edges2, "src", s1.materialize(), "node", "s", "s_u")
+
+    def contrib1(df: pd.DataFrame) -> pa.Table:
+        c = (df["s_u"].to_numpy().astype("int64")
+             // df["deg_u"].to_numpy().astype("int64"))
+        g = pd.DataFrame({"dst": df["dst"].astype("int64"),
+                          "c": c}).groupby("dst", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"c": "int64"}))
+
+    s2 = agg_score(att.map_batches(contrib1, batch_format="pandas",
+                                   batch_size=None))
+    out = s2.to_pandas().rename(columns={"node": "part", "s": "pr_ppm"})
+    return out.sort_values("part").reset_index(drop=True).astype(
+        {"part": "int64", "pr_ppm": "int64"})
+
+
+def q_two_hop_reach(sf_dir: str, n_seeds: int = 20):
+    """Distinct nodes within ≤2 hops of each of the top-``n_seeds``
+    highest-degree parts in the co-purchase graph (ties at the cut broken
+    by part asc — the ORDER BY is total, so the LIMIT is deterministic).
+    Plan: distributed degree reduce → distributed top-k for the seed set →
+    hop-1 adjacency collected (bounded by Σdeg(seeds); at extreme hub
+    degrees this frame would bucket by neighbor instead) and broadcast →
+    hop-2 is a per-batch merge of edges against the broadcast hop-1 frame →
+    bucketed (seed, nb) dedup → keyed count."""
+    import ray
+
+    edges = _copurchase_edges(sf_dir)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("src", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame(
+            {"src": g["src"].astype("int64"),
+             "deg": g["size"].astype("int64")}))
+
+    deg = B.grouped_aggregate_auto(
+        edges.map_batches(deg_partial, batch_format="pyarrow",
+                          batch_size=None), "src",
+        [Sum("deg", alias_name="deg")])
+    seeds = (deg.sort(["deg", "src"], descending=[True, False])
+             .limit(n_seeds).to_pandas())
+    seed_set = set(seeds["src"].astype("int64"))
+
+    hop1 = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"seed": df.loc[df["src"].isin(seed_set), "src"].astype("int64"),
+             "nb": df.loc[df["src"].isin(seed_set), "dst"].astype("int64")}),
+        batch_format="pandas").to_pandas()
+    h1_ref = ray.put(hop1)
+
+    def hop2(df: pd.DataFrame) -> pd.DataFrame:
+        h1 = ray.get(h1_ref)
+        m = df.merge(h1, left_on="src", right_on="nb")
+        out = pd.DataFrame({"seed": m["seed"].astype("int64"),
+                            "nb": m["dst"].astype("int64")}).drop_duplicates()
+        return out
+
+    reach = edges.map_batches(hop2, batch_format="pandas").union(
+        rd.from_arrow(_pa_from_pandas(hop1)))
+
+    def count_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        b = b[b["nb"] != b["seed"]]
+        g = b.groupby("seed", as_index=False).size()
+        return pd.DataFrame({"part": g["seed"].astype("int64"),
+                             "n_within_2": g["size"].astype("int64")})
+
+    counted = B.bucketed_map_groups(reach, ["seed"], count_bucket,
+                                    auto_parallelism=True)
+    out = counted.to_pandas()
+    return out.sort_values("part").reset_index(drop=True).astype(
+        {"part": "int64", "n_within_2": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -6624,5 +6833,76 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY 1
+    """,
+    "ewma_daily_revenue": """
+        WITH RECURSIVE d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                          CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5)
+                                        AS BIGINT)) AS BIGINT) AS rev_cents
+                   FROM orders GROUP BY 1),
+        o AS (SELECT day, rev_cents,
+                     ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+        r AS (
+            SELECT day, rev_cents, rn, rev_cents AS ewma_cents
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.day, o.rev_cents, o.rn,
+                   (r.ewma_cents + o.rev_cents) // 2
+            FROM o JOIN r ON o.rn = r.rn + 1)
+        SELECT day, rev_cents, CAST(ewma_cents AS BIGINT) AS ewma_cents
+        FROM r
+    """,
+    "cusum_daily_orders": """
+        WITH RECURSIVE d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                          CAST(COUNT(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY 1),
+        k AS (SELECT (SUM(n_orders) * 1000) // COUNT(*) AS k FROM d),
+        o AS (SELECT day, n_orders,
+                     ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+        r AS (
+            SELECT o.day, o.n_orders, o.rn,
+                   GREATEST(0, o.n_orders * 1000 - k.k) AS cusum_milli
+            FROM o, k WHERE rn = 1
+            UNION ALL
+            SELECT o.day, o.n_orders, o.rn,
+                   GREATEST(0, r.cusum_milli + o.n_orders * 1000 - k.k)
+            FROM o JOIN r ON o.rn = r.rn + 1, k)
+        SELECT day, n_orders, CAST(cusum_milli AS BIGINT) AS cusum_milli
+        FROM r
+    """,
+    "pagerank_2iter": """
+        WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                  FROM l a JOIN l b USING (l_orderkey)
+                  WHERE a.l_partkey < b.l_partkey),
+        e AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+        s1 AS (SELECT e.dst AS node,
+                      150000 + (85 * SUM(1000000 // d.d)) // 100 AS s
+               FROM e JOIN deg d ON e.src = d.node GROUP BY e.dst),
+        s2 AS (SELECT e.dst AS node,
+                      150000 + (85 * SUM(s1.s // d.d)) // 100 AS s
+               FROM e JOIN s1 ON e.src = s1.node
+               JOIN deg d ON e.src = d.node GROUP BY e.dst)
+        SELECT CAST(node AS BIGINT) AS part, CAST(s AS BIGINT) AS pr_ppm
+        FROM s2 ORDER BY 1
+    """,
+    "two_hop_reach": """
+        WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                  FROM l a JOIN l b USING (l_orderkey)
+                  WHERE a.l_partkey < b.l_partkey),
+        e AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+        seeds AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 20),
+        hop1 AS (SELECT s.node AS seed, e.dst AS nb
+                 FROM seeds s JOIN e ON e.src = s.node),
+        reach AS (SELECT seed, nb FROM hop1
+                  UNION
+                  SELECT h.seed, e.dst FROM hop1 h JOIN e ON e.src = h.nb)
+        SELECT CAST(seed AS BIGINT) AS part,
+               CAST(COUNT(DISTINCT nb) AS BIGINT) AS n_within_2
+        FROM reach WHERE nb <> seed GROUP BY 1 ORDER BY 1
     """,
 }

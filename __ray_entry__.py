@@ -804,6 +804,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_orders": A.q_cusum_daily_orders,
         "pagerank_2iter": A.q_pagerank_2iter,
         "two_hop_reach": A.q_two_hop_reach,
+        "embedding_quantize_error": A.q_embedding_quantize_error,
+        "embedding_l2_pair_hist": A.q_embedding_l2_pair_hist,
+        "hapax_ratio_by_source": A.q_hapax_ratio_by_source,
         "decile_transition_matrix": A.q_decile_transition_matrix,
         "embedding_dim_stats": A.q_embedding_dim_stats,
         # sort / limit / set ops

@@ -5531,6 +5531,138 @@ def q_two_hop_reach(sf_dir: str, n_seeds: int = 20):
 
 
 # ---------------------------------------------------------------------------
+# Embedding quantization / pair-distance + text hapax profiles
+# ---------------------------------------------------------------------------
+
+def q_embedding_quantize_error(sf_dir: str):
+    """Symmetric int8 quantization error audit per label: each vector is
+    quantized with its own scale 127/max|v| (round-half-up, clipped to
+    ±127), reconstructed, and the per-element |v − q/scale| errors reduce
+    to exact integer micro-units BEFORE any cross-row sum (floor per
+    element → int64 Σ is order-independent). Zero vectors are skipped (no
+    scale). Every float64 op (scale division, v·scale, clip on floats,
+    q/scale, |diff|·10⁶) is one deterministic per-element sequence mirrored
+    verbatim in the SQL. Batches flatten the list column to one numpy
+    matrix — no per-row Python."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n_rows = len(col)
+        dim = len(flat) // max(n_rows, 1)
+        v = flat.reshape(n_rows, dim)
+        mx = np.abs(v).max(axis=1)
+        keep = mx > 0
+        v = v[keep]
+        scale = 127.0 / mx[keep]
+        q = np.maximum(-127.0, np.minimum(127.0,
+                                          np.floor(v * scale[:, None] + 0.5)))
+        err = np.floor(np.abs(v - q / scale[:, None]) * 1_000_000.0
+                       + 0.5).astype("int64")
+        lab = t["label"].to_numpy(zero_copy_only=False).astype("int64")[keep]
+        g = pd.DataFrame({"label": lab,
+                          "n_vecs": np.ones(len(lab), dtype=np.int64),
+                          "sum_err_micro": err.sum(axis=1),
+                          "max_err_micro": err.max(axis=1)
+                          if len(lab) else np.array([], dtype=np.int64)})
+        g = g.groupby("label", as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), sum_err_micro=("sum_err_micro", "sum"),
+            max_err_micro=("max_err_micro", "max"))
+        return _pa_from_pandas(g.astype({c: "int64" for c in g.columns}))
+
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pyarrow"), "label",
+        [Sum("n_vecs", alias_name="n_vecs"),
+         Sum("sum_err_micro", alias_name="sum_err_micro"),
+         Max("max_err_micro", alias_name="max_err_micro")], key_domain=64)
+
+
+def q_embedding_l2_pair_hist(sf_dir: str, offset: int = 100):
+    """Histogram of exact squared L2 distances between vector i and vector
+    i+offset (a deterministic pairing that probes embedding-space drift
+    across the id axis). Elements quantize to int64 micro-units per element
+    (exact both sides), so Σ(Δ²) is pure integer and the histogram bucket
+    is d² // 10¹². The pairing is a keyed bucketed join: both sides ship
+    (join_key, role, int64-blob) rows — never the whole table to one node —
+    and each bucket pairs its keys vectorized via frombuffer+stack."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n_rows = len(col)
+        dim = len(flat) // max(n_rows, 1)
+        q = np.floor(flat * 1_000_000.0 + 0.5).astype("int64").reshape(
+            n_rows, dim)
+        vid = t["vec_id"].to_numpy().astype("int64")
+        blobs = [q[i].tobytes() for i in range(n_rows)]
+        return pa.table({
+            "k": pa.array(np.concatenate([vid, vid - offset]), pa.int64()),
+            "role": pa.array(np.concatenate(
+                [np.zeros(n_rows, np.int8), np.ones(n_rows, np.int8)])),
+            "blob": pa.array(blobs + blobs, pa.binary())})
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[b["role"] == 0][["k", "blob"]]
+        c = b[b["role"] == 1][["k", "blob"]]
+        m = a.merge(c, on="k", suffixes=("_a", "_b"))
+        if not len(m):
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        qa = np.stack([np.frombuffer(x, dtype=np.int64)
+                       for x in m["blob_a"]])
+        qb = np.stack([np.frombuffer(x, dtype=np.int64)
+                       for x in m["blob_b"]])
+        d2 = ((qa - qb) ** 2).sum(axis=1)
+        g = pd.DataFrame({"bucket": d2 // 10 ** 12}).groupby(
+            "bucket", as_index=False).size()
+        return pd.DataFrame({"bucket": g["bucket"].astype("int64"),
+                             "n_pairs": g["size"].astype("int64")})
+
+    hist = B.bucketed_map_groups(
+        ds.map_batches(sides, batch_format="pyarrow"), ["k"], pair_bucket,
+        auto_parallelism=True)
+    return B.grouped_aggregate_auto(
+        hist, "bucket", [Sum("n_pairs", alias_name="n_pairs")])
+
+
+def q_hapax_ratio_by_source(sf_dir: str):
+    """Hapax-legomenon profile per source: vocabulary size, number of
+    tokens occurring exactly once, and their ratio in integer basis points
+    (hapax·10⁴ // vocab). Token frequency reduces per (source, token) with
+    per-batch partials; the bucket shuffle caps at distinct (source,
+    token) rows. Tokenizer matches the engine-wide [a-z0-9]+ convention."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pa.Table:
+        toks = (df.assign(tok=df["text"].str.lower().str.findall(r"[a-z0-9]+"))
+                [["source", "tok"]].explode("tok").dropna())
+        g = toks.groupby(["source", "tok"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return _pa_from_pandas(g.astype({"n": "int64"}))
+
+    freq = B.grouped_aggregate_auto(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["source", "tok"], [Sum("n", alias_name="n")])
+
+    def vocab_partial(df: pd.DataFrame) -> pa.Table:
+        hap = (df["n"] == 1).to_numpy().astype("int64")
+        g = pd.DataFrame({"source": df["source"],
+                          "vocab": np.ones(len(df), dtype=np.int64),
+                          "hapax": hap}).groupby("source", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"vocab": "int64", "hapax": "int64"}))
+
+    agg = B.grouped_aggregate_small(
+        freq.map_batches(vocab_partial, batch_format="pandas"), "source",
+        [Sum("vocab", alias_name="vocab"), Sum("hapax", alias_name="hapax")],
+        key_domain=32).to_pandas()
+    agg["hapax_bps"] = (agg["hapax"] * 10_000) // agg["vocab"]
+    return agg.astype({"vocab": "int64", "hapax": "int64",
+                       "hapax_bps": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -6904,5 +7036,49 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         SELECT CAST(seed AS BIGINT) AS part,
                CAST(COUNT(DISTINCT nb) AS BIGINT) AS n_within_2
         FROM reach WHERE nb <> seed GROUP BY 1 ORDER BY 1
+    """,
+    "embedding_quantize_error": """
+        WITH u AS (SELECT vec_id, label,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        m AS (SELECT vec_id, MAX(ABS(v)) AS mx FROM u GROUP BY 1),
+        e AS (SELECT u.vec_id, u.label,
+                     CAST(FLOOR(ABS(u.v
+                          - GREATEST(-127.0, LEAST(127.0,
+                                FLOOR(u.v * (127.0 / m.mx) + 0.5)))
+                            / (127.0 / m.mx)) * 1000000.0 + 0.5) AS BIGINT)
+                         AS err
+              FROM u JOIN m USING (vec_id) WHERE m.mx > 0)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+               CAST(SUM(err) AS BIGINT) AS sum_err_micro,
+               CAST(MAX(err) AS BIGINT) AS max_err_micro
+        FROM e GROUP BY 1
+    """,
+    "embedding_l2_pair_hist": """
+        WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                     * 1000000.0 + 0.5) AS BIGINT) AS q
+                   FROM embeddings),
+        p AS (SELECT a.vec_id,
+                     SUM((a.q - b.q) * (a.q - b.q)) AS d2
+              FROM u a JOIN u b ON b.vec_id = a.vec_id + 100 AND b.i = a.i
+              GROUP BY 1)
+        SELECT CAST(d2 // 1000000000000 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1
+    """,
+    "hapax_ratio_by_source": """
+        WITH t AS (SELECT source,
+                          unnest(regexp_extract_all(lower(text),
+                                                    '[a-z0-9]+')) AS tok
+                   FROM documents),
+        f AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS hapax_bps
+        FROM f GROUP BY 1
     """,
 }

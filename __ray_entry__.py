@@ -807,6 +807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_error": A.q_embedding_quantize_error,
         "embedding_l2_pair_hist": A.q_embedding_l2_pair_hist,
         "hapax_ratio_by_source": A.q_hapax_ratio_by_source,
+        "grouping_sets_revenue": A.q_grouping_sets_revenue,
+        "trimmed_mean_qty": A.q_trimmed_mean_qty,
+        "rolling_median_daily_orders": A.q_rolling_median_daily_orders,
         "decile_transition_matrix": A.q_decile_transition_matrix,
         "embedding_dim_stats": A.q_embedding_dim_stats,
         # sort / limit / set ops

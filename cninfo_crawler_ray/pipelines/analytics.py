@@ -5663,6 +5663,110 @@ def q_hapax_ratio_by_source(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# GROUPING SETS, exact trimmed mean, centered rolling median
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets_revenue(sf_dir: str):
+    """GROUPING SETS ((priority), (status), ()) over orders in one input
+    pass: every batch emits partials for all three groupings (the rolled-up
+    key coalesced to 'ALL'), and a single keyed reduce finishes all sets —
+    the multi-set analog of the cube/rollup operators, with no per-set
+    re-scan."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cents = _cents(df["o_totalprice"])
+        base = pd.DataFrame({"pri": df["o_orderpriority"],
+                             "st": df["o_orderstatus"],
+                             "n_orders": np.ones(len(df), dtype=np.int64),
+                             "rev_cents": cents})
+        by_pri = base.assign(st="ALL").groupby(["pri", "st"],
+                                               as_index=False).sum()
+        by_st = base.assign(pri="ALL").groupby(["pri", "st"],
+                                               as_index=False).sum()
+        total = base.assign(pri="ALL", st="ALL").groupby(
+            ["pri", "st"], as_index=False).sum()
+        out = pd.concat([by_pri, by_st, total], ignore_index=True)
+        return _pa_from_pandas(out.astype({"n_orders": "int64",
+                                           "rev_cents": "int64"}))
+
+    return B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"), ["pri", "st"],
+        [Sum("n_orders", alias_name="n_orders"),
+         Sum("rev_cents", alias_name="rev_cents")], key_domain=16)
+
+
+def q_trimmed_mean_qty(sf_dir: str):
+    """10%-trimmed mean of l_quantity per returnflag in exact integers.
+    Quantities are integral with a tiny domain (1..50), so the distributed
+    reduce is a counting sort — (flag, qty) partial counts, never raw rows —
+    and the trim (drop the ⌊n/10⌋ smallest and largest BY VALUE; ties make
+    the trimmed sum order-invariant) finishes on the O(flags·50) count
+    frame. trimmed_mean_milli = trimmed_sum·1000 // kept."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "qty": df["l_quantity"].to_numpy().astype("int64")
+                          }).groupby(["l_returnflag", "qty"],
+                                     as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame(
+            {"l_returnflag": g["l_returnflag"], "qty": g["qty"],
+             "cnt": g["size"].astype("int64")}))
+
+    counts = B.grouped_aggregate_small(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "qty"], [Sum("cnt", alias_name="cnt")],
+        key_domain=256).to_pandas()
+
+    rows = []
+    for flag, grp in counts.groupby("l_returnflag"):
+        grp = grp.sort_values("qty")
+        c = grp["cnt"].to_numpy()
+        q = grp["qty"].to_numpy()
+        n = int(c.sum())
+        k = n // 10
+        cum = np.cumsum(c)
+        # ranks 1..n ascending by value; keep ranks (k, n-k]
+        kept = np.maximum(0, np.minimum(cum, n - k)
+                          - np.maximum(np.concatenate(([0], cum[:-1])), k))
+        tsum = int((q * kept).sum())
+        rows.append({"l_returnflag": flag, "n": n, "trimmed_sum": tsum,
+                     "trimmed_mean_milli": tsum * 1000 // (n - 2 * k)})
+    out = pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+    return out.astype({"n": "int64", "trimmed_sum": "int64",
+                       "trimmed_mean_milli": "int64"})
+
+
+def q_rolling_median_daily_orders(sf_dir: str):
+    """Centered 3-day rolling median (lower median, sorted[(n−1)//2] —
+    QUANTILE_DISC parity) over the daily order-count series. Distributed
+    day reduce first; the window scan runs on the driver over the
+    calendar-bounded frame, like the EWMA/CUSUM recurrences."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["o_orderdate"].values.astype("datetime64[D]").astype(str)
+        g = pd.DataFrame({"day": day}).groupby("day", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame(
+            {"day": g["day"], "n_orders": g["size"].astype("int64")}))
+
+    daily = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), "day",
+        [Sum("n_orders", alias_name="n_orders")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    x = daily["n_orders"].to_numpy()
+    med = np.empty(len(x), dtype=np.int64)
+    for i in range(len(x)):
+        w = np.sort(x[max(0, i - 1):i + 2])
+        med[i] = w[(len(w) - 1) // 2]
+    daily["med3"] = med
+    return daily.astype({"n_orders": "int64", "med3": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -7080,5 +7184,41 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000
                     // COUNT(*) AS BIGINT) AS hapax_bps
         FROM f GROUP BY 1
+    """,
+    "grouping_sets_revenue": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+               COALESCE(o_orderstatus, 'ALL') AS st,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    "trimmed_mean_qty": """
+        WITH r AS (SELECT l_returnflag,
+                          CAST(l_quantity AS BIGINT) AS q,
+                          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                             ORDER BY l_quantity) AS rn,
+                          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                   FROM lineitem)
+        SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN q ELSE 0 END) AS BIGINT) AS trimmed_sum,
+               CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN q ELSE 0 END) * 1000
+                    // (MAX(n) - 2 * (MAX(n) // 10)) AS BIGINT)
+                   AS trimmed_mean_milli
+        FROM r GROUP BY 1
+    """,
+    "rolling_median_daily_orders": """
+        WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                          CAST(COUNT(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY 1)
+        SELECT day, n_orders,
+               CAST(QUANTILE_DISC(n_orders, 0.5) OVER (
+                        ORDER BY day
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                    AS BIGINT) AS med3
+        FROM d
     """,
 }

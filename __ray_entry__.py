@@ -338,6 +338,138 @@ def _image_dominant_color(sf_dir: str):
     return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
 
 
+def _image_border_contrast(sf_dir: str):
+    """Border-ring vs interior brightness contrast histogram — the
+    letterbox / vignette / watermark-frame detector a vision-curation pass
+    runs before cropping: per image, mean Rec.709 luma (×10⁴ int) of the
+    4-pixel border ring minus the interior mean, floor-bucketed to
+    100k-luma bins (negative buckets = dark frames). Engine slices the
+    ring as four explicit slabs; the golden computes ring = whole −
+    interior (a different decomposition — identical exact integers only if
+    both paths are right). Fused fetch+decode+featurize actor, O(buckets)
+    aggregate."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+
+    def contrast(iid: str, px: "np.ndarray") -> list[dict]:
+        p = px.astype(np.int64)
+        h, w = p.shape[:2]
+        if h <= 8 or w <= 8:
+            return []
+        lum = 2126 * p[:, :, 0] + 7152 * p[:, :, 1] + 722 * p[:, :, 2]
+        ring = (int(lum[:4, :].sum()) + int(lum[-4:, :].sum())
+                + int(lum[4:-4, :4].sum()) + int(lum[4:-4, -4:].sum()))
+        int_sum = int(lum[4:-4, 4:-4].sum())
+        int_n = (h - 8) * (w - 8)
+        ring_n = h * w - int_n
+        diff = ring // ring_n - int_sum // int_n
+        return [{"bucket": diff // 100_000, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", contrast, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def _image_quadrant_range(sf_dir: str):
+    """Compositional balance histogram: per image, the spread between its
+    brightest and darkest 2×2 quadrant as a per-mille share of total luma
+    ((max−min)·1000 // total), counted per bucket — the exposure-balance
+    profile a thumbnail/crop sampler consumes. Engine sums the four
+    quadrant slices directly; the golden derives the same sums from a 2-D
+    summed-area table (corner arithmetic — a disjoint algorithm family).
+    Exact int64 throughout."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+
+    def quad(iid: str, px: "np.ndarray") -> list[dict]:
+        p = px.astype(np.int64)
+        h, w = p.shape[:2]
+        hh, ww = h // 2, w // 2
+        if hh == 0 or ww == 0:
+            return []
+        lum = 2126 * p[:, :, 0] + 7152 * p[:, :, 1] + 722 * p[:, :, 2]
+        q = [int(lum[:hh, :ww].sum()), int(lum[:hh, ww:].sum()),
+             int(lum[hh:, :ww].sum()), int(lum[hh:, ww:].sum())]
+        tot = sum(q)
+        if tot <= 0:
+            return []
+        return [{"bucket": (max(q) - min(q)) * 1000 // tot, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", quad, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def _image_mirror_asymmetry(sf_dir: str):
+    """Horizontal mirror-asymmetry energy histogram: per image,
+    Σ(g − flip(g))² over the green channel, normalized per pixel and
+    bucketed by integer bit-length (a log₂ scale with no floats) — the
+    symmetry prior a layout/logo detector uses. Engine evaluates the
+    squared difference directly; the golden evaluates the algebraic
+    factorization 2Σg² − 2Σ(g·flip(g)) — equal exact integers iff the
+    kernel is right (same contract as the gradient-energy golden)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.config import CrawlConfig
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.pipelines import stage1
+    from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
+    frontier = stage1.build_frontier(fdir)
+    cfg = CrawlConfig()
+
+    def asym(iid: str, px: "np.ndarray") -> list[dict]:
+        g = px[:, :, 1].astype(np.int64)
+        a = int(((g - g[:, ::-1]) ** 2).sum())
+        per_px = a // g.size
+        return [{"bucket": per_px.bit_length(), "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", asym, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
 def _host_fetch_histogram(sf_dir: str):
     """Per-host URL counts over the validated frontier — the load profile
     the politeness planner consumes (hosts × budget = achievable crawl
@@ -831,6 +963,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_size_histogram": _image_size_histogram,
         "image_luma_histogram": _image_luma_histogram,
         "image_dominant_color": _image_dominant_color,
+        "image_border_contrast": _image_border_contrast,
+        "image_quadrant_range": _image_quadrant_range,
+        "image_mirror_asymmetry": _image_mirror_asymmetry,
         "host_fetch_histogram": _host_fetch_histogram,
         "decode_psnr_stats": _decode_psnr_stats,
         "image_thumbnails": _image_thumbnails,
@@ -895,6 +1030,11 @@ _CRAWL_ORACLE_SQL = {
     # with explicit min-over-maxima tie rule (tools/make_goldens.py)
     "image_luma_histogram": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_luma_histogram.parquet')",
     "image_dominant_color": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dominant_color.parquet')",
+    # whole−interior / summed-area / algebraic factorizations
+    # (tools/make_goldens_r4.py) — independent decompositions per docstring
+    "image_border_contrast": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_border_contrast.parquet')",
+    "image_quadrant_range": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_quadrant_range.parquet')",
+    "image_mirror_asymmetry": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_mirror_asymmetry.parquet')",
     # gradient energy: factorization golden (Σa²+Σb²−2Σab vs the engine's
     # direct Σ(a−b)² — identical exact integers, different code path);
     # dhash near-dup: brute-force hamming golden (pigeonhole: 4 bands cover

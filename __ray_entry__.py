@@ -932,6 +932,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_cnt": A.q_q16_supplier_cnt,
         "q21_waiting_supplier": A.q_q21_waiting_supplier,
         "q22_idle_rich": A.q_q22_idle_rich,
+        "q11_part_value": A.q_q11_part_value,
+        "spearman_d2_brand": A.q_spearman_d2_brand,
+        "hoover_index_spend": A.q_hoover_index_spend,
+        "second_third_order": A.q_second_third_order,
+        "brand_top3_names": A.q_brand_top3_names,
         "ewma_daily_revenue": A.q_ewma_daily_revenue,
         "cusum_daily_orders": A.q_cusum_daily_orders,
         "pagerank_2iter": A.q_pagerank_2iter,

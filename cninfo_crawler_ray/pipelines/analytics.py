@@ -5766,6 +5766,216 @@ def q_rolling_median_daily_orders(sf_dir: str):
     return daily.astype({"n_orders": "int64", "med3": "int64"})
 
 
+def q_q11_part_value(sf_dir: str):
+    """TPC-H Q11 shape (adapted: part↔supplier value comes from lineitem
+    extendedprice instead of the absent partsupp ps_supplycost·ps_availqty;
+    the nation filter keeps suppliers of NATION_3): per-part summed value
+    in cents for lines supplied by the nation's suppliers, keeping parts
+    whose value exceeds 1/1000 of the nation total. Plan: the supplier set
+    for one nation is tiny → broadcast membership filter inside the scan
+    batches; per-batch partial sums by partkey; keyed reduce; the HAVING
+    threshold needs the GLOBAL total, which is the sum of the already
+    per-part-reduced frame — computed from the reduced (small) side, never
+    a second pass over lineitem."""
+    supf = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat_sup = set(supf.loc[supf["s_nationkey"] == 3, "s_suppkey"].astype("int64"))
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["l_suppkey"].isin(nat_sup)]
+        df["value_cents"] = _cents(df["l_extendedprice"])
+        g = df.groupby("l_partkey", as_index=False)["value_cents"].sum()
+        return _pa_from_pandas(g.astype({"l_partkey": "int64",
+                                         "value_cents": "int64"}))
+
+    per_part = B.grouped_aggregate_auto(
+        line.map_batches(partial, batch_format="pyarrow"), "l_partkey",
+        [Sum("value_cents", alias_name="value_cents")]).to_pandas()
+    total = int(per_part["value_cents"].sum())
+    out = per_part[per_part["value_cents"] * 1000 > total]
+    out = out.rename(columns={"l_partkey": "p_partkey"})
+    return (out.astype({"p_partkey": "int64", "value_cents": "int64"})
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
+def q_spearman_d2_brand(sf_dir: str):
+    """Spearman rank-correlation numerator per brand over (price, qty),
+    tie-robust: ranks are AVERAGE ranks doubled to stay integer
+    (2·avg_rank = 2·RANK + tiecount − 1), so Σd² is independent of any
+    tie-break order — the synthetic lineitem has duplicate
+    (orderkey, linenumber) pairs, which makes ROW_NUMBER ranks
+    nondeterministic across engines. ``sum_d2x4`` = Σ(2·Δavg_rank)² =
+    4·Σd²; the caller derives ρ = 1 − 6·(sum_d2x4/4)/(n(n²−1)) without
+    any float leaving the engine. Plan: part→brand is the small dimension
+    side (adaptive attach); ranking needs every row of a brand co-located,
+    so ONE keyed shuffle by brand with the ranks computed vectorized per
+    sort partition. Partitioning assumption: rows-per-brand fits a reduce
+    task (25 brands — salt-free); Σ(2d)² < 4n³ keeps int64 safe to ~1M
+    rows/brand."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table({
+            "l_partkey": pa.array(df["l_partkey"].to_numpy().astype("int64")),
+            "price_cents": pa.array(_cents(df["l_extendedprice"])),
+            "qty": pa.array(df["l_quantity"].to_numpy().astype("int64"))})
+
+    tagged = B.attach(line.map_batches(prep, batch_format="pyarrow"),
+                      "l_partkey", part, "p_partkey", "p_brand", "p_brand")
+
+    def rank_d2(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for brand, g in b.groupby("p_brand", sort=False):
+            n = len(g)
+            # average ranks ×2: multiples of 0.5 are exact in float64 up to
+            # 2^52, so the doubled values round-trip to int64 exactly
+            rp = (g["price_cents"].rank(method="average").to_numpy() * 2.0)
+            rq = (g["qty"].rank(method="average").to_numpy() * 2.0)
+            d = rp.astype(np.int64) - rq.astype(np.int64)
+            out.append((brand, n, int(np.dot(d, d))))
+        return pd.DataFrame(out, columns=["p_brand", "n", "sum_d2x4"]).astype(
+            {"n": "int64", "sum_d2x4": "int64"})
+
+    return B.bucketed_map_groups(tagged, ["p_brand"], rank_d2)
+
+
+def q_hoover_index_spend(sf_dir: str):
+    """Hoover (Robin Hood) inequality index of customer spend per nation,
+    in exact ppm: Σ|n·xᵢ − S| · 10⁶ // (2·n·S) over per-customer cents
+    totals xᵢ. Plan: distributed per-customer spend reduce → broadcast
+    nationkey attach → small per-nation (n, S) aggregate broadcast back →
+    one more pass computing the |n·x − S| partial sums per nation. The
+    final ·10⁶ division runs in Python ints on the 25-row frame (the
+    numerator·10⁶ exceeds int64 at bench scale; per-batch partials stay
+    int64-safe to ~10⁹ customers/nation)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat_of = dict(zip(cust["c_custkey"].astype("int64"),
+                      cust["c_nationkey"].astype("int64")))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["spend_cents"] = _cents(df["o_totalprice"])
+        g = df.groupby("o_custkey", as_index=False)["spend_cents"].sum()
+        return _pa_from_pandas(g.astype({"o_custkey": "int64",
+                                         "spend_cents": "int64"}))
+
+    spend = B.grouped_aggregate_auto(
+        orders.map_batches(partial, batch_format="pyarrow"), "o_custkey",
+        [Sum("spend_cents", alias_name="spend_cents")])
+
+    def tag_nation(df: pd.DataFrame) -> pd.DataFrame:
+        df["nationkey"] = df["o_custkey"].map(nat_of).astype("int64")
+        return df
+
+    tagged = spend.map_batches(tag_nation, batch_format="pandas")
+    ns = B.grouped_aggregate_auto(
+        tagged, "nationkey",
+        [Count(alias_name="n"), Sum("spend_cents", alias_name="s")]).to_pandas()
+    n_of = dict(zip(ns["nationkey"].astype("int64"), ns["n"].astype("int64")))
+    s_of = dict(zip(ns["nationkey"].astype("int64"), ns["s"].astype("int64")))
+
+    def dev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["nationkey"].to_numpy()
+        x = df["spend_cents"].to_numpy()
+        n = np.array([n_of[k] for k in nk], dtype=np.int64)
+        s = np.array([s_of[k] for k in nk], dtype=np.int64)
+        dev = np.abs(n * x - s)
+        g = (pd.DataFrame({"nationkey": nk, "dev": dev})
+             .groupby("nationkey", as_index=False)["dev"].sum())
+        return g.astype({"nationkey": "int64", "dev": "int64"})
+
+    dev = B.grouped_aggregate_auto(
+        tagged.map_batches(dev_partial, batch_format="pandas"), "nationkey",
+        [Sum("dev", alias_name="dev")]).to_pandas()
+    dev = dev.sort_values("nationkey").reset_index(drop=True)
+    ppm = [int(d) * 1_000_000 // (2 * n_of[int(k)] * s_of[int(k)])
+           for k, d in zip(dev["nationkey"], dev["dev"])]
+    return pd.DataFrame({
+        "nationkey": dev["nationkey"].astype("int64"),
+        "n": [n_of[int(k)] for k in dev["nationkey"]],
+        "spend_cents": [s_of[int(k)] for k in dev["nationkey"]],
+        "hoover_ppm": ppm}).astype({"n": "int64", "spend_cents": "int64",
+                                    "hoover_ppm": "int64"})
+
+
+def q_second_third_order(sf_dir: str):
+    """nth_value window shape: for customers with ≥3 orders, the cents
+    totalprice of their 2nd and 3rd orders in (o_orderdate, o_orderkey)
+    order. Per-batch partial keeps ≤3 earliest rows per customer, so the
+    keyed shuffle moves ≤3·batches rows per key, never the raw table."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice",
+                                  "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = _cents(df["o_totalprice"])
+        df["day"] = df["o_orderdate"].values.astype("datetime64[D]").astype(str)
+        df = df[["o_custkey", "o_orderkey", "day", "cents"]]
+        df = df.sort_values(["o_custkey", "day", "o_orderkey"], kind="stable")
+        # keep 3 per (customer, batch) — enough to reconstruct global 2nd/3rd
+        # ONLY after the keyed reduce sees all batches' survivors
+        return _pa_from_pandas(df.groupby("o_custkey", sort=False).head(3)
+                               .astype({"o_custkey": "int64",
+                                        "o_orderkey": "int64",
+                                        "cents": "int64"}))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "day", "o_orderkey"], kind="stable")
+        g = b.groupby("o_custkey", sort=False)
+        b = b[g.cumcount() < 3]
+        cnt = b.groupby("o_custkey", sort=False).size()
+        full = cnt[cnt >= 3].index
+        b = b[b["o_custkey"].isin(full)]
+        rn = b.groupby("o_custkey", sort=False).cumcount()
+        second = b[rn == 1][["o_custkey", "cents"]].rename(
+            columns={"cents": "second_cents"})
+        third = b[rn == 2][["o_custkey", "cents"]].rename(
+            columns={"cents": "third_cents"})
+        return second.merge(third, on="o_custkey").astype(
+            {"o_custkey": "int64", "second_cents": "int64",
+             "third_cents": "int64"})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_custkey"], pick)
+
+
+def q_brand_top3_names(sf_dir: str):
+    """Ordered list-concat aggregate (STRING_AGG … ORDER BY parity): per
+    brand, the '|'-joined top-3 part names by (retail cents desc,
+    p_partkey asc). Per-batch partial top-3 bounds the shuffle at
+    3 rows/brand/batch; the reduce re-sorts survivors and joins in rank
+    order — an order-sensitive aggregate Ray's Sum/Min/Max can't express."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_name", "p_partkey",
+                                "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["retail_cents"] = _cents(df["p_retailprice"])
+        df = df.sort_values(["p_brand", "retail_cents", "p_partkey"],
+                            ascending=[True, False, True], kind="stable")
+        return _pa_from_pandas(
+            df.groupby("p_brand", sort=False).head(3)
+            [["p_brand", "p_name", "p_partkey", "retail_cents"]]
+            .astype({"p_partkey": "int64", "retail_cents": "int64"}))
+
+    def join3(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["p_brand", "retail_cents", "p_partkey"],
+                          ascending=[True, False, True], kind="stable")
+        b = b[b.groupby("p_brand", sort=False).cumcount() < 3]
+        g = b.groupby("p_brand", sort=False)["p_name"].agg("|".join)
+        return g.reset_index().rename(columns={"p_name": "top3_names"})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["p_brand"], join3)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -7220,5 +7430,79 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
                     AS BIGINT) AS med3
         FROM d
+    """,
+    "q11_part_value": """
+        WITH v AS (SELECT l_partkey AS p_partkey,
+                          CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+                                        AS BIGINT)) AS BIGINT) AS value_cents
+                   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                   WHERE s_nationkey = 3 GROUP BY 1)
+        SELECT p_partkey, value_cents FROM v
+        WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT)
+                                    FROM v)
+        ORDER BY 1
+    """,
+    "spearman_d2_brand": """
+        WITH l AS (SELECT p_brand, l_orderkey, l_linenumber,
+                          CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                              AS price_cents,
+                          CAST(l_quantity AS BIGINT) AS qty
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        r AS (SELECT p_brand,
+                     -- doubled AVERAGE rank = 2*RANK + tiecount - 1 (integer)
+                     2 * RANK() OVER (PARTITION BY p_brand
+                             ORDER BY price_cents)
+                       + COUNT(*) OVER (PARTITION BY p_brand, price_cents)
+                       - 1 AS rp2,
+                     2 * RANK() OVER (PARTITION BY p_brand
+                             ORDER BY qty)
+                       + COUNT(*) OVER (PARTITION BY p_brand, qty)
+                       - 1 AS rq2
+              FROM l)
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((rp2 - rq2) * (rp2 - rq2)) AS BIGINT) AS sum_d2x4
+        FROM r GROUP BY 1
+    """,
+    "hoover_index_spend": """
+        WITH spend AS (SELECT o_custkey,
+                              CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5)
+                                            AS BIGINT)) AS BIGINT) AS x
+                       FROM orders GROUP BY 1),
+        tagged AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, x
+                   FROM spend JOIN customer ON o_custkey = c_custkey),
+        ns AS (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(x) AS BIGINT) AS s
+               FROM tagged GROUP BY 1)
+        SELECT t.nationkey, MAX(ns.n) AS n,
+               MAX(ns.s) AS spend_cents,
+               CAST(SUM(ABS(ns.n * t.x - ns.s)) * 1000000
+                    // (2 * MAX(ns.n) * MAX(ns.s)) AS BIGINT) AS hoover_ppm
+        FROM tagged t JOIN ns USING (nationkey)
+        GROUP BY 1
+    """,
+    "second_third_order": """
+        WITH r AS (SELECT o_custkey,
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                              AS cents,
+                          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn,
+                          COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                   FROM orders)
+        SELECT o_custkey,
+               CAST(MAX(CASE WHEN rn = 2 THEN cents END) AS BIGINT)
+                   AS second_cents,
+               CAST(MAX(CASE WHEN rn = 3 THEN cents END) AS BIGINT)
+                   AS third_cents
+        FROM r WHERE n >= 3 GROUP BY 1
+    """,
+    "brand_top3_names": """
+        WITH r AS (SELECT p_brand, p_name,
+                          ROW_NUMBER() OVER (PARTITION BY p_brand
+                              ORDER BY CAST(FLOOR(p_retailprice*100 + 0.5)
+                                            AS BIGINT) DESC,
+                                       p_partkey) AS rn
+                   FROM part)
+        SELECT p_brand, STRING_AGG(p_name, '|' ORDER BY rn) AS top3_names
+        FROM r WHERE rn <= 3 GROUP BY 1
     """,
 }

@@ -937,6 +937,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hoover_index_spend": A.q_hoover_index_spend,
         "second_third_order": A.q_second_third_order,
         "brand_top3_names": A.q_brand_top3_names,
+        "q2_min_cost_supplier": A.q_q2_min_cost_supplier,
+        "q20_excess_suppliers": A.q_q20_excess_suppliers,
+        "inversion_count_brand": A.q_inversion_count_brand,
+        "mannwhitney_u_value": A.q_mannwhitney_u_value,
         "ewma_daily_revenue": A.q_ewma_daily_revenue,
         "cusum_daily_orders": A.q_cusum_daily_orders,
         "pagerank_2iter": A.q_pagerank_2iter,

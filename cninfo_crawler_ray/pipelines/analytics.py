@@ -5976,11 +5976,298 @@ def q_brand_top3_names(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"), ["p_brand"], join3)
 
 
+def q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (adapted: no partsupp, so per-(part, supplier) cost
+    is the summed lineitem extendedprice; region filter keeps REGION_1's
+    suppliers, part filter 10 ≤ p_size ≤ 20): for each qualifying part,
+    the cheapest regional supplier — the correlated-MIN-then-join-back
+    shape. Plan: supplier∪nation is the tiny dimension side → broadcast
+    both the regional-supplier set (scan filter) and the name lookups
+    (final decorate); ONE distributed keyed reduce builds (part, supp) →
+    cents, then a part-keyed bucketed argmin picks the winner — the
+    correlated subquery never re-scans the fact table."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                   "n_regionkey"]).to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name",
+                                     "s_nationkey"]).to_pandas()
+    reg_nations = set(nat.loc[nat["n_regionkey"] == 1,
+                              "n_nationkey"].astype("int64"))
+    sup = sup[sup["s_nationkey"].astype("int64").isin(reg_nations)]
+    reg_sups = set(sup["s_suppkey"].astype("int64"))
+    s_name = dict(zip(sup["s_suppkey"].astype("int64"), sup["s_name"]))
+    n_of_s = dict(zip(sup["s_suppkey"].astype("int64"),
+                      sup["s_nationkey"].astype("int64")))
+    n_name = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"]).to_pandas()
+    ok_parts = set(part.loc[(part["p_size"] >= 10) & (part["p_size"] <= 20),
+                            "p_partkey"].astype("int64"))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["l_suppkey"].isin(reg_sups)
+                & df["l_partkey"].isin(ok_parts)]
+        df["cents"] = _cents(df["l_extendedprice"])
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "cents"].sum()
+        return _pa_from_pandas(g.astype({"l_partkey": "int64",
+                                         "l_suppkey": "int64",
+                                         "cents": "int64"}))
+
+    ps = B.grouped_aggregate_auto(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [Sum("cents", alias_name="cents")])
+
+    def argmin_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["l_partkey", "cents", "l_suppkey"], kind="stable")
+        w = b.groupby("l_partkey", sort=False).head(1).copy()
+        w["s_name"] = w["l_suppkey"].map(s_name)
+        w["n_name"] = w["l_suppkey"].map(n_of_s).map(n_name)
+        w = w.rename(columns={"l_partkey": "p_partkey",
+                              "l_suppkey": "s_suppkey",
+                              "cents": "min_cents"})
+        return w[["p_partkey", "s_suppkey", "s_name", "n_name", "min_cents"]]
+
+    return B.bucketed_map_groups(ps, ["l_partkey"], argmin_bucket)
+
+
+def q_q20_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (adapted: "availqty > half of shipped qty" becomes
+    "this supplier alone shipped MORE than an eighth of the part's total
+    quantity" — the synthetic data spreads each part over ~9-100 suppliers
+    as sf grows, so half/quarter dominance selects nothing beyond the
+    smallest sf): suppliers dominating ≥1 'red' part.
+    Plan: part-name filter broadcast into the scan; keyed reduce to
+    (part, supp) → qty; the per-part total is a SECOND reduce over the
+    already-shrunk frame (never a second fact-table pass); the total
+    re-attaches by part key (auto broadcast/shuffle); the survivor
+    supplier set is distinct-reduced and name-decorated from the
+    broadcast dimension."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    red_parts = set(
+        part.loc[part["p_name"].str.contains("red", regex=False),
+                 "p_partkey"].astype("int64"))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    s_name = dict(zip(sup["s_suppkey"].astype("int64"), sup["s_name"]))
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["l_partkey"].isin(red_parts)]
+        df["qty"] = df["l_quantity"].to_numpy().astype("int64")
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "qty"].sum()
+        return _pa_from_pandas(g.astype({"l_partkey": "int64",
+                                         "l_suppkey": "int64",
+                                         "qty": "int64"}))
+
+    ps = B.grouped_aggregate_auto(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [Sum("qty", alias_name="qty")]
+    ).materialize()
+    tot = B.grouped_aggregate_auto(ps, "l_partkey",
+                                   [Sum("qty", alias_name="total_qty")])
+    joined = B.attach(ps, "l_partkey", tot, "l_partkey",
+                      "total_qty", "total_qty")
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        # (part, supp) rows are already globally distinct post-reduce, so
+        # one output row == one dominated part; Count() then counts parts
+        w = df[8 * df["qty"] > df["total_qty"]]
+        return pd.DataFrame({"s_suppkey": w["l_suppkey"].to_numpy()
+                             .astype("int64")})
+
+    dominant = B.grouped_aggregate_auto(
+        joined.map_batches(survivors, batch_format="pandas"),
+        "s_suppkey", [Count(alias_name="n_parts_dominated")]).to_pandas()
+    dominant["s_name"] = dominant["s_suppkey"].map(s_name)
+    return (dominant[["s_suppkey", "s_name", "n_parts_dominated"]]
+            .astype({"s_suppkey": "int64", "n_parts_dominated": "int64"})
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def _strict_inversions(a: np.ndarray) -> int:
+    """Exact strict-inversion count (#pairs i<j with a[i] > a[j]) via
+    vectorized divide-and-conquer: leaves count by an O(k²) dominance
+    matrix (k ≤ 256), cross terms by ``searchsorted`` of the sorted right
+    half against the sorted left half — O(n log² n), no per-row Python."""
+    n = a.size
+    if n <= 256:
+        if n < 2:
+            return 0
+        return int(np.triu(a[:, None] > a[None, :], k=1).sum())
+    mid = n // 2
+    left, right = a[:mid], a[mid:]
+    inv = _strict_inversions(left) + _strict_inversions(right)
+    sl, sr = np.sort(left), np.sort(right)
+    inv += int((sl.size - np.searchsorted(sl, sr, side="right")).sum())
+    return inv
+
+
+def q_inversion_count_brand(sf_dir: str):
+    """Kendall-discordance per brand: the number of unordered line pairs
+    where price and quantity rank in OPPOSITE directions (strictly), which
+    is tie-robust and order-independent — after sorting by (price asc,
+    qty asc) it equals the strict inversion count of the qty sequence
+    (equal-price pairs sort qty-ascending and so contribute zero). Engine
+    counts inversions in O(n log² n) via :func:`_strict_inversions`; the
+    oracle pays the O(n²) self-join — the point of the operator. ONE
+    brand-keyed shuffle; partitioning assumption: one brand's lines fit a
+    reduce task (25 brands, ~n/25 rows each; salt-free)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table({
+            "l_partkey": pa.array(df["l_partkey"].to_numpy().astype("int64")),
+            "price_cents": pa.array(_cents(df["l_extendedprice"])),
+            "qty": pa.array(df["l_quantity"].to_numpy().astype("int64"))})
+
+    tagged = B.attach(line.map_batches(prep, batch_format="pyarrow"),
+                      "l_partkey", part, "p_partkey", "p_brand", "p_brand")
+
+    def per_brand(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for brand, g in b.groupby("p_brand", sort=False):
+            g = g.sort_values(["price_cents", "qty"], kind="stable")
+            out.append((brand, len(g),
+                        _strict_inversions(g["qty"].to_numpy())))
+        return pd.DataFrame(out, columns=["p_brand", "n_rows", "discordant"]
+                            ).astype({"n_rows": "int64",
+                                      "discordant": "int64"})
+
+    return B.bucketed_map_groups(tagged, ["p_brand"], per_brand)
+
+
+def q_mannwhitney_u_value(sf_dir: str):
+    """Mann–Whitney U between 'click' and 'purchase' event values,
+    tie-corrected and integer-exact: with doubled average ranks
+    (2·avgrank(v) = 2·count_less(v) + count_eq(v) + 1 over the pooled
+    sample), ``r1_x2`` = Σ 2·avgrank over clicks and ``u1_x2`` =
+    2·U₁ = r1_x2 − n₁(n₁+1). Plan: ONE keyed reduce collapses the fact
+    stream to the distinct-value histogram (value_cents → per-type
+    counts); the rank arithmetic runs on that value-domain frame — a
+    cumulative sum over ~|distinct values| rows, never over events.
+    Partitioning assumption: the distinct value domain (bounded by the
+    cents range) fits one node; at a wider domain the cumsum becomes a
+    prefix-scan over sorted blocks."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(("click", "purchase"))]
+        v = _cents(df["value"])
+        is_click = (df["event_type"].to_numpy() == "click")
+        g = pd.DataFrame({"v": v,
+                          "n_click": is_click.astype("int64"),
+                          "n_purch": (~is_click).astype("int64")})
+        g = g.groupby("v", as_index=False).sum()
+        return _pa_from_pandas(g.astype({"v": "int64", "n_click": "int64",
+                                         "n_purch": "int64"}))
+
+    hist = B.grouped_aggregate_auto(
+        ev.map_batches(partial, batch_format="pyarrow"), "v",
+        [Sum("n_click", alias_name="n_click"),
+         Sum("n_purch", alias_name="n_purch")]).to_pandas()
+    hist = hist.sort_values("v").reset_index(drop=True)
+    ce = hist["n_click"].to_numpy() + hist["n_purch"].to_numpy()
+    cl = np.concatenate(([0], np.cumsum(ce)[:-1]))
+    rank2 = 2 * cl + ce + 1
+    n1 = int(hist["n_click"].sum())
+    n2 = int(hist["n_purch"].sum())
+    r1_x2 = int(np.dot(hist["n_click"].to_numpy(), rank2))
+    return pd.DataFrame({"n_click": [n1], "n_purchase": [n2],
+                         "r1_x2": [r1_x2],
+                         "u1_x2": [r1_x2 - n1 * (n1 + 1)]}).astype("int64")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
 ANALYTICS_ORACLE_SQL: dict[str, str] = {
+    "q2_min_cost_supplier": """
+        WITH rs AS (SELECT s_suppkey, s_name, n_name
+                    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_regionkey = 1),
+        ps AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                      CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS cents
+               FROM lineitem
+               JOIN rs ON l_suppkey = rs.s_suppkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE p_size BETWEEN 10 AND 20
+               GROUP BY 1, 2),
+        m AS (SELECT p_partkey, s_suppkey, cents,
+                     ROW_NUMBER() OVER (PARTITION BY p_partkey
+                         ORDER BY cents, s_suppkey) AS rn
+              FROM ps)
+        SELECT p_partkey, m.s_suppkey, s_name, n_name,
+               cents AS min_cents
+        FROM m JOIN rs ON m.s_suppkey = rs.s_suppkey
+        WHERE rn = 1
+    """,
+    "q20_excess_suppliers": """
+        WITH ps AS (SELECT l_partkey, l_suppkey,
+                           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                               AS qty
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_name LIKE '%red%'
+                    GROUP BY 1, 2),
+        t AS (SELECT l_partkey,
+                     CAST(SUM(qty) AS BIGINT) AS total_qty
+              FROM ps GROUP BY 1)
+        SELECT s_suppkey, s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+        FROM ps
+        JOIN t USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE 8 * qty > total_qty
+        GROUP BY 1, 2
+        ORDER BY 1
+    """,
+    "inversion_count_brand": """
+        WITH l AS (SELECT p_brand,
+                          CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                              AS price_cents,
+                          CAST(l_quantity AS BIGINT) AS qty
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM l GROUP BY 1),
+        d AS (SELECT a.p_brand,
+                     CAST(COUNT(*) FILTER (a.price_cents < b.price_cents
+                                           AND a.qty > b.qty) AS BIGINT)
+                         AS discordant
+              FROM l a JOIN l b ON a.p_brand = b.p_brand
+              GROUP BY 1)
+        SELECT p_brand, n_rows, discordant FROM n JOIN d USING (p_brand)
+    """,
+    "mannwhitney_u_value": """
+        WITH e AS (SELECT event_type,
+                          CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        r AS (SELECT event_type,
+                     2 * RANK() OVER (ORDER BY v)
+                       + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+              FROM e),
+        s AS (SELECT CAST(COUNT(*) FILTER (event_type = 'click')
+                          AS BIGINT) AS n_click,
+                     CAST(COUNT(*) FILTER (event_type = 'purchase')
+                          AS BIGINT) AS n_purchase,
+                     CAST(SUM(r2) FILTER (event_type = 'click')
+                          AS BIGINT) AS r1_x2
+              FROM r)
+        SELECT n_click, n_purchase, r1_x2,
+               CAST(r1_x2 - n_click * (n_click + 1) AS BIGINT) AS u1_x2
+        FROM s
+    """,
     "cume_dist_orders": """
         SELECT o_orderkey, o_orderpriority,
                CUME_DIST() OVER (

@@ -953,6 +953,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_daily_orders": A.q_rolling_median_daily_orders,
         "decile_transition_matrix": A.q_decile_transition_matrix,
         "embedding_dim_stats": A.q_embedding_dim_stats,
+        "bizday_ship_delay_hist": A.q_bizday_ship_delay_hist,
+        "peak_active_customers": A.q_peak_active_customers,
+        "increasing_run_hist": A.q_increasing_run_hist,
+        "token_pmi_top": A.q_token_pmi_top,
+        "autocorr_daily_orders": A.q_autocorr_daily_orders,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -6188,6 +6188,298 @@ def q_mannwhitney_u_value(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Calendar arithmetic — business-day delay (closed-form weekday count)
+# ---------------------------------------------------------------------------
+
+def _weekday_prefix(m: np.ndarray) -> np.ndarray:
+    """W(m) = number of Mon–Fri days in [origin, origin+m] where the origin
+    is 1969-12-29 (a Monday) and m >= 0. Closed form — no calendar tables,
+    so the per-line kernel is three vector ops and the SQL oracle is the
+    literal same integer formula (no generate_series blowup)."""
+    return 5 * (m // 7) + np.minimum(m % 7 + 1, 5)
+
+
+def q_bizday_ship_delay_hist(sf_dir: str):
+    """Business-day ship latency histogram: for every lineitem, the count of
+    Mon–Fri days in (o_orderdate, l_shipdate] — the SLA metric an ops
+    dashboard buckets (calendar-day delays overstate latency across
+    weekends). Plan: orders' (orderkey → epoch-day) is attached to lineitem
+    with the adaptive broadcast/bucketed join; the weekday count is the
+    closed-form prefix difference W(ship) − W(order) (exact int64,
+    vectorized), and only O(distinct delays) partial counts leave each
+    batch."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def okey_days(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            # +3: epoch day 0 is a Thursday; shift so day 0 is the Monday
+            # origin 1969-12-29 (dates here are all >= 1992 so m >= 0)
+            "ma": df["o_orderdate"].values.astype("datetime64[D]")
+                  .astype("int64") + 3,
+        }))
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ship_days(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "mb": df["l_shipdate"].values.astype("datetime64[D]")
+                  .astype("int64") + 3,
+        }))
+
+    joined = B.attach(
+        line.map_batches(ship_days, batch_format="pyarrow"), "l_orderkey",
+        orders.map_batches(okey_days, batch_format="pyarrow"), "o_orderkey",
+        "ma", "ma")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        biz = (_weekday_prefix(df["mb"].to_numpy())
+               - _weekday_prefix(df["ma"].to_numpy()))
+        g = pd.DataFrame({"bizdays": biz}).groupby(
+            "bizdays", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "bizdays": g["bizdays"].astype("int64"),
+            "n_lines": g["size"].astype("int64")}))
+
+    return B.grouped_aggregate_auto(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["bizdays"], [Sum("n_lines", alias_name="n_lines")])
+
+
+# ---------------------------------------------------------------------------
+# Sweep line — peak concurrent active-customer intervals
+# ---------------------------------------------------------------------------
+
+def q_peak_active_customers(sf_dir: str):
+    """Peak concurrency of customer activity intervals: each customer is
+    'active' from their first to their last order date (inclusive); the
+    answer is the max number of simultaneously active customers and the
+    FIRST day that peak is reached — the classic sweep-line / interval
+    overlap operator. Plan: keyed (custkey) min/max reduce builds the
+    intervals; each interval emits two boundary deltas (+1 at start, −1 the
+    day after end) that a second keyed reduce collapses to O(distinct days)
+    rows; only that day-indexed delta series reaches the driver for the
+    inherently sequential prefix-sum scan (≈2.5k rows regardless of order
+    count)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["d"] = df["o_orderdate"].values.astype("datetime64[D]").astype("int64")
+        g = df.groupby("o_custkey", as_index=False).agg(
+            a=("d", "min"), b=("d", "max"))
+        return _pa_from_pandas(g.astype("int64"))
+
+    iv = B.grouped_aggregate_auto(
+        ds.map_batches(span_partial, batch_format="pyarrow"), ["o_custkey"],
+        [Min("a", alias_name="a"), Max("b", alias_name="b")])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy() + 1])
+        delta = np.concatenate([np.ones(len(df), dtype=np.int64),
+                                -np.ones(len(df), dtype=np.int64)])
+        g = pd.DataFrame({"day": day, "delta": delta}).groupby(
+            "day", as_index=False)["delta"].sum()
+        return _pa_from_pandas(g.astype("int64"))
+
+    s = B.grouped_aggregate_auto(
+        iv.map_batches(deltas, batch_format="pyarrow"), ["day"],
+        [Sum("delta", alias_name="delta")]).to_pandas()
+    s = s.sort_values("day").reset_index(drop=True)
+    conc = s["delta"].to_numpy().cumsum()
+    peak = int(conc.max())
+    first = int(s["day"].to_numpy()[int(np.argmax(conc == peak))])
+    day_str = str(np.int64(first).astype("datetime64[D]"))
+    return pd.DataFrame({"peak": pd.Series([peak], dtype="int64"),
+                         "peak_day": [day_str]})
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands — longest strictly-increasing spend run per customer
+# ---------------------------------------------------------------------------
+
+def q_increasing_run_hist(sf_dir: str):
+    """Histogram (over customers) of the longest strictly-increasing run of
+    order totals in each customer's order sequence ordered by
+    (o_orderdate, o_orderkey) — the gaps-and-islands window pattern (LAG →
+    break flag → running island id → island length). Plan: the sequence
+    semantics need all of a customer's orders co-located, so one bucketed
+    shuffle by custkey; inside each bucket the island arithmetic is fully
+    vectorized across ALL customers at once (cross-customer boundaries are
+    just forced breaks); only one (custkey, max_run) row per customer
+    leaves, and the final histogram reduce is O(distinct run lengths)."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "d": df["o_orderdate"].values.astype("datetime64[D]").astype("int64"),
+            "cents": _cents(df["o_totalprice"]),
+        }))
+
+    def runs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "d", "o_orderkey"], kind="stable")
+        cust = b["o_custkey"].to_numpy()
+        cents = b["cents"].to_numpy()
+        same = np.concatenate(([False], cust[1:] == cust[:-1]))
+        inc = np.concatenate(([False], cents[1:] > cents[:-1])) & same
+        rid = np.cumsum(~inc)
+        rl = pd.DataFrame({"cust": cust, "rid": rid}).groupby(
+            "rid", sort=False).agg(cust=("cust", "first"), n=("cust", "size"))
+        mx = rl.groupby("cust", sort=False)["n"].max()
+        return pd.DataFrame({"max_run": mx.to_numpy().astype("int64")})
+
+    per_cust = B.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["o_custkey"],
+        runs_bucket)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("max_run", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "max_run": g["max_run"].astype("int64"),
+            "n_customers": g["size"].astype("int64")}))
+
+    return B.grouped_aggregate_auto(
+        per_cust.map_batches(hist_partial, batch_format="pyarrow"),
+        ["max_run"], [Sum("n_customers", alias_name="n_customers")])
+
+
+# ---------------------------------------------------------------------------
+# Pointwise mutual information — top bigram collocations (exact rational)
+# ---------------------------------------------------------------------------
+
+def q_token_pmi_top(sf_dir: str, k: int = 20, min_support: int = 5):
+    """Top-k bigram collocations over the document corpus by pointwise
+    mutual information, as the EXACT scaled rational
+    pmi_ppm = ⌊c_xy · N_uni² · 10⁶ / (N_bi · c_x · c_y)⌋ (the PMI ratio
+    before the log — monotone in PMI, so the ranking is identical and the
+    arithmetic is exact integers on both sides; Python ints here, HUGEINT
+    in the oracle). Plan: two distributed count reduces (unigrams, bigrams)
+    with per-batch combiners; the min-support filter shrinks bigrams to the
+    collocation candidates BEFORE anything reaches the driver, and only
+    unigram rows for tokens appearing in a surviving candidate are
+    collected (broadcast membership filter — at corpus scale the candidate
+    set, not the vocabulary, bounds driver memory)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks = (t.to_pandas()["text"].str.lower()
+                .str.findall(r"[a-z0-9]+").explode().dropna())
+        g = toks.value_counts()
+        return _pa_from_pandas(pd.DataFrame({
+            "tok": g.index.to_numpy(), "cn": g.to_numpy().astype("int64")}))
+
+    uni = B.grouped_aggregate_auto(
+        ds.map_batches(uni_partial, batch_format="pyarrow"), ["tok"],
+        [Sum("cn", alias_name="cn")])
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        toks = (t.to_pandas()["text"].str.lower()
+                .str.findall(r"[a-z0-9]+").explode().dropna())
+        row = toks.index.to_numpy()
+        tok = toks.to_numpy()
+        m = row[1:] == row[:-1]
+        g = pd.DataFrame({"bigram": tok[:-1][m] + " " + tok[1:][m]}) \
+            .groupby("bigram", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "bigram": g["bigram"], "n": g["size"].astype("int64")}))
+
+    big = B.grouped_aggregate_auto(
+        ds.map_batches(bi_partial, batch_format="pyarrow"), ["bigram"],
+        [Sum("n", alias_name="n")])
+
+    # materialize the two REDUCED frames (vocab-sized, not corpus-sized) so
+    # the totals + filters below don't re-execute the corpus scan per use
+    uni = uni.materialize()
+    big = big.materialize()
+    n_uni = int(uni.sum("cn"))
+    n_bi = int(big.sum("n"))
+
+    import pyarrow.compute as pc
+
+    cand = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_support)),
+        batch_format="pyarrow").to_pandas()
+
+    need = set()
+    for bg in cand["bigram"]:
+        x, y = bg.split(" ")
+        need.add(x)
+        need.add(y)
+    need_ref = ray.put(need)
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        wanted = ray.get(need_ref)
+        return _pa_from_pandas(df[df["tok"].isin(wanted)])
+
+    cn = (uni.map_batches(keep_needed, batch_format="pyarrow")
+          .to_pandas().set_index("tok")["cn"].to_dict())
+
+    scores = []
+    for bg, n in zip(cand["bigram"], cand["n"]):
+        x, y = bg.split(" ")
+        ppm = (int(n) * n_uni * n_uni * 10**6) // (n_bi * cn[x] * cn[y])
+        scores.append((bg, int(n), ppm))
+    scores.sort(key=lambda r: (-r[2], r[0]))
+    top = scores[:k]
+    return pd.DataFrame({
+        "bigram": [r[0] for r in top],
+        "n": pd.Series([r[1] for r in top], dtype="int64"),
+        "pmi_ppm": pd.Series([r[2] for r in top], dtype="int64"),
+        "rk": pd.Series(range(1, len(top) + 1), dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily order series (exact integer form)
+# ---------------------------------------------------------------------------
+
+def q_autocorr_daily_orders(sf_dir: str):
+    """Lag-1 autocorrelation of the daily order-count series in exact
+    integers: with x the per-day counts (observed days, ascending), S = Σx,
+    n = #days, report ⌊10⁶ · Σ_{t≥2}(n·x_t−S)(n·x_{t−1}−S) /
+    Σ_t(n·x_t−S)²⌋ — the n²-scaled centered products make every term an
+    integer, so both sides agree bit-for-bit (Python ints here; HUGEINT +
+    a floor-consistent remainder trick in the oracle, since DuckDB's ``//``
+    truncates while Python floors and the numerator can be negative).
+    Plan: the only distributed work is the day-count reduce; the O(n_days)
+    recurrence-free scan runs on the driver like the EWMA/CUSUM family."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.to_pandas()["o_orderdate"].values
+               .astype("datetime64[D]").astype("int64"))
+        g = pd.DataFrame({"day": day}).groupby("day", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "day": g["day"].astype("int64"),
+            "x": g["size"].astype("int64")}))
+
+    daily = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), ["day"],
+        [Sum("x", alias_name="x")]).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    x = [int(v) for v in daily["x"]]
+    n = len(x)
+    s = sum(x)
+    c = [n * v - s for v in x]
+    num = sum(c[t] * c[t - 1] for t in range(1, n))
+    den = sum(v * v for v in c)
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "autocorr_ppm": pd.Series([(num * 10**6) // den], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -7791,5 +8083,115 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                    FROM part)
         SELECT p_brand, STRING_AGG(p_name, '|' ORDER BY rn) AS top3_names
         FROM r WHERE rn <= 3 GROUP BY 1
+    """,
+    # business days in (order, ship]: W(m) = 5*(m//7) + least(m%7+1, 5) with
+    # m = days since Monday 1969-12-29 — the identical closed form the engine
+    # evaluates (m >= 0 for all dates here, so // truncation == floor)
+    "bizday_ship_delay_hist": """
+        WITH d AS (SELECT datediff('day', DATE '1969-12-29',
+                                   CAST(o.o_orderdate AS DATE)) AS ma,
+                          datediff('day', DATE '1969-12-29',
+                                   CAST(l.l_shipdate AS DATE)) AS mb
+                   FROM lineitem l JOIN orders o
+                        ON l.l_orderkey = o.o_orderkey),
+             w AS (SELECT (5*(mb//7) + LEAST(mb%7 + 1, 5))
+                        - (5*(ma//7) + LEAST(ma%7 + 1, 5)) AS bizdays
+                   FROM d)
+        SELECT CAST(bizdays AS BIGINT) AS bizdays,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM w GROUP BY 1
+    """,
+    "peak_active_customers": """
+        WITH iv AS (SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS a,
+                           MAX(CAST(o_orderdate AS DATE)) AS b
+                    FROM orders GROUP BY 1),
+             d AS (SELECT a AS day, 1 AS delta FROM iv
+                   UNION ALL SELECT b + 1, -1 FROM iv),
+             s AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS dd
+                   FROM d GROUP BY 1),
+             c AS (SELECT day, SUM(dd) OVER (ORDER BY day) AS conc FROM s)
+        SELECT CAST(conc AS BIGINT) AS peak,
+               CAST(MIN(day) AS VARCHAR) AS peak_day
+        FROM c WHERE conc = (SELECT MAX(conc) FROM c) GROUP BY conc
+    """,
+    "increasing_run_hist": """
+        WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                              AS cents
+                   FROM orders),
+             l AS (SELECT *, CASE WHEN cents > LAG(cents) OVER w
+                                  THEN 0 ELSE 1 END AS brk
+                   FROM o WINDOW w AS (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)),
+             g AS (SELECT *, SUM(brk) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS UNBOUNDED PRECEDING) AS grp
+                   FROM l),
+             r AS (SELECT o_custkey, grp, COUNT(*) AS run_len
+                   FROM g GROUP BY 1, 2),
+             m AS (SELECT o_custkey, MAX(run_len) AS max_run
+                   FROM r GROUP BY 1)
+        SELECT CAST(max_run AS BIGINT) AS max_run,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM m GROUP BY 1
+    """,
+    # PMI ratio as the exact scaled rational c_xy*N_uni^2*1e6 //
+    # (N_bi*c_x*c_y) — HUGEINT keeps every product exact; numerator and
+    # divisor are positive so // truncation == floor
+    "token_pmi_top": """
+        WITH w AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+                   FROM documents),
+             t AS (SELECT doc_id, unnest(arr) AS tok,
+                          generate_subscripts(arr, 1) AS pos FROM w),
+             u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cn
+                   FROM t GROUP BY 1),
+             nu AS (SELECT CAST(SUM(cn) AS BIGINT) AS n_uni FROM u),
+             b AS (SELECT doc_id, tok,
+                          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                              AS nxt
+                   FROM t),
+             c AS (SELECT tok || ' ' || nxt AS bigram, tok AS x, nxt AS y,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+             nb AS (SELECT CAST(SUM(n) AS BIGINT) AS n_bi FROM c),
+             s AS (SELECT c.bigram, c.n,
+                          CAST((CAST(c.n AS HUGEINT) * nu.n_uni * nu.n_uni
+                                * 1000000)
+                               // (CAST(nb.n_bi AS HUGEINT) * ux.cn * uy.cn)
+                               AS BIGINT) AS pmi_ppm
+                   FROM c
+                   CROSS JOIN nu CROSS JOIN nb
+                   JOIN u ux ON ux.tok = c.x
+                   JOIN u uy ON uy.tok = c.y
+                   WHERE c.n >= 5),
+             r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_ppm DESC,
+                                                bigram ASC) AS rk
+                   FROM s)
+        SELECT bigram, n, pmi_ppm, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 20
+    """,
+    # centered-product autocorrelation in n^2-scaled integers; the final
+    # floor division emulates Python's // for a possibly-negative numerator
+    # via (a - ((a % b + b) % b)) / b (DuckDB // truncates toward zero)
+    "autocorr_daily_orders": """
+        WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(COUNT(*) AS BIGINT) AS x
+                   FROM orders GROUP BY 1),
+             t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                          CAST(SUM(x) AS HUGEINT) AS s
+                   FROM d),
+             p AS (SELECT day, x, LAG(x) OVER (ORDER BY day) AS px FROM d),
+             num AS (SELECT CAST(SUM((t.n*p.x - t.s) * (t.n*p.px - t.s))
+                                 AS HUGEINT) AS v
+                     FROM p CROSS JOIN t WHERE p.px IS NOT NULL),
+             den AS (SELECT CAST(SUM((t.n*d.x - t.s) * (t.n*d.x - t.s))
+                                 AS HUGEINT) AS v
+                     FROM d CROSS JOIN t)
+        SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n_days,
+               CAST((num.v*1000000
+                     - (((num.v*1000000 % den.v) + den.v) % den.v))
+                    // den.v AS BIGINT) AS autocorr_ppm
+        FROM num CROSS JOIN den
     """,
 }

@@ -507,3 +507,65 @@ def test_levenshtein_band_matches_full_dp(s, t, k):
         assert d_band == d_true
     else:
         assert d_band > k
+
+
+# ---------------------------------------------------------------------------
+# Business-day closed form
+# ---------------------------------------------------------------------------
+
+def test_weekday_prefix_matches_busday_count():
+    """The closed-form W(b)−W(a) must equal numpy's calendar-walking
+    busday_count over (a, b] for arbitrary date pairs (different algorithm
+    family: arithmetic vs per-day weekday mask)."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(8035, 12000, size=500)  # epoch days, 1992..2002-ish
+    b = a + rng.integers(0, 200, size=500)
+    mine = A._weekday_prefix(b + 3) - A._weekday_prefix(a + 3)
+    ref = np.busday_count(a.astype("datetime64[D]") + 1,
+                          (b + 1).astype("datetime64[D]"))
+    assert (mine == ref).all()
+
+
+# ---------------------------------------------------------------------------
+# Strictly-increasing runs (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+def test_increasing_runs_hand_case():
+    """Vectorized island arithmetic vs a per-customer Python scan on a frame
+    with cross-customer boundaries, ties (not increasing), and singletons."""
+    df = pd.DataFrame({
+        "o_custkey": [1, 1, 1, 1, 2, 2, 3],
+        "o_orderkey": [1, 2, 3, 4, 1, 2, 1],
+        "d": [10, 11, 12, 13, 10, 11, 10],
+        "cents": [5, 7, 7, 9, 4, 2, 8],
+    })
+    cust = df["o_custkey"].to_numpy()
+    cents = df["cents"].to_numpy()
+    same = np.concatenate(([False], cust[1:] == cust[:-1]))
+    inc = np.concatenate(([False], cents[1:] > cents[:-1])) & same
+    rid = np.cumsum(~inc)
+    rl = pd.DataFrame({"cust": cust, "rid": rid}).groupby(
+        "rid", sort=False).agg(cust=("cust", "first"), n=("cust", "size"))
+    mx = rl.groupby("cust", sort=False)["n"].max()
+    # customer 1: 5,7 | 7,9 -> max run 2; customer 2: 4 | 2 -> 1; cust 3: 1
+    assert mx.to_dict() == {1: 2, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# Exact integer autocorrelation
+# ---------------------------------------------------------------------------
+
+def test_autocorr_integer_form_matches_float_formula():
+    """⌊1e6·Σc_t·c_{t−1}/Σc_t²⌋ with c = n·x−S must track the float centered
+    autocorrelation to within the 1-ulp floor window."""
+    rng = np.random.default_rng(5)
+    x = rng.integers(1, 100, size=400).tolist()
+    n, s = len(x), sum(x)
+    c = [n * v - s for v in x]
+    num = sum(c[t] * c[t - 1] for t in range(1, n))
+    den = sum(v * v for v in c)
+    mine = (num * 10**6) // den
+    xf = np.asarray(x, dtype=np.float64)
+    cf = xf - xf.mean()
+    ref = float((cf[1:] * cf[:-1]).sum() / (cf * cf).sum())
+    assert abs(mine / 1e6 - ref) < 2e-6

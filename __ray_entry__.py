@@ -995,6 +995,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_token_stats": IMG.q_caption_token_stats,
         "caption_dup_groups": IMG.q_caption_dup_groups,
         "phash_bit_balance": IMG.q_phash_bit_balance,
+        "image_otsu_hist": IMG.q_image_otsu_hist,
+        "image_rle_ratio_hist": IMG.q_image_rle_ratio_hist,
+        "image_euler_hist": IMG.q_image_euler_hist,
     }
 
 
@@ -1055,6 +1058,13 @@ _CRAWL_ORACLE_SQL = {
     # every pair at hamming ≤ 3) — both in tools/make_goldens_r3.py
     "image_gradient_energy_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_gradient_energy_hist.parquet')",
     "image_dhash_near_dup": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dhash_near_dup.parquet')",
+    # Otsu: within-class Fraction argmin golden vs the engine's between-class
+    # integer argmax; RLE: itertools.groupby row encoder vs vectorized
+    # transitions; Euler: flood-fill components−holes vs the 2×2 quad-count
+    # formula — all in tools/make_goldens_r5.py
+    "image_otsu_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_otsu_hist.parquet')",
+    "image_rle_ratio_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_rle_ratio_hist.parquet')",
+    "image_euler_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_euler_hist.parquet')",
     # channel cast: per-channel bincount-factorization golden
     "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
     # encoded-bytes + decoded-pixels totals vs the corpus's STORED

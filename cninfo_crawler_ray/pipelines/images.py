@@ -412,3 +412,141 @@ def q_image_dhash_near_dup(sf_dir: str, bands: int = 4, max_hamming: int = 2):
         out = pd.DataFrame({"image_a": pd.Series([], dtype=object),
                             "image_b": pd.Series([], dtype=object)})
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch: Otsu threshold, RLE compressibility, Euler number
+# ---------------------------------------------------------------------------
+
+def _luma_gray(px: "np.ndarray") -> "np.ndarray":
+    """Integer Rec.709 gray 0..255: (2126R + 7152G + 722B) // 10000 — the
+    same 1e4-scaled weights every other luma featurizer here uses."""
+    p = px.astype(np.int64)
+    return (2126 * p[:, :, 0] + 7152 * p[:, :, 1] + 722 * p[:, :, 2]) // 10000
+
+
+def otsu_threshold(hist: "np.ndarray") -> int:
+    """Exact-integer Otsu: argmax_t of the between-class variance
+    (S0·N − S·w0)² / (w0·(N−w0)) over t = 0..254, ties to the SMALLEST t.
+    The comparison is done by cross-multiplication in Python ints (the
+    squared numerator overflows int64 at 128² images), so the argmax is
+    bit-exact — no float plateau ambiguity. The golden recomputes the same
+    argmax by MINIMIZING the within-class variance with Fraction arithmetic
+    (σ_total² = σ_w² + σ_b² — equivalent extremum, disjoint code path)."""
+    n = int(hist.sum())
+    idx = np.arange(256, dtype=np.int64)
+    w0s = np.cumsum(hist)
+    s0s = np.cumsum(idx * hist)
+    s = int(s0s[-1])
+    best_t, best_num, best_den = 0, -1, 1
+    for t in range(255):
+        w0 = int(w0s[t])
+        if w0 == 0 or w0 == n:
+            continue
+        num = (int(s0s[t]) * n - s * w0) ** 2
+        den = w0 * (n - w0)
+        # strict > keeps the first (smallest) t among exact ties
+        if num * best_den > best_num * den:
+            best_t, best_num, best_den = t, num, den
+    return best_t
+
+
+def q_image_otsu_hist(sf_dir: str):
+    """Histogram of per-image Otsu binarization thresholds over the
+    validated frontier — the exposure-segmentation profile a curation pass
+    uses to spot bimodal (text/diagram) vs flat (photo/noise) crawl images.
+    Per-image kernel: one vectorized bincount + a 256-step exact-integer
+    argmax (see otsu_threshold). Fused fetch+decode+featurize actors;
+    O(256) aggregate rows leave each batch."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        hist = np.bincount(_luma_gray(px).ravel(), minlength=256)
+        return [{"otsu_t": otsu_threshold(hist), "n": 1}]
+
+    schema = pa.schema([("otsu_t", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["otsu_t"], [Sum("n", alias_name="n")])
+
+
+def q_image_rle_ratio_hist(sf_dir: str):
+    """Run-length compressibility profile: per image, binarize gray at 128,
+    count horizontal runs (rows + within-row transitions, vectorized
+    neighbor-diff), and bucket runs·1000 // pixels by 25‰ — low buckets =
+    flat/synthetic images, high = dithered/noisy. The golden recomputes the
+    run count with a pure-Python itertools.groupby row RLE — a calendar-walk
+    style independent path that agrees only if the vectorized transition
+    algebra is right."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        b = _luma_gray(px) >= 128
+        h, w = b.shape
+        runs = h + int((b[:, 1:] != b[:, :-1]).sum())
+        return [{"bucket": (runs * 1000) // (h * w) // 25, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def euler4_quads(b: "np.ndarray") -> int:
+    """4-connectivity Euler number (components − 8-connected holes) by
+    Pratt/Gray 2×2 quad counting over the zero-padded binary image:
+    E₄ = (n(Q1) − n(Q3) + 2·n(QD)) / 4. One padded window pass, exact
+    int64 — no labeling, no iteration. The golden computes the SAME number
+    by explicit flood fill (count 4-connected foreground components, count
+    8-connected interior background regions, subtract) — topologically
+    equivalent, algorithmically disjoint."""
+    p = np.pad(b.astype(np.int8), 1)
+    s = p[:-1, :-1] + p[:-1, 1:] + p[1:, :-1] + p[1:, 1:]
+    q1 = int((s == 1).sum())
+    q3 = int((s == 3).sum())
+    qd = int(((s == 2) & (p[:-1, :-1] == p[1:, 1:])).sum())
+    return (q1 - q3 + 2 * qd) // 4
+
+
+def q_image_euler_hist(sf_dir: str):
+    """Histogram of per-image Euler numbers of the gray≥128 foreground —
+    the topology fingerprint (blobs minus holes) that separates text-like
+    crawl images (many components) from photographs (few large regions).
+    Vectorized quad-count kernel per image (see euler4_quads); fused
+    fetch+decode+featurize actors; O(distinct euler values) aggregate."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        return [{"euler": euler4_quads(_luma_gray(px) >= 128), "n": 1}]
+
+    schema = pa.schema([("euler", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["euler"], [Sum("n", alias_name="n")])

@@ -160,3 +160,65 @@ def test_simhash_matches_per_row_bit_votes(texts):
         if val >= 1 << 63:
             val -= 1 << 64
         assert g == val
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch-3 kernels: Otsu, RLE, Euler
+# ---------------------------------------------------------------------------
+
+def test_otsu_bimodal_and_ties():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import otsu_threshold
+
+    # clean bimodal mass at 10 and 200 -> threshold lands between the modes
+    h = np.zeros(256, dtype=np.int64)
+    h[10], h[200] = 50, 50
+    t = otsu_threshold(h)
+    assert 10 <= t < 200
+    # all-one-level image: every split has w0==0 or w0==n except none valid
+    h2 = np.zeros(256, dtype=np.int64)
+    h2[128] = 77
+    assert otsu_threshold(h2) == 0  # degenerate: keeps initial t=0
+    # symmetric histogram: the argmax tie must resolve to the SMALLEST t
+    h3 = np.zeros(256, dtype=np.int64)
+    h3[0], h3[255] = 10, 10
+    t3 = otsu_threshold(h3)
+    # every t in 0..254 separates the two spikes identically; smallest wins
+    assert t3 == 0
+
+
+def test_euler_quads_known_topologies():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import euler4_quads
+
+    # solid square: 1 component, 0 holes
+    b = np.zeros((8, 8), dtype=bool)
+    b[2:6, 2:6] = True
+    assert euler4_quads(b) == 1
+    # ring (donut): 1 component, 1 hole -> 0
+    b2 = b.copy()
+    b2[3:5, 3:5] = False
+    assert euler4_quads(b2) == 0
+    # two separate dots: 2
+    b3 = np.zeros((8, 8), dtype=bool)
+    b3[1, 1] = b3[5, 5] = True
+    assert euler4_quads(b3) == 2
+    # diagonal pair: 4-connectivity sees TWO components
+    b4 = np.zeros((4, 4), dtype=bool)
+    b4[1, 1] = b4[2, 2] = True
+    assert euler4_quads(b4) == 2
+    # empty / full
+    assert euler4_quads(np.zeros((5, 5), dtype=bool)) == 0
+    assert euler4_quads(np.ones((5, 5), dtype=bool)) == 1
+
+
+def test_rle_transition_count_matches_groupby():
+    import itertools
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        b = rng.random((rng.integers(2, 30), rng.integers(2, 30))) < 0.5
+        runs_vec = b.shape[0] + int((b[:, 1:] != b[:, :-1]).sum())
+        runs_py = sum(len(list(itertools.groupby(r))) for r in b.tolist())
+        assert runs_vec == runs_py

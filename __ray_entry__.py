@@ -998,6 +998,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_otsu_hist": IMG.q_image_otsu_hist,
         "image_rle_ratio_hist": IMG.q_image_rle_ratio_hist,
         "image_euler_hist": IMG.q_image_euler_hist,
+        "image_colorfulness_hist": IMG.q_image_colorfulness_hist,
+        "image_centroid_offset_hist": IMG.q_image_centroid_offset_hist,
+        "image_glcm_contrast_hist": IMG.q_image_glcm_contrast_hist,
     }
 
 
@@ -1065,6 +1068,13 @@ _CRAWL_ORACLE_SQL = {
     "image_otsu_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_otsu_hist.parquet')",
     "image_rle_ratio_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_rle_ratio_hist.parquet')",
     "image_euler_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_euler_hist.parquet')",
+    # colorfulness: per-value histogram-moment golden vs direct pixel sums;
+    # centroid offset: row/col marginal decomposition vs full-2-D weighted
+    # sum; GLCM contrast: Σ(a−b)² factorization vs the actual 8×8
+    # co-occurrence matrix — all in tools/make_goldens_r6.py
+    "image_colorfulness_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_colorfulness_hist.parquet')",
+    "image_centroid_offset_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_centroid_offset_hist.parquet')",
+    "image_glcm_contrast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_glcm_contrast_hist.parquet')",
     # channel cast: per-channel bincount-factorization golden
     "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
     # encoded-bytes + decoded-pixels totals vs the corpus's STORED

@@ -550,3 +550,140 @@ def q_image_euler_hist(sf_dir: str):
         concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
     )
     return grouped_aggregate_auto(parts, ["euler"], [Sum("n", alias_name="n")])
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 4: colorfulness, centroid offset, GLCM contrast
+# ---------------------------------------------------------------------------
+
+def colorfulness_var_num(px: "np.ndarray") -> tuple[int, int]:
+    """Exact-integer colorfulness core (Hasler–Süsstrunk opponent channels,
+    variance-only form): rg = R−G, yb = R+G−2B; returns
+    (n·Σrg² − (Σrg)²) + (n·Σyb² − (Σyb)²) and n. The numerator is n² × the
+    summed opponent-channel variance — all int64-safe at 128×128 (≤ ~4e14).
+    Engine path: direct vectorized pixel sums. Golden path
+    (tools/make_goldens_r6.py): the SAME numerator from per-VALUE histograms
+    (bincount moments in Python ints) — disjoint accumulation order."""
+    p = px.astype(np.int64)
+    rg = p[:, :, 0] - p[:, :, 1]
+    yb = p[:, :, 0] + p[:, :, 1] - 2 * p[:, :, 2]
+    n = rg.size
+    num = (n * int((rg * rg).sum()) - int(rg.sum()) ** 2) \
+        + (n * int((yb * yb).sum()) - int(yb.sum()) ** 2)
+    return num, n
+
+
+def q_image_colorfulness_hist(sf_dir: str):
+    """Histogram of per-image colorfulness (summed opponent-channel variance
+    in exact integer units, var_num // n², bucketed by 500) over the
+    validated frontier — the grayscale/duotone detector a vision curation
+    pass uses to drop scanned-document and synthetic-chart crawl images.
+    Fused fetch+decode+featurize actors; O(buckets) rows leave each batch."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        num, n = colorfulness_var_num(px)
+        return [{"bucket": num // (n * n) // 500, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def centroid_offset_pm(luma: "np.ndarray") -> int:
+    """Manhattan luma-centroid displacement from the geometric center, in
+    per-mille of the half-extent per axis (0 = perfectly centered mass,
+    2000 = all mass in one corner): for each axis,
+    1000·|2·Σ(luma·coord) − m·(extent−1)| // (m·(extent−1)) with m = Σluma.
+    All-integer (the 2× clears the (extent−1)/2 half-pixel). Engine path:
+    one vectorized weighted sum per axis. Golden path: per-COLUMN /
+    per-ROW marginal sums combined in Python ints — disjoint decomposition
+    of the same moment."""
+    h, w = luma.shape
+    m = int(luma.sum())
+    if m == 0 or w < 2 or h < 2:
+        return 0
+    sx = int((luma * np.arange(w, dtype=np.int64)).sum())
+    sy = int((luma * np.arange(h, dtype=np.int64)[:, None]).sum())
+    x_pm = 1000 * abs(2 * sx - m * (w - 1)) // (m * (w - 1))
+    y_pm = 1000 * abs(2 * sy - m * (h - 1)) // (m * (h - 1))
+    return x_pm + y_pm
+
+
+def q_image_centroid_offset_hist(sf_dir: str):
+    """Histogram of per-image luma-centroid displacement (see
+    centroid_offset_pm, bucketed by 25‰) over the validated frontier — the
+    framing/vignetting profile a curation pass uses to find off-center
+    crops and letterboxed crawl images. Fused actors, O(buckets) out."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        return [{"bucket": centroid_offset_pm(_luma_gray(px)) // 25, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def glcm_contrast_scaled(gray: "np.ndarray") -> int:
+    """GLCM contrast (offset (0,1), 8 gray levels q = gray>>5) scaled to
+    integer per-mille: 1000·Σ_{i,j} G[i,j]·(i−j)² // n_pairs. Engine path:
+    build the ACTUAL 8×8 co-occurrence matrix with one bincount on the
+    fused index 8·q_left + q_right, then dot with the precomputed (i−j)²
+    weight vector. Golden path (tools/make_goldens_r6.py): never builds the
+    matrix — sums (q[r][c]−q[r][c+1])² directly per row in Python ints.
+    Identical exact value, disjoint algorithm family."""
+    q = (gray >> 5).astype(np.int64)
+    left, right = q[:, :-1].ravel(), q[:, 1:].ravel()
+    glcm = np.bincount(8 * left + right, minlength=64)
+    ij = np.arange(64, dtype=np.int64)
+    wgt = (ij // 8 - ij % 8) ** 2
+    n_pairs = left.size
+    return 1000 * int(glcm @ wgt) // n_pairs
+
+
+def q_image_glcm_contrast_hist(sf_dir: str):
+    """Histogram of per-image GLCM contrast (see glcm_contrast_scaled,
+    bucketed by 250 per-mille units) over the validated frontier — the
+    micro-texture profile (smooth gradients vs hard edges) that separates
+    photographic crawl images from line art at a glance. Fused actors,
+    O(buckets) aggregate rows leave each batch."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        return [{"bucket": glcm_contrast_scaled(_luma_gray(px)) // 250,
+                 "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])

@@ -222,3 +222,68 @@ def test_rle_transition_count_matches_groupby():
         runs_vec = b.shape[0] + int((b[:, 1:] != b[:, :-1]).sum())
         runs_py = sum(len(list(itertools.groupby(r))) for r in b.tolist())
         assert runs_vec == runs_py
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch-4 kernels: colorfulness, centroid offset, GLCM contrast
+# ---------------------------------------------------------------------------
+
+def test_colorfulness_var_num_known_values():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import colorfulness_var_num
+
+    # uniform gray: rg == yb == 0 everywhere -> zero variance
+    px = np.full((4, 4, 3), 77, dtype=np.uint8)
+    assert colorfulness_var_num(px) == (0, 16)
+    # half pure red, half pure green: rg = ±255, yb = +255 constant
+    px2 = np.zeros((2, 2, 3), dtype=np.uint8)
+    px2[:, 0, 0] = 255  # red column: rg=255, yb=255
+    px2[:, 1, 1] = 255  # green column: rg=-255, yb=255
+    # rg: n*Σx²−(Σx)² = 4*(4*255²)−0 = 16*255²; yb constant -> 0
+    num, n = colorfulness_var_num(px2)
+    assert n == 4 and num == 16 * 255 * 255
+    # brute-force parity on a random image: n²·var via float check
+    rng = np.random.default_rng(7)
+    px3 = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    num3, n3 = colorfulness_var_num(px3)
+    p = px3.astype(np.int64)
+    rg = (p[:, :, 0] - p[:, :, 1]).ravel()
+    yb = (p[:, :, 0] + p[:, :, 1] - 2 * p[:, :, 2]).ravel()
+    expect = int(round((rg.var() + yb.var()) * n3 * n3))
+    assert num3 == expect
+
+
+def test_centroid_offset_known_values():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import centroid_offset_pm
+
+    # symmetric mass -> perfectly centered -> 0 per-mille on both axes
+    luma = np.zeros((5, 5), dtype=np.int64)
+    luma[2, 2] = 100
+    assert centroid_offset_pm(luma) == 0
+    # all mass in one corner -> 1000 + 1000
+    luma2 = np.zeros((4, 6), dtype=np.int64)
+    luma2[0, 0] = 9
+    assert centroid_offset_pm(luma2) == 2000
+    # all mass in the x-center column, top row -> y axis only
+    luma3 = np.zeros((3, 3), dtype=np.int64)
+    luma3[0, 1] = 5
+    assert centroid_offset_pm(luma3) == 1000
+    # zero mass guard
+    assert centroid_offset_pm(np.zeros((4, 4), dtype=np.int64)) == 0
+
+
+def test_glcm_contrast_known_values():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import glcm_contrast_scaled
+
+    # flat image: all pairs in the same level -> contrast 0
+    assert glcm_contrast_scaled(np.full((4, 4), 200, dtype=np.int64)) == 0
+    # alternating 0/255 columns: every pair jumps 7 levels -> 49 per pair
+    g = np.zeros((2, 4), dtype=np.int64)
+    g[:, 1::2] = 255
+    assert glcm_contrast_scaled(g) == 49_000
+    # half/half split: one transition row-pair among (w-1) pairs
+    g2 = np.zeros((1, 4), dtype=np.int64)
+    g2[0, 2:] = 255  # pairs: (0,0) (0,7) (7,7) -> 49 of 3 pairs
+    assert glcm_contrast_scaled(g2) == 1000 * 49 // 3

@@ -958,6 +958,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "increasing_run_hist": A.q_increasing_run_hist,
         "token_pmi_top": A.q_token_pmi_top,
         "autocorr_daily_orders": A.q_autocorr_daily_orders,
+        "moment3_qty_by_flag": A.q_moment3_qty_by_flag,
+        "price_point_islands": A.q_price_point_islands,
+        "token_first_position": A.q_token_first_position,
+        "locf_gapfill_daily": A.q_locf_gapfill_daily,
+        "partition_balance_audit": A.q_partition_balance_audit,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -6479,6 +6479,209 @@ def q_autocorr_daily_orders(sf_dir: str):
         "autocorr_ppm": pd.Series([(num * 10**6) // den], dtype="int64")})
 
 
+def q_moment3_qty_by_flag(sf_dir: str):
+    """Exact third central moment of l_quantity per return flag, reported as
+    the integer numerator n²·Σ(x−μ)³·n = n²Σx³ − 3nΣxΣx² + 2(Σx)³ (VARCHAR —
+    it exceeds int64 at warehouse scale; the oracle computes the same value
+    in HUGEINT). The distributed shape is the moment-sketch pattern every
+    higher-moment statistic uses at 100 TB: each batch emits one
+    (n, Σx, Σx², Σx³) partial per key, the keyed reduce adds them, and the
+    closed-form combination runs once on O(#flags) rows — no re-scan, no
+    sort, exactly one small shuffle."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        x = df["l_quantity"].astype("int64")
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": 1, "s1": x, "s2": x * x, "s3": x * x * x,
+        }).groupby("l_returnflag", as_index=False).sum()
+        return _pa_from_pandas(g)
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_returnflag"],
+        [Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+         Sum("s2", alias_name="s2"), Sum("s3", alias_name="s3")]).to_pandas()
+    agg = agg.sort_values("l_returnflag").reset_index(drop=True)
+    m3 = [
+        str(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3)
+        for n, s1, s2, s3 in zip(
+            (int(v) for v in agg["n"]), (int(v) for v in agg["s1"]),
+            (int(v) for v in agg["s2"]), (int(v) for v in agg["s3"]))
+    ]
+    return pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n": agg["n"].astype("int64"),
+        "m3_num": pd.Series(m3, dtype="object"),
+    })
+
+
+def q_price_point_islands(sf_dir: str):
+    """Gaps-and-islands over the SET of observed floor-dollar order price
+    points (cents // 100): how many contiguous dollar runs the order book
+    covers, and how many interior dollar points are missing. The islands
+    count never sorts: a point k starts an island iff k−1 is absent, so the
+    engine unions (k → has_self) with (k+1 → has_pred) tagged rows, reduces
+    per point with one keyed shuffle, and counts heads — the shifted
+    semi-join trick that replaces LAG-over-ordered-stream at any scale.
+    Per-batch distinct shrinks the exchange to unique points first."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        pts = np.unique(_cents(t.to_pandas()["o_totalprice"]) // 100)
+        return _pa_from_pandas(pd.DataFrame({
+            "point": np.concatenate([pts, pts + 1]),
+            "has_self": np.concatenate(
+                [np.ones(len(pts), "int64"), np.zeros(len(pts), "int64")]),
+            "has_pred": np.concatenate(
+                [np.zeros(len(pts), "int64"), np.ones(len(pts), "int64")]),
+        }))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(tag, batch_format="pyarrow"), ["point"],
+        [Sum("has_self", alias_name="has_self"),
+         Sum("has_pred", alias_name="has_pred")])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        real = df[df["has_self"] > 0]
+        if not len(real):
+            return pd.DataFrame({"n_points": pd.Series([], dtype="int64"),
+                                 "n_islands": pd.Series([], dtype="int64"),
+                                 "min_point": pd.Series([], dtype="int64"),
+                                 "max_point": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "n_points": pd.Series([len(real)], dtype="int64"),
+            "n_islands": pd.Series(
+                [int((real["has_pred"] == 0).sum())], dtype="int64"),
+            "min_point": pd.Series([int(real["point"].min())], dtype="int64"),
+            "max_point": pd.Series([int(real["point"].max())], dtype="int64"),
+        })
+
+    parts = agg.map_batches(fold, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_points": pd.Series([int(parts["n_points"].sum())], dtype="int64"),
+        "n_islands": pd.Series([int(parts["n_islands"].sum())], dtype="int64"),
+        "n_missing": pd.Series(
+            [int(parts["max_point"].max() - parts["min_point"].min() + 1
+                 - parts["n_points"].sum())], dtype="int64"),
+        "min_point": pd.Series([int(parts["min_point"].min())], dtype="int64"),
+        "max_point": pd.Series([int(parts["max_point"].max())], dtype="int64"),
+    })
+
+
+def q_token_first_position(sf_dir: str):
+    """Histogram of the 1-based token index where 'the' first appears in
+    each document (split on single spaces, empty tokens counted — DuckDB
+    ``list_position(string_split(text,' '),'the')`` semantics), bucketed by
+    10; −1 collects documents without the token. The kernel is fully
+    vectorized despite the variable-length prefix: replace the FIRST
+    `` the `` occurrence with a sentinel, take the pre-sentinel prefix, and
+    count its spaces — three pandas str kernels, no per-row Python."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pos_hist(t: pa.Table) -> pa.Table:
+        s = " " + t.to_pandas()["text"].astype(str) + " "
+        found = s.str.contains(" the ", regex=False)
+        pre = s.str.replace(" the ", "\x00", n=1, regex=False) \
+            .str.split("\x00").str[0]
+        p = np.where(found, pre.str.count(" ").to_numpy() + 1, 0)
+        bucket = np.where(p == 0, -1, p // 10)
+        g = pd.DataFrame({"bucket": bucket.astype("int64")}) \
+            .groupby("bucket", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "bucket": g["bucket"], "n": g["size"].astype("int64")}))
+
+    return B.grouped_aggregate_auto(
+        ds.map_batches(pos_hist, batch_format="pyarrow"), ["bucket"],
+        [Sum("n", alias_name="n")])
+
+
+def q_locf_gapfill_daily(sf_dir: str):
+    """Dense daily spine over [min, max] order date with the urgent-order
+    count per day and the last-observation-carried-forward maximum urgent
+    order value (cents): the gap-fill + LOCF imputation shape every
+    time-series feature store needs. Distributed work is one keyed day
+    reduce over the URGENT subset plus a global min/max over all orders;
+    the spine + carry-forward runs on the O(n_days) aggregate — vectorized
+    np.maximum.accumulate indexing, no recurrence loop."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["o_orderdate"].values.astype("datetime64[D]").astype("int64")
+        urgent = df["o_orderpriority"].to_numpy() == "1-URGENT"
+        g = pd.DataFrame({
+            "day": day[urgent],
+            "n": 1,
+            "mx": _cents(df["o_totalprice"][urgent]),
+        }).groupby("day", as_index=False).agg(n=("n", "sum"), mx=("mx", "max"))
+        g["lo"] = day.min()
+        g["hi"] = day.max()
+        if not len(g):  # batch with no urgent rows still reports its bounds
+            g = pd.DataFrame({"day": [day.min()], "n": [0],
+                              "mx": [-1], "lo": [day.min()],
+                              "hi": [day.max()]})
+        return _pa_from_pandas(g.astype("int64"))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), ["day"],
+        [Sum("n", alias_name="n"), Max("mx", alias_name="mx"),
+         Min("lo", alias_name="lo"), Max("hi", alias_name="hi")]).to_pandas()
+    lo, hi = int(agg["lo"].min()), int(agg["hi"].max())
+    days = np.arange(lo, hi + 1, dtype="int64")
+    n = np.zeros(len(days), dtype="int64")
+    mx = np.full(len(days), -1, dtype="int64")
+    observed = agg[agg["n"] > 0]
+    idx = observed["day"].to_numpy() - lo
+    n[idx] = observed["n"].to_numpy()
+    mx[idx] = observed["mx"].to_numpy()
+    # LOCF: index of the latest observed day at-or-before each spine day
+    carry = np.maximum.accumulate(
+        np.where(mx >= 0, np.arange(len(days)), -1))
+    locf = np.where(carry >= 0, mx[np.maximum(carry, 0)], 0)
+    return pd.DataFrame({
+        "day": pd.Series(days.astype("datetime64[D]")).dt.strftime("%Y-%m-%d"),
+        "n_urgent": n,
+        "locf_cents": locf.astype("int64"),
+    })
+
+
+def q_partition_balance_audit(sf_dir: str):
+    """Range-partitioning balance audit: split order price cents into 32
+    equi-width integer ranges between the global min and max, and report
+    per-range row count and share in basis points — the skew report a
+    planner consults before choosing range-shuffle boundaries. Two passes:
+    a global (min, max, count) reduce, then the bucket histogram with the
+    bounds broadcast into the second map — never a sort, never a sample."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    bounds = ds.aggregate(Min("o_totalprice", alias_name="lo"),
+                          Max("o_totalprice", alias_name="hi"),
+                          Count(alias_name="tot"))
+    # exact integer bounds: replicate _cents on the min/max scalars
+    lo = int(np.floor(bounds["lo"] * 100 + 0.5))
+    hi = int(np.floor(bounds["hi"] * 100 + 0.5))
+    tot = int(bounds["tot"])
+    span = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = _cents(t.to_pandas()["o_totalprice"])
+        b = np.minimum((c - lo) * 32 // span, 31)
+        g = pd.DataFrame({"bucket": b.astype("int64")}) \
+            .groupby("bucket", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "bucket": g["bucket"], "n": g["size"].astype("int64")}))
+
+    out = B.grouped_aggregate_auto(
+        ds.map_batches(hist, batch_format="pyarrow"), ["bucket"],
+        [Sum("n", alias_name="n")]).to_pandas()
+    out["share_bps"] = (out["n"] * 10000 // tot).astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -8193,5 +8396,84 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                      - (((num.v*1000000 % den.v) + den.v) % den.v))
                     // den.v AS BIGINT) AS autocorr_ppm
         FROM num CROSS JOIN den
+    """,
+    # exact third-central-moment numerator in HUGEINT; VARCHAR so both
+    # sides stringify identically beyond int64
+    "moment3_qty_by_flag": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(COUNT(*) AS HUGEINT) * COUNT(*)
+                        * SUM(CAST(l_quantity AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)
+                              * CAST(l_quantity AS BIGINT))
+                    - 3 * CAST(COUNT(*) AS HUGEINT)
+                        * SUM(CAST(l_quantity AS BIGINT))
+                        * SUM(CAST(l_quantity AS BIGINT)
+                              * CAST(l_quantity AS BIGINT))
+                    + 2 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                        * SUM(CAST(l_quantity AS BIGINT))
+                        * SUM(CAST(l_quantity AS BIGINT))
+                    AS VARCHAR) AS m3_num
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # islands via LEFT JOIN on the shifted key — the LAG-free formulation
+    # the engine's tagged-union reduce mirrors
+    "price_point_islands": """
+        WITH k AS (SELECT DISTINCT
+                          CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) // 100
+                              AS kk
+                   FROM orders)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN b.kk IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_islands,
+               CAST(MAX(a.kk) - MIN(a.kk) + 1 - COUNT(*)
+                    AS BIGINT) AS n_missing,
+               CAST(MIN(a.kk) AS BIGINT) AS min_point,
+               CAST(MAX(a.kk) AS BIGINT) AS max_point
+        FROM k a LEFT JOIN k b ON b.kk = a.kk - 1
+    """,
+    "token_first_position": """
+        SELECT CAST(CASE WHEN p = 0 THEN -1 ELSE p // 10 END
+                    AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT COALESCE(list_position(string_split(text, ' '), 'the'),
+                              0) AS p
+              FROM documents)
+        GROUP BY 1
+    """,
+    "locf_gapfill_daily": """
+        WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                               CAST(MAX(o_orderdate) AS DATE) AS hi
+                        FROM orders),
+        spine AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+                                                     INTERVAL 1 DAY))
+                              AS DATE) AS d
+                  FROM bounds),
+        urgent AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          MAX(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS mx
+                   FROM orders WHERE o_orderpriority = '1-URGENT'
+                   GROUP BY 1)
+        SELECT strftime(s.d, '%Y-%m-%d') AS day,
+               COALESCE(u.n, 0) AS n_urgent,
+               COALESCE(LAST_VALUE(u.mx IGNORE NULLS)
+                            OVER (ORDER BY s.d ROWS UNBOUNDED PRECEDING),
+                        0) AS locf_cents
+        FROM spine s LEFT JOIN urgent u ON u.d = s.d
+    """,
+    "partition_balance_audit": """
+        WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                          AS cents
+                   FROM orders),
+        b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+                     COUNT(*) AS tot
+              FROM c)
+        SELECT CAST(LEAST((cents - lo) * 32 // (hi - lo + 1), 31)
+                    AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) * 10000 // MAX(tot) AS BIGINT) AS share_bps
+        FROM c CROSS JOIN b
+        GROUP BY 1
     """,
 }

@@ -569,3 +569,67 @@ def test_autocorr_integer_form_matches_float_formula():
     cf = xf - xf.mean()
     ref = float((cf[1:] * cf[:-1]).sum() / (cf * cf).sum())
     assert abs(mine / 1e6 - ref) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch: moments, islands, token position, LOCF, partition audit
+# ---------------------------------------------------------------------------
+
+def test_moment3_closed_form_matches_scipy_style_float():
+    """n²Σx³ − 3nΣxΣx² + 2(Σx)³ must equal n³·m3 (float check within ulp)."""
+    rng = np.random.default_rng(11)
+    x = rng.integers(1, 51, size=500).tolist()
+    n = len(x)
+    s1, s2, s3 = sum(x), sum(v * v for v in x), sum(v ** 3 for v in x)
+    num = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+    xf = np.asarray(x, dtype=np.float64)
+    m3 = float(((xf - xf.mean()) ** 3).mean())
+    assert abs(num / n ** 3 - m3) < 1e-6 * max(1.0, abs(m3))
+
+
+def test_islands_tagged_union_hand_case():
+    """Points {3,4,5, 9, 12,13}: 3 islands, span 11, 5 missing."""
+    pts = np.array([3, 4, 5, 9, 12, 13], dtype=np.int64)
+    present = set(pts.tolist())
+    islands = sum(1 for p in present if p - 1 not in present)
+    assert islands == 3
+    assert int(pts.max() - pts.min() + 1 - len(present)) == 5
+
+
+def test_token_first_position_sentinel_kernel():
+    """The replace-first/split/count-spaces kernel must equal DuckDB
+    list_position(string_split(text,' '),'the') on tricky layouts."""
+    import duckdb
+    texts = ["the cat", "a the b", "a  the b", "nothing here", "thethe x",
+             "x the the y", "", "the", "a b c the"]
+    s = pd.Series(texts)
+    padded = " " + s.astype(str) + " "
+    found = padded.str.contains(" the ", regex=False)
+    pre = padded.str.replace(" the ", "\x00", n=1, regex=False) \
+        .str.split("\x00").str[0]
+    p = np.where(found, pre.str.count(" ").to_numpy() + 1, 0)
+    expect = [duckdb.sql(
+        "SELECT COALESCE(list_position(string_split(?, ' '), 'the'), 0)",
+        params=[t]).fetchone()[0] for t in texts]
+    assert p.tolist() == expect
+
+
+def test_locf_vectorized_carry_forward():
+    """np.maximum.accumulate carry must equal the scalar LOCF recurrence."""
+    mx = np.array([-1, -1, 5, -1, -1, 7, -1], dtype=np.int64)
+    carry = np.maximum.accumulate(np.where(mx >= 0, np.arange(len(mx)), -1))
+    locf = np.where(carry >= 0, mx[np.maximum(carry, 0)], 0)
+    assert locf.tolist() == [0, 0, 5, 5, 5, 7, 7]
+
+
+def test_partition_balance_bucket_edges():
+    """Integer equi-width bucketing: min lands in 0, max in 31, and the
+    bucket function is monotone with no value escaping [0, 31]."""
+    lo, hi = 1000, 99999
+    span = hi - lo + 1
+    c = np.array([lo, lo + 1, (lo + hi) // 2, hi - 1, hi], dtype=np.int64)
+    b = np.minimum((c - lo) * 32 // span, 31)
+    assert b[0] == 0 and b[-1] == 31
+    assert (np.diff(b) >= 0).all()
+    # degenerate one-point domain: everything in bucket 0
+    assert int(np.minimum((np.int64(5) - 5) * 32 // 1, 31)) == 0

@@ -963,6 +963,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_first_position": A.q_token_first_position,
         "locf_gapfill_daily": A.q_locf_gapfill_daily,
         "partition_balance_audit": A.q_partition_balance_audit,
+        "kmv_distinct_users": A.q_kmv_distinct_users,
+        "loo_target_encoding": A.q_loo_target_encoding,
+        "integrity_audit": A.q_integrity_audit,
+        "iso_week_revenue": A.q_iso_week_revenue,
+        "bag_except_partkeys": A.q_bag_except_partkeys,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -6682,6 +6682,214 @@ def q_partition_balance_audit(sf_dir: str):
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def q_kmv_distinct_users(sf_dir: str, k: int = 64):
+    """K-minimum-values distinct sketch over event users, fully
+    oracle-exact: h(u) = (u·2654435761) mod 2³² (odd multiplier — injective
+    below 2³², so distinct users ↔ distinct hashes) and the estimate is
+    (k−1)·2³² // h₍ₖ₎ with h₍ₖ₎ the k-th smallest distinct hash. The
+    distributed shape is the canonical mergeable-sketch reduce: every batch
+    emits its ≤k smallest distinct hashes (O(k) rows, never the users), the
+    driver merges the tiny partials, and the SQL oracle reproduces the SAME
+    integer estimate with ORDER BY hash LIMIT k — no approximation gap to
+    explain away. Falls back to the exact count below k distinct."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.to_pandas()["user_id"].to_numpy(dtype="int64")
+        h = np.unique((u.astype(np.uint64) * np.uint64(2654435761))
+                      & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return _pa_from_pandas(pd.DataFrame({"hh": h[:k]}))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hs = np.unique(parts["hh"].to_numpy())
+    if len(hs) < k:
+        kth, est = int(hs[-1]) if len(hs) else 0, len(hs)
+    else:
+        kth = int(hs[k - 1])
+        est = (k - 1) * (1 << 32) // kth
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "kth_hash": pd.Series([kth], dtype="int64"),
+        "est_distinct": pd.Series([est], dtype="int64"),
+    })
+
+
+def q_loo_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding of order priority by order value: for
+    every order, ⌊1000·(S_g − cᵢ)/(n_g − 1)⌋ milli-cents where S_g/n_g are
+    its priority group's total and count — the leakage-free categorical
+    feature a tabular-ML pipeline derives before training. Shape: one
+    O(#groups) aggregate broadcast into a stateless vectorized map — the
+    encode pass itself never shuffles, so it streams at input bandwidth.
+    int64-safe to ~sf100 (numerator ≤ 1000·ΣcentsPerGroup)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                          "s": _cents(df["o_totalprice"]), "n": 1}) \
+            .groupby("o_orderpriority", as_index=False).sum()
+        return _pa_from_pandas(g)
+
+    groups = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_orderpriority"],
+        [Sum("s", alias_name="s"), Sum("n", alias_name="n")]).to_pandas()
+    s_by = dict(zip(groups["o_orderpriority"], groups["s"].astype("int64")))
+    n_by = dict(zip(groups["o_orderpriority"], groups["n"].astype("int64")))
+
+    def encode(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        c = _cents(df["o_totalprice"])
+        s = df["o_orderpriority"].map(s_by).to_numpy(dtype="int64")
+        n = df["o_orderpriority"].map(n_by).to_numpy(dtype="int64")
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "loo_milli": (1000 * (s - c)) // (n - 1),
+        }))
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def q_integrity_audit(sf_dir: str):
+    """Referential/constraint audit as one (check_name, n_bad) report — the
+    pre-ingest data-quality gate: lineitem rows whose order is missing,
+    lineitems shipped before their order date, negative extended prices,
+    orders whose customer is missing, duplicate order keys, and null
+    document texts. Join checks ride the adaptive attach (broadcast under
+    the row limit, bucketed shuffle above), so orphan counts are
+    total − matched with no driver-side key set; the duplicate check is a
+    keyed count reduce (Σcnt − #keys)."""
+    from ..functions.bucketed import attach
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                      "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def li_base(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "one": [1], "n": [len(df)],
+            "neg": [int((df["l_extendedprice"].to_numpy() < 0).sum())]}))
+
+    li_tot = B.grouped_aggregate_auto(
+        li.map_batches(li_base, batch_format="pyarrow"),
+        ["one"], [Sum("n", alias_name="n"), Sum("neg", alias_name="neg")]) \
+        .to_pandas()
+    n_li, n_neg = int(li_tot["n"][0]), int(li_tot["neg"][0])
+
+    joined = attach(li, "l_orderkey", orders, "o_orderkey", "o_orderdate",
+                    "o_date")
+
+    def ship_check(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ship = df["l_shipdate"].values.astype("datetime64[D]").astype("int64")
+        odate = df["o_date"].values.astype("datetime64[D]").astype("int64")
+        return _pa_from_pandas(pd.DataFrame({
+            "one": [1], "m": [len(df)],
+            "viol": [int((ship < odate).sum())]}))
+
+    j = B.grouped_aggregate_auto(
+        joined.map_batches(ship_check, batch_format="pyarrow"), ["one"],
+        [Sum("m", alias_name="m"), Sum("viol", alias_name="viol")]) \
+        .to_pandas()
+    n_matched, n_viol = int(j["m"][0]), int(j["viol"][0])
+
+    o_matched = attach(orders, "o_custkey", cust, "c_custkey", "c_nationkey",
+                       "ck")
+    n_orders = orders.count()
+    n_o_matched = o_matched.count()
+
+    def keycnt(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("o_orderkey", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "cnt": g["size"].astype("int64")}))
+
+    keys = B.grouped_aggregate_auto(
+        orders.select_columns(["o_orderkey"]).map_batches(
+            keycnt, batch_format="pyarrow"),
+        ["o_orderkey"], [Sum("cnt", alias_name="cnt")])
+    n_keys = keys.count()
+
+    def null_cnt(t: pa.Table) -> pa.Table:
+        return _pa_from_pandas(pd.DataFrame({
+            "one": [1], "c": [int(t.column("text").null_count)]}))
+
+    n_null_text = int(B.grouped_aggregate_auto(
+        docs.map_batches(null_cnt, batch_format="pyarrow"), ["one"],
+        [Sum("c", alias_name="c")]).to_pandas()["c"][0])
+
+    return pd.DataFrame({
+        "check_name": ["dup_orderkeys", "lineitem_orphans", "negative_price",
+                       "null_text_docs", "orders_orphan_cust",
+                       "ship_before_order"],
+        "n_bad": pd.Series([n_orders - n_keys, n_li - n_matched, n_neg,
+                            n_null_text, n_orders - n_o_matched, n_viol],
+                           dtype="int64"),
+    })
+
+
+def q_iso_week_revenue(sf_dir: str):
+    """Order revenue (cents) and order count per ISO-8601 (year, week) —
+    the calendar rollup where both sides must agree on the ISO year
+    boundary rule (Jan 1 can belong to week 52/53 of the PREVIOUS iso
+    year): pandas isocalendar() vs DuckDB isoyear()/week(). One partial
+    aggregate per batch, one small keyed reduce."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        iso = df["o_orderdate"].dt.isocalendar()
+        g = pd.DataFrame({
+            "iso_year": iso["year"].astype("int64"),
+            "iso_week": iso["week"].astype("int64"),
+            "cents": _cents(df["o_totalprice"]),
+            "n": 1,
+        }).groupby(["iso_year", "iso_week"], as_index=False).sum()
+        return _pa_from_pandas(g)
+
+    return B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["iso_year", "iso_week"],
+        [Sum("cents", alias_name="cents"), Sum("n", alias_name="n")])
+
+
+def q_bag_except_partkeys(sf_dir: str):
+    """Multiset EXCEPT ALL: part keys with MORE 1997 shipments than 1998
+    ones, and the excess multiplicity — the bag-semantics set operation
+    (EXCEPT ALL keeps max(a−b, 0) copies) that dedup-based set ops can't
+    express. One conditional partial per batch, one keyed reduce, then a
+    stateless filter — the excess never materializes row copies."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        yr = df["l_shipdate"].dt.year
+        m = yr.isin((1997, 1998))
+        g = pd.DataFrame({
+            "l_partkey": df["l_partkey"][m],
+            "c97": (yr[m] == 1997).astype("int64"),
+            "c98": (yr[m] == 1998).astype("int64"),
+        }).groupby("l_partkey", as_index=False).sum()
+        return _pa_from_pandas(g)
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_partkey"],
+        [Sum("c97", alias_name="c97"), Sum("c98", alias_name="c98")])
+
+    def excess(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["c97"] > df["c98"]]
+        return pd.DataFrame({
+            "l_partkey": keep["l_partkey"].astype("int64"),
+            "excess": (keep["c97"] - keep["c98"]).astype("int64")})
+
+    return agg.map_batches(excess, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -8475,5 +8683,75 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) * 10000 // MAX(tot) AS BIGINT) AS share_bps
         FROM c CROSS JOIN b
         GROUP BY 1
+    """,
+    # KMV sketch: ORDER BY hash LIMIT k reproduces the engine's mergeable
+    # k-smallest reduce exactly (odd Knuth multiplier is injective < 2^32)
+    "kmv_distinct_users": """
+        WITH h AS (SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS hh
+                   FROM events),
+        k AS (SELECT hh FROM h ORDER BY hh LIMIT 64),
+        nd AS (SELECT COUNT(*) AS n FROM h)
+        SELECT CAST(64 AS BIGINT) AS k,
+               CAST(MAX(hh) AS BIGINT) AS kth_hash,
+               CAST(CASE WHEN (SELECT n FROM nd) < 64 THEN (SELECT n FROM nd)
+                         ELSE 63 * 4294967296 // MAX(hh) END
+                    AS BIGINT) AS est_distinct
+        FROM k
+    """,
+    "loo_target_encoding": """
+        WITH g AS (SELECT o_orderpriority,
+                          SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS s,
+                          COUNT(*) AS n
+                   FROM orders GROUP BY 1)
+        SELECT o_orderkey,
+               CAST((1000 * (g.s - CAST(FLOOR(o_totalprice*100 + 0.5)
+                                        AS BIGINT))) // (g.n - 1)
+                    AS BIGINT) AS loo_milli
+        FROM orders JOIN g USING (o_orderpriority)
+    """,
+    "integrity_audit": """
+        SELECT * FROM (
+            SELECT 'dup_orderkeys' AS check_name,
+                   CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_bad
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_orphans', CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l LEFT JOIN orders o ON l_orderkey = o_orderkey
+            WHERE o_orderkey IS NULL
+            UNION ALL
+            SELECT 'negative_price', CAST(COUNT(*) AS BIGINT)
+            FROM lineitem WHERE l_extendedprice < 0
+            UNION ALL
+            SELECT 'null_text_docs', CAST(COUNT(*) AS BIGINT)
+            FROM documents WHERE text IS NULL
+            UNION ALL
+            SELECT 'orders_orphan_cust', CAST(COUNT(*) AS BIGINT)
+            FROM orders o LEFT JOIN customer c ON o_custkey = c_custkey
+            WHERE c_custkey IS NULL
+            UNION ALL
+            SELECT 'ship_before_order', CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+            WHERE l_shipdate < o_orderdate
+        )
+    """,
+    "iso_week_revenue": """
+        SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+               CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    """,
+    "bag_except_partkeys": """
+        WITH c AS (SELECT l_partkey,
+                          COUNT(*) FILTER (year(l_shipdate) = 1997) AS c97,
+                          COUNT(*) FILTER (year(l_shipdate) = 1998) AS c98
+                   FROM lineitem
+                   WHERE year(l_shipdate) IN (1997, 1998)
+                   GROUP BY 1)
+        SELECT l_partkey, CAST(c97 - c98 AS BIGINT) AS excess
+        FROM c WHERE c97 > c98
     """,
 }

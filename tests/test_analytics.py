@@ -633,3 +633,55 @@ def test_partition_balance_bucket_edges():
     assert (np.diff(b) >= 0).all()
     # degenerate one-point domain: everything in bucket 0
     assert int(np.minimum((np.int64(5) - 5) * 32 // 1, 31)) == 0
+
+
+def test_kmv_merge_property_and_exact_fallback():
+    """k-smallest of the union of per-batch k-smallest == k-smallest of the
+    whole set (mergeability), and <k distinct falls back to exact count."""
+    k = 8
+    rng = np.random.default_rng(3)
+    users = rng.integers(0, 500, size=2000)
+    h = ((users.astype(np.uint64) * np.uint64(2654435761))
+         & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    whole = np.unique(h)[:k]
+    batches = np.array_split(h, 7)
+    merged = np.unique(np.concatenate(
+        [np.unique(b)[:k] for b in batches]))[:k]
+    assert whole.tolist() == merged.tolist()
+    # estimate is within 50% of truth for this seed (sanity, not precision)
+    kth = int(whole[k - 1])
+    est = (k - 1) * (1 << 32) // kth
+    truth = len(np.unique(users))
+    assert 0.3 * truth < est < 3 * truth
+
+
+def test_loo_encoding_hand_case():
+    """Group values [10,20,30] cents: LOO milli = 1000·(S−x)/(n−1)."""
+    s, n = 60, 3
+    assert [(1000 * (s - x)) // (n - 1) for x in (10, 20, 30)] \
+        == [25000, 20000, 15000]
+
+
+def test_iso_week_parity_on_year_boundaries():
+    """pandas isocalendar must agree with DuckDB isoyear()/week() on the
+    awkward Jan-1/Dec-31 dates (the whole point of the operator)."""
+    import duckdb
+    dates = ["1995-01-01", "1996-01-01", "1996-12-31", "1998-12-31",
+             "2000-01-03", "2001-01-01"]
+    s = pd.Series(pd.to_datetime(dates))
+    iso = s.dt.isocalendar()
+    for d, y, w in zip(dates, iso["year"], iso["week"]):
+        dy, dw = duckdb.sql(
+            f"SELECT isoyear(DATE '{d}'), week(DATE '{d}')").fetchone()
+        assert (int(y), int(w)) == (dy, dw), d
+
+
+def test_bag_except_multiset_hand_case():
+    """EXCEPT ALL semantics: key kept with max(c97−c98, 0) multiplicity."""
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2, 3],
+                       "y": [97, 97, 98, 98, 98, 97]})
+    g = df.assign(c97=(df.y == 97).astype(int),
+                  c98=(df.y == 98).astype(int)) \
+        .groupby("k", as_index=False)[["c97", "c98"]].sum()
+    keep = g[g.c97 > g.c98]
+    assert dict(zip(keep.k, keep.c97 - keep.c98)) == {1: 1, 3: 1}

@@ -1011,6 +1011,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_colorfulness_hist": IMG.q_image_colorfulness_hist,
         "image_centroid_offset_hist": IMG.q_image_centroid_offset_hist,
         "image_glcm_contrast_hist": IMG.q_image_glcm_contrast_hist,
+        "image_spread_hist": IMG.q_image_spread_hist,
+        "image_palette_size_hist": IMG.q_image_palette_size_hist,
+        "image_blockiness_hist": IMG.q_image_blockiness_hist,
     }
 
 
@@ -1085,6 +1088,13 @@ _CRAWL_ORACLE_SQL = {
     "image_colorfulness_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_colorfulness_hist.parquet')",
     "image_centroid_offset_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_centroid_offset_hist.parquet')",
     "image_glcm_contrast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_glcm_contrast_hist.parquet')",
+    # spread: marginal-decomposition golden vs full-2-D weighted sum;
+    # palette: sort-based distinct vs bincount distinct; blockiness:
+    # reduceat block sums + global-Σx² identity vs reshape two-moment
+    # reduction — all in tools/make_goldens_r7.py
+    "image_spread_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_spread_hist.parquet')",
+    "image_palette_size_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_palette_size_hist.parquet')",
+    "image_blockiness_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_blockiness_hist.parquet')",
     # channel cast: per-channel bincount-factorization golden
     "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
     # encoded-bytes + decoded-pixels totals vs the corpus's STORED

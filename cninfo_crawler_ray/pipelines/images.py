@@ -687,3 +687,136 @@ def q_image_glcm_contrast_hist(sf_dir: str):
         concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
     )
     return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 5: spread (2nd moment), palette size, block variance
+# ---------------------------------------------------------------------------
+
+def spread_pm(luma: "np.ndarray") -> int:
+    """Normalized luma moment of inertia about the geometric center, in
+    per-mille of the corner-pixel maximum: with d²(x,y) = (2x−(w−1))² +
+    (2y−(h−1))² (the 2× clears the half-pixel center), report
+    1000·Σ luma·d² // (m·((w−1)²+(h−1)²)). 0 = all mass centered, 1000 =
+    all mass in the corners — the vignetting/border-art detector that
+    complements the first-moment centroid offset. Engine path: one full-2-D
+    weighted sum over the separable d² grid. Golden path
+    (tools/make_goldens_r7.py): row/column MARGINAL sums dotted with the
+    per-axis squared offsets in Python ints."""
+    h, w = luma.shape
+    m = int(luma.sum())
+    if m == 0 or (w < 2 and h < 2):
+        return 0
+    dx2 = (2 * np.arange(w, dtype=np.int64) - (w - 1)) ** 2
+    dy2 = (2 * np.arange(h, dtype=np.int64) - (h - 1)) ** 2
+    num = int((luma * (dx2[None, :] + dy2[:, None])).sum())
+    # the 2×-scaled corner offset is exactly (w−1, h−1), so the normalizer
+    # needs no extra factor: num ≤ m·dmax with equality at the corners
+    dmax = (w - 1) ** 2 + (h - 1) ** 2
+    return 1000 * num // (m * dmax)
+
+
+def q_image_spread_hist(sf_dir: str):
+    """Histogram of per-image normalized second-moment spread (see
+    spread_pm, bucketed by 25‰) over the validated frontier. Fused
+    fetch+decode+featurize actors; O(buckets) rows leave each batch."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        return [{"bucket": spread_pm(_luma_gray(px)) // 25, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def palette_size(px: "np.ndarray") -> int:
+    """Number of distinct 12-bit quantized colors (each channel >> 4):
+    engine path counts nonzero bins of one 4096-wide bincount on the packed
+    index; the golden counts len(np.unique(packed)) — sort-based vs
+    bin-based distinct, same integer."""
+    p = px.astype(np.int64)
+    packed = ((p[:, :, 0] >> 4) << 8) | ((p[:, :, 1] >> 4) << 4) \
+        | (p[:, :, 2] >> 4)
+    return int((np.bincount(packed.ravel(), minlength=4096) > 0).sum())
+
+
+def q_image_palette_size_hist(sf_dir: str):
+    """Histogram of per-image quantized-palette sizes (12-bit RGB, bucketed
+    by 32 colors) over the validated frontier — the poster/flat-art vs
+    photo separator a dataset-curation pass uses alongside colorfulness.
+    Fused actors, O(buckets) aggregate rows out."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        return [{"bucket": palette_size(px) // 32, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def block_variance_milli(gray: "np.ndarray") -> int:
+    """Mean 8×8-block luma variance in exact milli-units:
+    1000·Σ_b(64·Σx²_b − (Σx_b)²) // (64²·n_blocks), remainder rows/cols
+    cropped. Engine path: reshape to (H/8, 8, W/8, 8) and reduce axes
+    (1, 3) for both moments. Golden path (tools/make_goldens_r7.py):
+    np.add.reduceat block sums of x and the GLOBAL Σx² via the identity
+    Σ_b 64·Σx²_b = 64·ΣX² — a disjoint block-geometry computation that
+    only matches if the reshape tiling is right."""
+    h8, w8 = gray.shape[0] // 8, gray.shape[1] // 8
+    if h8 == 0 or w8 == 0:
+        return 0
+    g = gray[:h8 * 8, :w8 * 8].astype(np.int64)
+    t = g.reshape(h8, 8, w8, 8)
+    s1 = t.sum(axis=(1, 3))
+    s2 = (t * t).sum(axis=(1, 3))
+    num = int((64 * s2 - s1 * s1).sum())
+    return 1000 * num // (4096 * h8 * w8)
+
+
+def q_image_blockiness_hist(sf_dir: str):
+    """Histogram of per-image mean 8×8-block variance (see
+    block_variance_milli, bucketed by 250 milli-units) over the validated
+    frontier — low buckets are flat/synthetic tiles, high are textured
+    photographs; the block-local complement of the global GLCM contrast.
+    Fused actors, O(buckets) aggregate rows out."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        return [{"bucket": block_variance_milli(_luma_gray(px)) // 250,
+                 "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])

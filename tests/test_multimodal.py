@@ -287,3 +287,51 @@ def test_glcm_contrast_known_values():
     g2 = np.zeros((1, 4), dtype=np.int64)
     g2[0, 2:] = 255  # pairs: (0,0) (0,7) (7,7) -> 49 of 3 pairs
     assert glcm_contrast_scaled(g2) == 1000 * 49 // 3
+
+
+def test_spread_pm_known_geometries():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import spread_pm
+
+    # all mass at the exact center of an odd grid -> 0
+    luma = np.zeros((5, 5), dtype=np.int64)
+    luma[2, 2] = 7
+    assert spread_pm(luma) == 0
+    # all mass at one corner -> exactly the normalizer -> 1000
+    luma2 = np.zeros((4, 6), dtype=np.int64)
+    luma2[0, 0] = 3
+    assert spread_pm(luma2) == 1000
+    # uniform mass: spread is strictly between 0 and 1000
+    s = spread_pm(np.ones((8, 8), dtype=np.int64))
+    assert 0 < s < 1000
+    assert spread_pm(np.zeros((4, 4), dtype=np.int64)) == 0
+
+
+def test_palette_size_counts_quantized_colors():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import palette_size
+
+    # one flat color -> 1
+    px = np.full((4, 4, 3), 200, dtype=np.uint8)
+    assert palette_size(px) == 1
+    # two colors differing only below the 4-bit quantizer -> still 1
+    px2 = px.copy(); px2[0, 0] = (200, 200, 207)
+    assert palette_size(px2) == 1
+    # a color differing in the high nibble -> 2
+    px3 = px.copy(); px3[0, 0] = (216, 200, 200)
+    assert palette_size(px3) == 2
+
+
+def test_block_variance_known_values():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import block_variance_milli
+
+    # flat frame: zero variance in every block
+    assert block_variance_milli(np.full((16, 16), 9, dtype=np.int64)) == 0
+    # checkerboard 0/2 inside each 8x8 block: per-pixel var = 1 -> milli 1000
+    g = np.indices((16, 16)).sum(axis=0) % 2 * 2
+    assert block_variance_milli(g.astype(np.int64)) == 1000
+    # remainder rows/cols are cropped, not averaged in
+    g2 = np.zeros((17, 19), dtype=np.int64)
+    g2[16, :] = 255  # lives entirely in the cropped remainder
+    assert block_variance_milli(g2) == 0

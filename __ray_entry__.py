@@ -968,6 +968,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrity_audit": A.q_integrity_audit,
         "iso_week_revenue": A.q_iso_week_revenue,
         "bag_except_partkeys": A.q_bag_except_partkeys,
+        "equidepth_boundaries": A.q_equidepth_boundaries,
+        "bloom_fp_audit": A.q_bloom_fp_audit,
+        "pct_of_parent_revenue": A.q_pct_of_parent_revenue,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

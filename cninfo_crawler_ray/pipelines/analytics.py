@@ -6890,6 +6890,154 @@ def q_bag_except_partkeys(sf_dir: str):
     return agg.map_batches(excess, batch_format="pandas")
 
 
+def q_equidepth_boundaries(sf_dir: str):
+    """The 31 equi-depth (1/32-quantile) cut points of order price cents —
+    the boundaries a range-shuffle planner would pick so every partition
+    holds the same row count (the equi-DEPTH complement of
+    partition_balance_audit's equi-WIDTH report). PERCENTILE_DISC
+    semantics: boundary k = the ⌈k·n/32⌉-th smallest value (1-based) —
+    dyadic quantiles make DuckDB's float q·n product exact, so both sides
+    agree bit-for-bit. Distributed shape: one value-count reduce (O(distinct
+    cents) rows — bounded by the price domain, not the row count), then a
+    cumulative scan over the sorted counts on the driver."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"cents": _cents(t.to_pandas()["o_totalprice"])}) \
+            .groupby("cents", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "cents": g["cents"], "cnt": g["size"].astype("int64")}))
+
+    counts = B.grouped_aggregate_auto(
+        ds.map_batches(vc, batch_format="pyarrow"), ["cents"],
+        [Sum("cnt", alias_name="cnt")]).to_pandas() \
+        .sort_values("cents").reset_index(drop=True)
+    cum = counts["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    ks = np.arange(1, 32, dtype=np.int64)
+    targets = (ks * n + 31) // 32  # ceil(k·n/32)
+    idx = np.searchsorted(cum, targets, side="left")
+    return pd.DataFrame({
+        "k": ks,
+        "boundary": counts["cents"].to_numpy()[idx].astype("int64"),
+    })
+
+
+def q_bloom_fp_audit(sf_dir: str):
+    """End-to-end Bloom-filter quality audit, fully oracle-exact: build a
+    65536-bit / 2-hash filter over the 1997 deep-discount part keys, probe
+    it with every 1998 part key, and report build size, probe size, set
+    bits, filter passes, true members and false positives. Both hash
+    functions are plain integer arithmetic ((k·c) mod 65536), so the SQL
+    oracle reproduces the exact bit array — the sketch itself is under
+    test, not just its answers. Distributed shape: ONE keyed reduce tags
+    every part key (in_build, in_probe); build-side bits then flow as
+    ≤65536 distinct bit rows to the driver, broadcast back into a
+    vectorized probe map. int64-exact for partkey < 2³². FP rate here is
+    the real thing: bits ≈ 2·|build| set of 65536."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_discount"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        yr = df["l_shipdate"].dt.year
+        bld = (yr == 1997) & (df["l_discount"].to_numpy() > 0.08)
+        prb = yr == 1998
+        m = bld | prb
+        g = pd.DataFrame({
+            "k": df["l_partkey"][m],
+            "in_build": bld[m].astype("int64"),
+            "in_probe": prb[m].astype("int64"),
+        }).groupby("k", as_index=False).max()
+        return _pa_from_pandas(g)
+
+    keys = B.grouped_aggregate_auto(
+        ds.map_batches(tag, batch_format="pyarrow"), ["k"],
+        [Max("in_build", alias_name="in_build"),
+         Max("in_probe", alias_name="in_probe")])
+
+    def build_bits(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"][df["in_build"] > 0].to_numpy(dtype="int64")
+        bits = np.unique(np.concatenate(
+            [(k * 2654435761) % 65536, (k * 2246822519 + 11) % 65536]))
+        return pd.DataFrame({"b": bits.astype("int64")})
+
+    bitset = np.zeros(65536, dtype=bool)
+    bit_rows = B.grouped_aggregate_auto(
+        keys.map_batches(build_bits, batch_format="pandas"), ["b"],
+        [Count(alias_name="c")]).to_pandas()
+    bitset[bit_rows["b"].to_numpy()] = True
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(dtype="int64")
+        in_b = df["in_build"].to_numpy() > 0
+        in_p = df["in_probe"].to_numpy() > 0
+        passed = bitset[(k * 2654435761) % 65536] \
+            & bitset[(k * 2246822519 + 11) % 65536]
+        return pd.DataFrame({
+            "one": [1],
+            "n_build": [int(in_b.sum())],
+            "n_probe": [int(in_p.sum())],
+            "n_pass": [int((passed & in_p).sum())],
+            "n_true": [int((in_b & in_p).sum())],
+            "n_false_pos": [int((passed & in_p & ~in_b).sum())],
+        })
+
+    tot = B.grouped_aggregate_auto(
+        keys.map_batches(probe, batch_format="pandas"), ["one"],
+        [Sum(c, alias_name=c) for c in
+         ("n_build", "n_probe", "n_pass", "n_true", "n_false_pos")]) \
+        .to_pandas()
+    return pd.DataFrame({
+        "n_build": tot["n_build"].astype("int64"),
+        "n_probe": tot["n_probe"].astype("int64"),
+        "n_bits_set": pd.Series([len(bit_rows)], dtype="int64"),
+        "n_pass": tot["n_pass"].astype("int64"),
+        "n_true": tot["n_true"].astype("int64"),
+        "n_false_pos": tot["n_false_pos"].astype("int64"),
+    })
+
+
+def q_pct_of_parent_revenue(sf_dir: str):
+    """Percent-of-parent hierarchical rollup: order revenue cents per
+    customer nation, each nation's share of its REGION total in basis
+    points — the drill-down ratio a reporting layer computes at every
+    hierarchy level. The fact scan carries only a broadcast custkey→nation
+    map (dimension tables are tiny by design); one keyed reduce per
+    nation; the 25-row parent join runs on the driver."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"].astype("int64"),
+                   cust["c_nationkey"].astype("int64")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({
+            "nk": df["o_custkey"].map(c2n).astype("int64"),
+            "cents": _cents(df["o_totalprice"]),
+        }).groupby("nk", as_index=False).sum()
+        return _pa_from_pandas(g)
+
+    per_nation = B.grouped_aggregate_auto(
+        orders.map_batches(partial, batch_format="pyarrow"), ["nk"],
+        [Sum("cents", alias_name="cents")]).to_pandas()
+    out = per_nation.merge(
+        nation.rename(columns={"n_nationkey": "nk"}), on="nk") \
+        .merge(region.rename(columns={"r_regionkey": "n_regionkey"}),
+               on="n_regionkey")
+    reg_tot = out.groupby("n_regionkey")["cents"].transform("sum")
+    return pd.DataFrame({
+        "region_name": out["r_name"],
+        "nation_name": out["n_name"],
+        "cents": out["cents"].astype("int64"),
+        "share_bps": (out["cents"].astype("int64") * 10000
+                      // reg_tot.astype("int64")).astype("int64"),
+    }).sort_values(["region_name", "nation_name"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -8753,5 +8901,59 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                    GROUP BY 1)
         SELECT l_partkey, CAST(c97 - c98 AS BIGINT) AS excess
         FROM c WHERE c97 > c98
+    """,
+    # PERCENTILE_DISC at dyadic quantiles — ceil(k·n/32) is float-exact
+    "equidepth_boundaries": """
+        WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                          AS cents
+                   FROM orders),
+        q AS (SELECT quantile_disc(cents,
+                         list_transform(range(1, 32), x -> x/32.0)) AS qs
+              FROM c)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(qs[CAST(k AS INTEGER)] AS BIGINT) AS boundary
+        FROM q CROSS JOIN (SELECT UNNEST(range(1, 32)) AS k) ks
+    """,
+    # the SQL rebuilds the SAME 65536-bit 2-hash Bloom filter from plain
+    # integer arithmetic — the sketch itself is under test
+    "bloom_fp_audit": """
+        WITH build AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+                       WHERE year(l_shipdate) = 1997 AND l_discount > 0.08),
+        probe AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+                  WHERE year(l_shipdate) = 1998),
+        bits AS (SELECT DISTINCT b FROM (
+                     SELECT (k * 2654435761) % 65536 AS b FROM build
+                     UNION ALL
+                     SELECT (k * 2246822519 + 11) % 65536 FROM build)),
+        p AS (SELECT k,
+                     (k * 2654435761) % 65536 IN (SELECT b FROM bits)
+                         AND (k * 2246822519 + 11) % 65536
+                                 IN (SELECT b FROM bits) AS pass,
+                     k IN (SELECT k FROM build) AS tru
+              FROM probe)
+        SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+               CAST(COUNT(*) AS BIGINT) AS n_probe,
+               CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+               CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               CAST(SUM(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+               CAST(SUM(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos
+        FROM p
+    """,
+    "pct_of_parent_revenue": """
+        WITH nat AS (SELECT n_regionkey, n_name,
+                            CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5)
+                                          AS BIGINT)) AS BIGINT) AS cents
+                     FROM orders
+                     JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+                     GROUP BY 1, 2)
+        SELECT r_name AS region_name, n_name AS nation_name, cents,
+               CAST(cents * 10000 // SUM(cents) OVER (PARTITION BY
+                                                      n_regionkey)
+                    AS BIGINT) AS share_bps
+        FROM nat JOIN region ON n_regionkey = r_regionkey
     """,
 }

@@ -685,3 +685,42 @@ def test_bag_except_multiset_hand_case():
         .groupby("k", as_index=False)[["c97", "c98"]].sum()
     keep = g[g.c97 > g.c98]
     assert dict(zip(keep.k, keep.c97 - keep.c98)) == {1: 1, 3: 1}
+
+
+def test_equidepth_percentile_disc_rule():
+    """boundary k = ceil(k·n/32)-th smallest (1-based) must match DuckDB
+    quantile_disc at dyadic quantiles on a known multiset."""
+    import duckdb
+    vals = [5, 5, 7, 9, 9, 9, 12, 20, 20, 31]
+    n = len(vals)
+    srt = sorted(vals)
+    for k in (1, 8, 16, 24, 31):
+        target = (k * n + 31) // 32
+        mine = srt[target - 1]
+        ref = duckdb.sql(
+            f"SELECT quantile_disc(x, {k}/32.0) FROM "
+            f"(SELECT UNNEST({vals}) AS x)").fetchone()[0]
+        assert mine == ref, (k, mine, ref)
+
+
+def test_bloom_bitset_pass_implies_member_superset():
+    """Every true member must pass the filter (no false negatives), and
+    the bit array built from index unions equals the classic set-bits."""
+    k_build = np.array([3, 17, 999, 123456], dtype=np.int64)
+    k_probe = np.array([3, 17, 999, 123456, 42, 7, 100001], dtype=np.int64)
+    bits = np.zeros(65536, dtype=bool)
+    bits[(k_build * 2654435761) % 65536] = True
+    bits[(k_build * 2246822519 + 11) % 65536] = True
+    passed = bits[(k_probe * 2654435761) % 65536] \
+        & bits[(k_probe * 2246822519 + 11) % 65536]
+    member = np.isin(k_probe, k_build)
+    assert (passed | ~member).all()  # no false negatives
+    assert passed[:4].all()
+
+
+def test_pct_of_parent_shares_sum_close_to_10000():
+    """Floor-divided child shares sum to ≤ 10000 and within #children."""
+    cents = pd.Series([333, 333, 334], dtype="int64")
+    tot = int(cents.sum())
+    bps = (cents * 10000 // tot)
+    assert bps.sum() <= 10000 and 10000 - bps.sum() < len(cents)

@@ -971,6 +971,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_boundaries": A.q_equidepth_boundaries,
         "bloom_fp_audit": A.q_bloom_fp_audit,
         "pct_of_parent_revenue": A.q_pct_of_parent_revenue,
+        "cms_estimate_audit": A.q_cms_estimate_audit,
+        "ams_f2_audit": A.q_ams_f2_audit,
+        "div_customers_all_years": A.q_div_customers_all_years,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -7038,6 +7038,143 @@ def q_pct_of_parent_revenue(sf_dir: str):
     }).sort_values(["region_name", "nation_name"]).reset_index(drop=True)
 
 
+def q_cms_estimate_audit(sf_dir: str):
+    """Count-Min-sketch quality audit, fully oracle-exact: build a 2×1024
+    CMS over every lineitem part-key occurrence (plain integer hashes, so
+    the SQL oracle rebuilds the identical cell array), then report — for
+    the 10 heaviest keys (true count desc, key asc) — true count, CMS
+    estimate (min over the two rows) and the overestimate. Distributed
+    shape: keyed count reduce → per-batch partial CELL sums (O(2048) rows
+    per batch, never per key) → tiny cell reduce broadcast into the
+    estimate map; the top-10 flows as mergeable per-batch partial top-10s,
+    so no stage materializes the key domain. int64-exact for
+    partkey < 2³²."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def kc(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("l_partkey", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "k": g["l_partkey"].astype("int64"),
+            "c": g["size"].astype("int64")}))
+
+    cnt = B.grouped_aggregate_auto(
+        ds.map_batches(kc, batch_format="pyarrow"), ["k"],
+        [Sum("c", alias_name="c")])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(dtype="int64")
+        c = df["c"].to_numpy(dtype="int64")
+        out = []
+        for row, cell in ((0, (k * 2654435761) % 1024),
+                          (1, (k * 2246822519 + 11) % 1024)):
+            g = pd.DataFrame({"cell": row * 1024 + cell, "s": c}) \
+                .groupby("cell", as_index=False).sum()
+            out.append(g)
+        return pd.concat(out, ignore_index=True)
+
+    cell_tbl = B.grouped_aggregate_auto(
+        cnt.map_batches(cells, batch_format="pandas"), ["cell"],
+        [Sum("s", alias_name="s")]).to_pandas()
+    sketch = np.zeros(2048, dtype=np.int64)
+    sketch[cell_tbl["cell"].to_numpy()] = cell_tbl["s"].to_numpy()
+
+    def top_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "k"], ascending=[False, True]).head(10)
+
+    top = cnt.map_batches(top_partial, batch_format="pandas").to_pandas() \
+        .sort_values(["c", "k"], ascending=[False, True]).head(10)
+    k = top["k"].to_numpy(dtype="int64")
+    est = np.minimum(sketch[(k * 2654435761) % 1024],
+                     sketch[1024 + (k * 2246822519 + 11) % 1024])
+    return pd.DataFrame({
+        "l_partkey": k,
+        "true_cnt": top["c"].to_numpy(dtype="int64"),
+        "cms_est": est.astype("int64"),
+        "overest": (est - top["c"].to_numpy()).astype("int64"),
+    })
+
+
+def q_ams_f2_audit(sf_dir: str):
+    """AMS (Alon–Matias–Szegedy) second-frequency-moment sketch audit,
+    fully oracle-exact: four ±1-hash counters X_j = Σ_k sign_j(k)·c_k over
+    the part-key frequency vector, each estimating F₂ = Σ c² as X_j² —
+    report the exact F₂ next to the four-estimate mean/min/max, all in
+    integers (sign_j(k) = 1 − 2·((k·a_j >> 7) & 1) is plain arithmetic on
+    both sides). Distributed shape: keyed count reduce, then an O(1)-wide
+    partial (x0..x3, f2) per batch and one scalar reduce — the sketch
+    state is four integers no matter the key domain."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def kc(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("l_partkey", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "k": g["l_partkey"].astype("int64"),
+            "c": g["size"].astype("int64")}))
+
+    cnt = B.grouped_aggregate_auto(
+        ds.map_batches(kc, batch_format="pyarrow"), ["k"],
+        [Sum("c", alias_name="c")])
+    mults = (2654435761, 2246822519, 3266489917, 668265263)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(dtype="int64")
+        c = df["c"].to_numpy(dtype="int64")
+        row = {"one": [1], "f2": [int((c * c).sum())]}
+        for j, a in enumerate(mults):
+            sign = 1 - 2 * (((k * a) >> 7) & 1)
+            row[f"x{j}"] = [int((sign * c).sum())]
+        return pd.DataFrame(row)
+
+    agg = B.grouped_aggregate_auto(
+        cnt.map_batches(partial, batch_format="pandas"), ["one"],
+        [Sum("f2", alias_name="f2")]
+        + [Sum(f"x{j}", alias_name=f"x{j}") for j in range(4)]).to_pandas()
+    ests = [int(agg[f"x{j}"][0]) ** 2 for j in range(4)]
+    return pd.DataFrame({
+        "f2_exact": pd.Series([int(agg["f2"][0])], dtype="int64"),
+        "ams_mean": pd.Series([sum(ests) // 4], dtype="int64"),
+        "ams_min": pd.Series([min(ests)], dtype="int64"),
+        "ams_max": pd.Series([max(ests)], dtype="int64"),
+    })
+
+
+def q_div_customers_all_years(sf_dir: str):
+    """Relational division: customers with at least one order in EVERY
+    year 1995–2000 — the 'for all' join (suppliers-supplying-all-parts
+    shape) that EXISTS/IN can't express without double negation. Shape:
+    per-batch distinct (customer, year) pairs, one keyed reduce to
+    de-duplicate pairs globally, a second tiny reduce counting distinct
+    years per customer, then a stateless == 6 filter."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        yr = df["o_orderdate"].dt.year
+        m = (yr >= 1995) & (yr <= 2000)
+        g = pd.DataFrame({"o_custkey": df["o_custkey"][m],
+                          "yr": yr[m]}).drop_duplicates()
+        g["c"] = 1
+        return _pa_from_pandas(g.astype("int64"))
+
+    dedup = B.grouped_aggregate_auto(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["o_custkey", "yr"], [Max("c", alias_name="c")])
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False)["c"].sum()
+        return g.rename(columns={"c": "ny"})
+
+    per = B.grouped_aggregate_auto(
+        dedup.map_batches(per_cust, batch_format="pandas"), ["o_custkey"],
+        [Sum("ny", alias_name="ny")])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"][df["ny"] == 6].astype("int64")})
+
+    return per.map_batches(keep, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -8955,5 +9092,50 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                                                       n_regionkey)
                     AS BIGINT) AS share_bps
         FROM nat JOIN region ON n_regionkey = r_regionkey
+    """,
+    # the SQL rebuilds the SAME 2×1024 Count-Min cell array from plain
+    # integer hashes — sketch under test, not just its answers
+    "cms_estimate_audit": """
+        WITH cnt AS (SELECT l_partkey AS k, COUNT(*) AS c
+                     FROM lineitem GROUP BY 1),
+        r1 AS (SELECT (k * 2654435761) % 1024 AS cell, SUM(c) AS s
+               FROM cnt GROUP BY 1),
+        r2 AS (SELECT (k * 2246822519 + 11) % 1024 AS cell, SUM(c) AS s
+               FROM cnt GROUP BY 1),
+        top AS (SELECT k, c FROM cnt ORDER BY c DESC, k LIMIT 10)
+        SELECT k AS l_partkey,
+               CAST(c AS BIGINT) AS true_cnt,
+               CAST(LEAST(r1.s, r2.s) AS BIGINT) AS cms_est,
+               CAST(LEAST(r1.s, r2.s) - c AS BIGINT) AS overest
+        FROM top
+        JOIN r1 ON (k * 2654435761) % 1024 = r1.cell
+        JOIN r2 ON (k * 2246822519 + 11) % 1024 = r2.cell
+    """,
+    "ams_f2_audit": """
+        WITH cnt AS (SELECT l_partkey AS k, COUNT(*) AS c
+                     FROM lineitem GROUP BY 1),
+        x AS (SELECT
+                  SUM(c * c) AS f2,
+                  SUM((1 - 2 * ((k * 2654435761 >> 7) & 1)) * c) AS x0,
+                  SUM((1 - 2 * ((k * 2246822519 >> 7) & 1)) * c) AS x1,
+                  SUM((1 - 2 * ((k * 3266489917 >> 7) & 1)) * c) AS x2,
+                  SUM((1 - 2 * ((k * 668265263 >> 7) & 1)) * c) AS x3
+              FROM cnt)
+        SELECT CAST(f2 AS BIGINT) AS f2_exact,
+               CAST((x0*x0 + x1*x1 + x2*x2 + x3*x3) // 4 AS BIGINT)
+                   AS ams_mean,
+               CAST(LEAST(x0*x0, x1*x1, x2*x2, x3*x3) AS BIGINT) AS ams_min,
+               CAST(GREATEST(x0*x0, x1*x1, x2*x2, x3*x3) AS BIGINT)
+                   AS ams_max
+        FROM x
+    """,
+    "div_customers_all_years": """
+        SELECT o_custkey FROM (
+            SELECT o_custkey,
+                   COUNT(DISTINCT year(o_orderdate)) AS ny
+            FROM orders
+            WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+            GROUP BY 1)
+        WHERE ny = 6
     """,
 }

@@ -724,3 +724,32 @@ def test_pct_of_parent_shares_sum_close_to_10000():
     tot = int(cents.sum())
     bps = (cents * 10000 // tot)
     assert bps.sum() <= 10000 and 10000 - bps.sum() < len(cents)
+
+
+def test_cms_estimate_never_underestimates():
+    """CMS property: estimate ≥ true count for every key, with equality
+    when a key collides with nothing in at least one row."""
+    rng = np.random.default_rng(9)
+    keys = rng.choice(np.arange(500, dtype=np.int64), size=3000)
+    uniq, c = np.unique(keys, return_counts=True)
+    sketch = np.zeros(2048, dtype=np.int64)
+    np.add.at(sketch, (uniq * 2654435761) % 1024, c)
+    np.add.at(sketch, 1024 + (uniq * 2246822519 + 11) % 1024, c)
+    est = np.minimum(sketch[(uniq * 2654435761) % 1024],
+                     sketch[1024 + (uniq * 2246822519 + 11) % 1024])
+    assert (est >= c).all()
+
+
+def test_ams_estimates_bracket_f2_on_average():
+    """X_j² is an unbiased F₂ estimator: the 4-counter mean should land
+    within a loose factor of the exact F₂ for a spread-out vector."""
+    rng = np.random.default_rng(21)
+    k = np.arange(1000, dtype=np.int64)
+    c = rng.integers(1, 60, size=1000).astype(np.int64)
+    f2 = int((c * c).sum())
+    ests = []
+    for a in (2654435761, 2246822519, 3266489917, 668265263):
+        sign = 1 - 2 * (((k * a) >> 7) & 1)
+        ests.append(int((sign * c).sum()) ** 2)
+    mean = sum(ests) // 4
+    assert f2 // 5 < mean < f2 * 5

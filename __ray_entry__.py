@@ -1020,6 +1020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_spread_hist": IMG.q_image_spread_hist,
         "image_palette_size_hist": IMG.q_image_palette_size_hist,
         "image_blockiness_hist": IMG.q_image_blockiness_hist,
+        "image_tile_dup_hist": IMG.q_image_tile_dup_hist,
+        "image_rg_cov_hist": IMG.q_image_rg_cov_hist,
     }
 
 
@@ -1101,6 +1103,11 @@ _CRAWL_ORACLE_SQL = {
     "image_spread_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_spread_hist.parquet')",
     "image_palette_size_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_palette_size_hist.parquet')",
     "image_blockiness_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_blockiness_hist.parquet')",
+    # tile dup: hash-set .tobytes() golden vs void-view np.unique;
+    # R/G covariance: joint-histogram moments vs direct pixel sums —
+    # both in tools/make_goldens_r8.py
+    "image_tile_dup_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_tile_dup_hist.parquet')",
+    "image_rg_cov_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_rg_cov_hist.parquet')",
     # channel cast: per-channel bincount-factorization golden
     "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
     # encoded-bytes + decoded-pixels totals vs the corpus's STORED

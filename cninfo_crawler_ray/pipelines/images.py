@@ -820,3 +820,92 @@ def q_image_blockiness_hist(sf_dir: str):
         concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
     )
     return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 6: within-image tile duplication, R/G channel covariance
+# ---------------------------------------------------------------------------
+
+def tile_dup_pm(gray: "np.ndarray") -> int:
+    """Within-image self-similarity: fraction (per-mille) of 8×8 tiles of
+    the 8-level quantized gray (>>5 — exact-match tiles at full depth are
+    vanishingly rare on natural/noisy content, so the structural comparison
+    runs on coarse levels) that duplicate an earlier tile:
+    1000·(n_tiles−n_distinct) // n_tiles over the cropped frame. High
+    values flag tiled/synthetic art and letterbox padding. Engine path:
+    one reshape into tile rows + one np.unique over the 64-byte void view.
+    Golden path (tools/make_goldens_r8.py): a Python set of tile
+    .tobytes() — hash-set vs sort-based distinct over a
+    differently-assembled tiling."""
+    h8, w8 = gray.shape[0] // 8, gray.shape[1] // 8
+    if h8 == 0 or w8 == 0:
+        return 0
+    g = (gray[:h8 * 8, :w8 * 8] >> 5).astype(np.uint8)
+    tiles = g.reshape(h8, 8, w8, 8).swapaxes(1, 2).reshape(h8 * w8, 64)
+    v = np.ascontiguousarray(tiles).view(np.dtype((np.void, 64)))
+    n_tiles = h8 * w8
+    n_distinct = len(np.unique(v))
+    return 1000 * (n_tiles - n_distinct) // n_tiles
+
+
+def q_image_tile_dup_hist(sf_dir: str):
+    """Histogram of per-image 8×8-tile duplication ratios (see tile_dup_pm,
+    bucketed by 25‰) over the validated frontier — the synthetic/tiled-art
+    detector a curation pass runs before training. Fused
+    fetch+decode+featurize actors; O(buckets) rows out per batch."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        return [{"bucket": tile_dup_pm(_luma_gray(px)) // 25, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+def rg_cov_scaled(px: "np.ndarray") -> int:
+    """Exact integer R/G channel covariance: (n·Σrg − Σr·Σg) // n² — the
+    channel-coupling statistic that separates grayscale-ish crawl images
+    (covariance ≈ variance, strongly positive) from hue-rich ones. Engine
+    path: four direct vectorized pixel sums. Golden path
+    (tools/make_goldens_r8.py): all four moments from ONE joint 65536-bin
+    (r<<8|g) histogram in Python ints — disjoint accumulation."""
+    p = px.astype(np.int64)
+    r, g = p[:, :, 0], p[:, :, 1]
+    n = r.size
+    num = n * int((r * g).sum()) - int(r.sum()) * int(g.sum())
+    return num // (n * n)
+
+
+def q_image_rg_cov_hist(sf_dir: str):
+    """Histogram of per-image R/G covariance (see rg_cov_scaled, bucketed
+    by 250, floor division so negative covariances bucket consistently)
+    over the validated frontier. Fused actors, O(buckets) rows out."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        return [{"bucket": rg_cov_scaled(px) // 250, "n": 1}]
+
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])

@@ -335,3 +335,39 @@ def test_block_variance_known_values():
     g2 = np.zeros((17, 19), dtype=np.int64)
     g2[16, :] = 255  # lives entirely in the cropped remainder
     assert block_variance_milli(g2) == 0
+
+
+def test_tile_dup_pm_known_patterns():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import tile_dup_pm
+
+    # perfectly tiled frame: every 8x8 tile identical -> (n-1)/n duplicated
+    base = np.arange(64, dtype=np.int64).reshape(8, 8) * 4
+    g = np.tile(base, (4, 4))  # 16 tiles, 1 distinct
+    assert tile_dup_pm(g) == 1000 * 15 // 16
+    # all-distinct tiles AFTER >>5 quantization -> 0
+    g2 = np.zeros((16, 16), dtype=np.int64)
+    g2[:8, :8] = 0; g2[:8, 8:] = 64; g2[8:, :8] = 128; g2[8:, 8:] = 192
+    assert tile_dup_pm(g2) == 0
+    # values differing only below the quantizer collide into dup tiles
+    g3 = np.zeros((8, 16), dtype=np.int64)
+    g3[:, 8:] = 31  # same level as 0 after >>5
+    assert tile_dup_pm(g3) == 500
+
+
+def test_rg_cov_sign_and_exactness():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import rg_cov_scaled
+
+    # g == r -> covariance == variance (known for a two-point mass)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, :, 0] = px[0, :, 1] = 200  # two pixels at (200,200), two at (0,0)
+    # var of {200,200,0,0} = 10000 -> cov = 10000
+    assert rg_cov_scaled(px) == 10000
+    # anti-correlated channels -> negative
+    px2 = np.zeros((2, 2, 3), dtype=np.uint8)
+    px2[0, :, 0] = 200; px2[1, :, 1] = 200
+    assert rg_cov_scaled(px2) < 0
+    # constant channel -> zero covariance
+    px3 = np.full((4, 4, 3), 99, dtype=np.uint8)
+    assert rg_cov_scaled(px3) == 0

@@ -974,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_estimate_audit": A.q_cms_estimate_audit,
         "ams_f2_audit": A.q_ams_f2_audit,
         "div_customers_all_years": A.q_div_customers_all_years,
+        "median_via_bisection": A.q_median_via_bisection,
+        "zorder_bucket_hist": A.q_zorder_bucket_hist,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -7175,6 +7175,111 @@ def q_div_customers_all_years(sf_dir: str):
     return per.map_batches(keep, batch_format="pandas")
 
 
+def q_median_via_bisection(sf_dir: str):
+    """Exact PERCENTILE_DISC(0.5) of l_extendedprice cents WITHOUT a global
+    sort: iterative distributed selection — pass 1 histograms the full
+    integer range into 1024 equi-width buckets, locates the bucket holding
+    rank ⌈n/2⌉, and each further pass re-scans with a narrowed [lo, hi]
+    filter until the candidate range is small enough for an exact value
+    count. Three O(n) scans with O(1024) shuffle rows each replace the
+    all-to-all sort a naive median needs — the selection trick that makes
+    exact order statistics feasible at 100 TB. Output: the median value,
+    its rank target and the number of scan passes used."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    from ray.data.aggregate import Count
+
+    bounds = ds.aggregate(Min("l_extendedprice", alias_name="lo"),
+                          Max("l_extendedprice", alias_name="hi"),
+                          Count(alias_name="n"))
+    lo = int(np.floor(bounds["lo"] * 100 + 0.5))
+    hi = int(np.floor(bounds["hi"] * 100 + 0.5))
+    n = int(bounds["n"])
+    target = (n + 1) // 2  # ceil(n/2): PERCENTILE_DISC(0.5), 1-based
+    passes = 0
+
+    while hi - lo + 1 > 4096:
+        passes += 1
+        span = hi - lo + 1
+        cur_lo, cur_hi = lo, hi
+
+        def hist(t: pa.Table, _lo=cur_lo, _hi=cur_hi, _span=span) -> pa.Table:
+            c = _cents(t.to_pandas()["l_extendedprice"])
+            c = c[(c >= _lo) & (c <= _hi)]
+            b = (c - _lo) * 1024 // _span
+            g = pd.DataFrame({"b": b}).groupby("b", as_index=False).size()
+            return _pa_from_pandas(pd.DataFrame({
+                "b": g["b"].astype("int64"),
+                "cnt": g["size"].astype("int64")}))
+
+        bt = B.grouped_aggregate_auto(
+            ds.map_batches(hist, batch_format="pyarrow"), ["b"],
+            [Sum("cnt", alias_name="cnt")]).to_pandas().sort_values("b")
+        cum = bt["cnt"].to_numpy().cumsum()
+        i = int(np.searchsorted(cum, target, side="left"))
+        bsel = int(bt["b"].to_numpy()[i])
+        target -= int(cum[i - 1]) if i else 0
+        # integer bucket value range: b = (c−lo)·1024 // span
+        lo, hi = (cur_lo + (bsel * span + 1023) // 1024,
+                  cur_lo + ((bsel + 1) * span - 1) // 1024)
+
+    cur_lo, cur_hi = lo, hi
+
+    def vc(t: pa.Table, _lo=cur_lo, _hi=cur_hi) -> pa.Table:
+        c = _cents(t.to_pandas()["l_extendedprice"])
+        c = c[(c >= _lo) & (c <= _hi)]
+        g = pd.DataFrame({"v": c}).groupby("v", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "v": g["v"].astype("int64"),
+            "cnt": g["size"].astype("int64")}))
+
+    vt = B.grouped_aggregate_auto(
+        ds.map_batches(vc, batch_format="pyarrow"), ["v"],
+        [Sum("cnt", alias_name="cnt")]).to_pandas().sort_values("v")
+    cum = vt["cnt"].to_numpy().cumsum()
+    median = int(vt["v"].to_numpy()[np.searchsorted(cum, target, "left")])
+    del passes  # data-dependent pass count is diagnostic-only, not output
+    return pd.DataFrame({
+        "median_cents": pd.Series([median], dtype="int64"),
+        "rank_target": pd.Series([(n + 1) // 2], dtype="int64"),
+    })
+
+
+def _morton8(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Interleave the low 8 bits of x (even positions) and y (odd): the
+    16-bit Morton/Z-order code, magic-shift spread."""
+    def spread(v):
+        v = (v | (v << 4)) & 0x0F0F
+        v = (v | (v << 2)) & 0x3333
+        v = (v | (v << 1)) & 0x5555
+        return v
+    return spread(x & 0xFF) | (spread(y & 0xFF) << 1)
+
+
+def q_zorder_bucket_hist(sf_dir: str):
+    """Z-order (Morton space-filling-curve) locality bucketing over
+    (l_partkey & 255, l_suppkey & 255): rows per 16→6-bit Z-bucket — the
+    multi-dimensional clustering audit behind Delta/Iceberg Z-ORDER BY,
+    where one sort key must preserve locality in BOTH dimensions. Engine:
+    vectorized magic-shift bit spreading; oracle: the bit-by-bit
+    Σ((x>>i)&1)·4^i reconstruction — disjoint formulations of the same
+    interleave. One partial histogram per batch, one tiny keyed reduce."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        z = _morton8(df["l_partkey"].to_numpy(dtype="int64"),
+                     df["l_suppkey"].to_numpy(dtype="int64"))
+        g = pd.DataFrame({"bucket": z >> 10}).groupby(
+            "bucket", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "bucket": g["bucket"].astype("int64"),
+            "n": g["size"].astype("int64")}))
+
+    return B.grouped_aggregate_auto(
+        ds.map_batches(hist, batch_format="pyarrow"), ["bucket"],
+        [Sum("n", alias_name="n")])
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -9137,5 +9242,32 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
             WHERE year(o_orderdate) BETWEEN 1995 AND 2000
             GROUP BY 1)
         WHERE ny = 6
+    """,
+    "median_via_bisection": """
+        SELECT CAST(quantile_disc(CAST(FLOOR(l_extendedprice*100 + 0.5)
+                                       AS BIGINT), 0.5) AS BIGINT)
+                   AS median_cents,
+               CAST((COUNT(*) + 1) // 2 AS BIGINT) AS rank_target
+        FROM lineitem
+    """,
+    # bit-by-bit Σ((x>>i)&1)·4^i reconstruction — disjoint from the
+    # engine's magic-shift spread
+    "zorder_bucket_hist": """
+        WITH z AS (SELECT (
+              ((l_partkey >> 0) & 1) * 1 + ((l_partkey >> 1) & 1) * 4
+            + ((l_partkey >> 2) & 1) * 16 + ((l_partkey >> 3) & 1) * 64
+            + ((l_partkey >> 4) & 1) * 256 + ((l_partkey >> 5) & 1) * 1024
+            + ((l_partkey >> 6) & 1) * 4096
+            + ((l_partkey >> 7) & 1) * 16384
+            + 2 * (((l_suppkey >> 0) & 1) * 1 + ((l_suppkey >> 1) & 1) * 4
+                 + ((l_suppkey >> 2) & 1) * 16 + ((l_suppkey >> 3) & 1) * 64
+                 + ((l_suppkey >> 4) & 1) * 256
+                 + ((l_suppkey >> 5) & 1) * 1024
+                 + ((l_suppkey >> 6) & 1) * 4096
+                 + ((l_suppkey >> 7) & 1) * 16384)) AS zz
+               FROM lineitem)
+        SELECT CAST(zz // 1024 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM z GROUP BY 1
     """,
 }

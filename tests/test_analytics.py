@@ -753,3 +753,53 @@ def test_ams_estimates_bracket_f2_on_average():
         ests.append(int((sign * c).sum()) ** 2)
     mean = sum(ests) // 4
     assert f2 // 5 < mean < f2 * 5
+
+
+def test_bisection_bucket_range_is_tight():
+    """The integer bucket inversion must cover exactly the values mapping
+    to bucket b: lo + ceil(b·span/1024) .. lo + floor(((b+1)·span−1)/1024)."""
+    lo, hi = 1000, 987654
+    span = hi - lo + 1
+    vals = np.arange(lo, hi + 1, 97, dtype=np.int64)
+    b = (vals - lo) * 1024 // span
+    for bucket in np.unique(b)[:5]:
+        sel = vals[b == bucket]
+        blo = lo + (int(bucket) * span + 1023) // 1024
+        bhi = lo + ((int(bucket) + 1) * span - 1) // 1024
+        assert sel.min() >= blo and sel.max() <= bhi
+
+
+def test_median_selection_equals_sorted_rank():
+    """Iterative narrowing must land on the ceil(n/2)-th smallest value."""
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 10**7, size=9999).astype(np.int64)
+    n = len(vals)
+    target = (n + 1) // 2
+    lo, hi = int(vals.min()), int(vals.max())
+    t = target
+    while hi - lo + 1 > 4096:
+        span = hi - lo + 1
+        sel = vals[(vals >= lo) & (vals <= hi)]
+        b = (sel - lo) * 1024 // span
+        cnt = np.bincount(b, minlength=1024)
+        cum = cnt.cumsum()
+        i = int(np.searchsorted(cum, t, side="left"))
+        t -= int(cum[i - 1]) if i else 0
+        lo, hi = lo + (i * span + 1023) // 1024, lo + ((i + 1) * span - 1) // 1024
+    sel = np.sort(vals[(vals >= lo) & (vals <= hi)])
+    assert sel[t - 1] == np.sort(vals)[target - 1]
+
+
+def test_morton_spread_matches_bitwise_sum():
+    from cninfo_crawler_ray.pipelines.analytics import _morton8
+
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 2048, 500).astype(np.int64)
+    y = rng.integers(0, 2048, 500).astype(np.int64)
+    z = _morton8(x, y)
+    ref = np.zeros_like(x)
+    for i in range(8):
+        ref += ((x >> i) & 1) * 4**i + 2 * (((y >> i) & 1) * 4**i)
+    assert (z == ref).all()
+    # locality sanity: neighbors in x differ in low z bits only
+    assert _morton8(np.array([4]), np.array([4]))[0] == 0b110000

@@ -976,6 +976,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "div_customers_all_years": A.q_div_customers_all_years,
         "median_via_bisection": A.q_median_via_bisection,
         "zorder_bucket_hist": A.q_zorder_bucket_hist,
+        "boilerplate_prefix_families": A.q_boilerplate_prefix_families,
+        "event_hourly_dedup_counts": A.q_event_hourly_dedup_counts,
+        "table_checksum_orders": A.q_table_checksum_orders,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -7280,6 +7280,95 @@ def q_zorder_bucket_hist(sf_dir: str):
         [Sum("n", alias_name="n")])
 
 
+def q_boilerplate_prefix_families(sf_dir: str):
+    """Boilerplate detection by shared leading tokens: group documents on
+    their first-5-token prefix and report every family with ≥ 2 members —
+    the header/template sweep a text-curation pass runs before dedup
+    (boilerplate shares prefixes long before it shares full hashes).
+    Vectorized prefix assembly: ONE str.split(expand) into 6 columns plus
+    a 4-step column fold — no per-row Python. One keyed reduce on the
+    prefix string."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def prefix_counts(t: pa.Table) -> pa.Table:
+        s = t.to_pandas()["text"].astype(str)
+        cols = s.str.split(" ", n=5, expand=True)
+        prefix = cols[0].fillna("")
+        for i in range(1, min(5, cols.shape[1])):
+            nxt = cols[i]
+            prefix = prefix.where(nxt.isna(), prefix + " " + nxt.fillna(""))
+        g = pd.DataFrame({"prefix": prefix}).groupby(
+            "prefix", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "prefix": g["prefix"], "n_docs": g["size"].astype("int64")}))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(prefix_counts, batch_format="pyarrow"), ["prefix"],
+        [Sum("n_docs", alias_name="n_docs")])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_docs"] >= 2].reset_index(drop=True)
+
+    return agg.map_batches(keep, batch_format="pandas")
+
+
+def q_event_hourly_dedup_counts(sf_dir: str):
+    """Windowed stream deduplication: keep one event per (user, type,
+    hour bucket) and count survivors per type — the at-most-once-per-window
+    throttle an ingestion layer applies to telemetry. Per-batch distinct
+    shrinks the exchange; one keyed reduce de-duplicates globally; the
+    per-type rollup rides a second tiny reduce."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hour = df["ts"].values.astype("datetime64[h]").astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                          "event_type": df["event_type"],
+                          "hour": hour}).drop_duplicates()
+        g["c"] = 1
+        return _pa_from_pandas(g)
+
+    dedup = B.grouped_aggregate_auto(
+        ds.map_batches(triples, batch_format="pyarrow"),
+        ["user_id", "event_type", "hour"], [Max("c", alias_name="c")])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False)["c"].sum()
+        return g.rename(columns={"c": "n_kept"})
+
+    return B.grouped_aggregate_auto(
+        dedup.map_batches(per_type, batch_format="pandas"), ["event_type"],
+        [Sum("n_kept", alias_name="n_kept")])
+
+
+def q_table_checksum_orders(sf_dir: str):
+    """Order-independent table checksum: Σ over rows of
+    (o_orderkey·2654435761 + o_custkey·2246822519 + cents·3266489917)
+    mod 2³¹, plus the row count — the migration-validation fingerprint
+    two engines can compare without agreeing on row order, partitioning
+    or file layout (this engine vs DuckDB is exactly that comparison).
+    Commutative + associative by construction, so it reduces with plain
+    Sum partials; per-row terms stay < 2³¹, per-batch partials < 2⁴⁷."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        h = (df["o_orderkey"].to_numpy(dtype="int64") * 2654435761
+             + df["o_custkey"].to_numpy(dtype="int64") * 2246822519
+             + _cents(df["o_totalprice"]) * 3266489917) % (1 << 31)
+        return _pa_from_pandas(pd.DataFrame({
+            "one": [1], "s": [int(h.sum())], "n": [len(df)]}))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), ["one"],
+        [Sum("s", alias_name="s"), Sum("n", alias_name="n")]).to_pandas()
+    return pd.DataFrame({
+        "n_rows": agg["n"].astype("int64"),
+        "checksum": (agg["s"].astype("int64") % (1 << 31)).astype("int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -9269,5 +9358,29 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         SELECT CAST(zz // 1024 AS BIGINT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM z GROUP BY 1
+    """,
+    "boilerplate_prefix_families": """
+        WITH p AS (SELECT array_to_string(
+                       list_slice(string_split(text, ' '), 1, 5), ' ')
+                       AS prefix
+                   FROM documents)
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+    "event_hourly_dedup_counts": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM (SELECT DISTINCT user_id, event_type,
+                              date_trunc('hour', ts) AS h
+              FROM events)
+        GROUP BY 1
+    """,
+    "table_checksum_orders": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM((o_orderkey * 2654435761
+                         + o_custkey * 2246822519
+                         + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                           * 3266489917) % 2147483648)
+                    % 2147483648 AS BIGINT) AS checksum
+        FROM orders
     """,
 }

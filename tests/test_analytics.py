@@ -803,3 +803,36 @@ def test_morton_spread_matches_bitwise_sum():
     assert (z == ref).all()
     # locality sanity: neighbors in x differ in low z bits only
     assert _morton8(np.array([4]), np.array([4]))[0] == 0b110000
+
+
+def test_prefix_fold_matches_duckdb_list_slice():
+    """The split(expand)+fold prefix must equal DuckDB's
+    array_to_string(list_slice(string_split(text,' '),1,5),' ')."""
+    import duckdb
+    texts = ["a b c d e f g", "one two", "", "x  y z", "t1 t2 t3 t4 t5",
+             "solo", "a b c d e"]
+    s = pd.Series(texts)
+    cols = s.str.split(" ", n=5, expand=True)
+    prefix = cols[0].fillna("")
+    for i in range(1, min(5, cols.shape[1])):
+        nxt = cols[i]
+        prefix = prefix.where(nxt.isna(), prefix + " " + nxt.fillna(""))
+    for t, mine in zip(texts, prefix):
+        ref = duckdb.sql(
+            "SELECT array_to_string(list_slice(string_split(?, ' '), 1, 5)"
+            ", ' ')", params=[t]).fetchone()[0]
+        assert mine == ref, (t, mine, ref)
+
+
+def test_checksum_is_order_and_partition_independent():
+    """Permuting rows or re-batching must not change the checksum."""
+    rng = np.random.default_rng(4)
+    ok = rng.integers(0, 10**6, 1000).astype(np.int64)
+    ck = rng.integers(0, 10**4, 1000).astype(np.int64)
+    cents = rng.integers(0, 10**7, 1000).astype(np.int64)
+    h = (ok * 2654435761 + ck * 2246822519 + cents * 3266489917) % (1 << 31)
+    whole = int(h.sum()) % (1 << 31)
+    perm = rng.permutation(1000)
+    parts = np.array_split(h[perm], 7)
+    rebatched = sum(int(p.sum()) for p in parts) % (1 << 31)
+    assert whole == rebatched

@@ -979,6 +979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_prefix_families": A.q_boilerplate_prefix_families,
         "event_hourly_dedup_counts": A.q_event_hourly_dedup_counts,
         "table_checksum_orders": A.q_table_checksum_orders,
+        "type_user_bitmap_overlap": A.q_type_user_bitmap_overlap,
+        "log2_price_hist": A.q_log2_price_hist,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -7369,6 +7369,78 @@ def q_table_checksum_orders(sf_dir: str):
     })
 
 
+def q_type_user_bitmap_overlap(sf_dir: str):
+    """Pairwise audience overlap between all event types via bitmap
+    aggregation: one keyed reduce OR-folds each user's 5-bit type mask,
+    a 32-bin bincount collapses the user dimension entirely, and every
+    (type_a, type_b, n_users_both) pair falls out of the mask counts —
+    the roaring-bitmap trick that answers all O(T²) overlap questions
+    from O(2^T) counters instead of T² semi-joins. Output ordered pairs
+    a < b over the type names."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+    t2b = {t: 1 << i for i, t in enumerate(types)}
+
+    def bit_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "bit": df["event_type"].map(t2b).astype("int64"),
+        }).drop_duplicates()
+        return _pa_from_pandas(g)
+
+    # bitwise OR of DISTINCT single-bit masks == their sum, so the whole
+    # fold stays vectorized: dedup (user, bit) pairs, then sum per user
+    parts = ds.map_batches(bit_pairs, batch_format="pyarrow")
+
+    def or_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("user_id", as_index=False)["bit"] \
+            .sum().rename(columns={"bit": "mask"})
+        cnt = np.bincount(g["mask"].to_numpy(), minlength=32)
+        return pd.DataFrame({"mask": np.arange(32, dtype="int64"),
+                             "n": cnt.astype("int64")})
+
+    folded = B.bucketed_map_groups(parts, ["user_id"], or_fold)
+    mc = folded.to_pandas().groupby("mask", as_index=False)["n"].sum()
+    counts = np.zeros(32, dtype=np.int64)
+    counts[mc["mask"].to_numpy()] = mc["n"].to_numpy()
+
+    rows = []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            both = sum(int(c) for m, c in enumerate(counts)
+                       if (m >> i) & 1 and (m >> j) & 1)
+            rows.append((ta, types[j], both))
+    return pd.DataFrame({
+        "type_a": [r[0] for r in rows],
+        "type_b": [r[1] for r in rows],
+        "n_users_both": pd.Series([r[2] for r in rows], dtype="int64"),
+    })
+
+
+def q_log2_price_hist(sf_dir: str):
+    """Log-scale (power-of-two) histogram of order price cents: bucket =
+    ⌊log₂ cents⌋ taken EXACTLY via the float64 frexp exponent (ints below
+    2⁵³ are represented exactly, so the exponent is never off-by-one at
+    bucket edges — no log2 rounding hazard); the oracle reads the same
+    bucket as the binary-string length minus one. The doubling-bucket
+    profile that spots magnitude outliers equi-width histograms hide."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = _cents(t.to_pandas()["o_totalprice"])
+        c = c[c > 0]
+        b = np.frexp(c.astype(np.float64))[1] - 1
+        g = pd.DataFrame({"bucket": b.astype("int64")}).groupby(
+            "bucket", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "bucket": g["bucket"], "n": g["size"].astype("int64")}))
+
+    return B.grouped_aggregate_auto(
+        ds.map_batches(hist, batch_format="pyarrow"), ["bucket"],
+        [Sum("n", alias_name="n")])
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -9382,5 +9454,32 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                            * 3266489917) % 2147483648)
                     % 2147483648 AS BIGINT) AS checksum
         FROM orders
+    """,
+    "type_user_bitmap_overlap": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        pairs AS (SELECT t1.t AS type_a, t2.t AS type_b
+                  FROM (VALUES ('click'), ('error'), ('purchase'),
+                               ('signup'), ('view')) t1(t),
+                       (VALUES ('click'), ('error'), ('purchase'),
+                               ('signup'), ('view')) t2(t)
+                  WHERE t1.t < t2.t),
+        j AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                     COUNT(*) AS c
+              FROM d a JOIN d b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT type_a, type_b,
+               CAST(COALESCE(c, 0) AS BIGINT) AS n_users_both
+        FROM pairs LEFT JOIN j ON ta = type_a AND tb = type_b
+    """,
+    # binary-string length minus one == ⌊log2⌋, no float rounding hazard
+    "log2_price_hist": """
+        SELECT CAST(length(printf('%b',
+                        CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)))
+                    - 1 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE FLOOR(o_totalprice*100 + 0.5) > 0
+        GROUP BY 1
     """,
 }

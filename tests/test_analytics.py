@@ -836,3 +836,31 @@ def test_checksum_is_order_and_partition_independent():
     parts = np.array_split(h[perm], 7)
     rebatched = sum(int(p.sum()) for p in parts) % (1 << 31)
     assert whole == rebatched
+
+
+def test_bitmap_mask_counts_answer_pair_overlaps():
+    """Pair overlap from 2^T mask counters must equal direct set
+    intersection counts."""
+    rng = np.random.default_rng(8)
+    users = {}
+    for u in range(200):
+        users[u] = set(rng.choice(5, size=rng.integers(1, 5),
+                                  replace=False).tolist())
+    counts = np.zeros(32, dtype=np.int64)
+    for bits in users.values():
+        counts[sum(1 << b for b in bits)] += 1
+    for i in range(5):
+        for j in range(i + 1, 5):
+            via_mask = sum(int(c) for m, c in enumerate(counts)
+                           if (m >> i) & 1 and (m >> j) & 1)
+            direct = sum(1 for s in users.values() if i in s and j in s)
+            assert via_mask == direct
+
+
+def test_frexp_exponent_is_exact_log2_floor():
+    """frexp exponent − 1 == ⌊log2⌋ including exact powers of two."""
+    vals = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 1025,
+                     (1 << 40) - 1, 1 << 40], dtype=np.int64)
+    b = np.frexp(vals.astype(np.float64))[1] - 1
+    expect = [v.bit_length() - 1 for v in vals.tolist()]
+    assert b.tolist() == expect

@@ -1029,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_blockiness_hist": IMG.q_image_blockiness_hist,
         "image_tile_dup_hist": IMG.q_image_tile_dup_hist,
         "image_rg_cov_hist": IMG.q_image_rg_cov_hist,
+        "image_curation_pipeline": IMG.q_image_curation_pipeline,
     }
 
 
@@ -1115,6 +1116,10 @@ _CRAWL_ORACLE_SQL = {
     # both in tools/make_goldens_r8.py
     "image_tile_dup_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_tile_dup_hist.parquet')",
     "image_rg_cov_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_rg_cov_hist.parquet')",
+    # composed curation flagship: independent gate kernels + brute-force
+    # O(n²) hamming pair discovery vs the engine's banded LSH + independent
+    # drop-rule replay — tools/make_goldens_r9.py
+    "image_curation_pipeline": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_curation_pipeline.parquet')",
     # channel cast: per-channel bincount-factorization golden
     "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
     # encoded-bytes + decoded-pixels totals vs the corpus's STORED

@@ -909,3 +909,134 @@ def q_image_rg_cov_hist(sf_dir: str):
         concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
     )
     return grouped_aggregate_auto(parts, ["bucket"], [Sum("n", alias_name="n")])
+
+
+# ---------------------------------------------------------------------------
+# Round-3 flagship: composed image-curation pipeline
+# ---------------------------------------------------------------------------
+
+CURATION_GATES = {
+    "colorfulness_min": 25_000,   # opponent-channel variance (var_num // n²)
+    "grad_min": 55_000,           # green-channel gradient energy ×100 / term
+    "tile_dup_max": 600,          # quantized 8×8 tile duplication per-mille
+}
+
+
+def q_image_curation_pipeline(sf_dir: str):
+    """The composed vision-dataset curation pass, end to end in ONE
+    streaming pipeline: fused fetch+decode+featurize actors emit a compact
+    per-image feature row (colorfulness, gradient energy, tile-dup ratio,
+    pixel-computed phash — O(32 B) per image, never pixels); vectorized
+    quality gates drop flat/blurry/tiled images (first-failing-gate
+    attribution in the fixed order colorfulness → gradient → tile-dup);
+    the survivors flow into banded phash LSH (4×16-bit bands — pigeonhole
+    guarantees every hamming ≤ 3 pair shares a band) with vectorized
+    hamming ≤ 2 verify, and the larger image of every verified pair is
+    dropped. Output: one summary row with every stage's counts. Golden
+    (tools/make_goldens_r9.py): independent per-image kernels for all
+    three gates, BRUTE-FORCE O(n²) hamming pair discovery instead of
+    banding, and an independent drop-rule replay."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions import bucketed as B
+    from cninfo_crawler_ray.functions.codecs import phash64
+    from cninfo_crawler_ray.functions.dedup import hamming64
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+    g_cf, g_gr, g_td = (CURATION_GATES["colorfulness_min"],
+                        CURATION_GATES["grad_min"],
+                        CURATION_GATES["tile_dup_max"])
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        num, n = colorfulness_var_num(px)
+        g = px[:, :, 1].astype(np.int64)
+        dh = np.diff(g, axis=1)
+        dv = np.diff(g, axis=0)
+        grad = 100 * (int((dh * dh).sum()) + int((dv * dv).sum())) \
+            // (dh.size + dv.size)
+        return [{"image_id": iid, "cf": num // (n * n), "grad": grad,
+                 "tdup": tile_dup_pm(_luma_gray(px)),
+                 "phash": np.uint64(phash64(px)).astype(np.int64).item()}]
+
+    schema = pa.schema([("image_id", pa.string()), ("cf", pa.int64()),
+                        ("grad", pa.int64()), ("tdup", pa.int64()),
+                        ("phash", pa.int64())])
+    feats = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    ).materialize()  # O(images) feature rows, consumed by two stages
+
+    def gate_counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        fail_cf = df["cf"] < g_cf
+        fail_gr = ~fail_cf & (df["grad"] < g_gr)
+        fail_td = ~fail_cf & ~fail_gr & (df["tdup"] > g_td)
+        return B._pa_from_pandas(pd.DataFrame({
+            "one": [1], "n_decoded": [len(df)],
+            "n_drop_colorfulness": [int(fail_cf.sum())],
+            "n_drop_grad": [int(fail_gr.sum())],
+            "n_drop_tiledup": [int(fail_td.sum())]}))
+
+    cnt = B.grouped_aggregate_auto(
+        feats.map_batches(gate_counts, batch_format="pyarrow"), ["one"],
+        [Sum(c, alias_name=c) for c in
+         ("n_decoded", "n_drop_colorfulness", "n_drop_grad",
+          "n_drop_tiledup")]).to_pandas()
+
+    def survivors(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = (df["cf"] >= g_cf) & (df["grad"] >= g_gr) \
+            & (df["tdup"] <= g_td)
+        return B._pa_from_pandas(
+            df[keep][["image_id", "phash"]].reset_index(drop=True))
+
+    surv = feats.map_batches(survivors, batch_format="pyarrow")
+
+    def band_rows(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        ph = df["phash"].to_numpy().view(np.uint64)
+        parts = []
+        for b in range(4):
+            band = (ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            parts.append(pd.DataFrame({
+                "band_key": [f"{b}:{int(v)}" for v in band],
+                "image_id": df["image_id"],
+                "phash": ph.view(np.int64)}))
+        return pd.concat(parts, ignore_index=True)
+
+    def pairs_bucket(bdf: pd.DataFrame) -> pd.DataFrame:
+        m = bdf.merge(bdf, on="band_key")
+        m = m[m["image_id_x"] < m["image_id_y"]] \
+            .drop_duplicates(["image_id_x", "image_id_y"])
+        if len(m):
+            ham = hamming64(m["phash_x"].to_numpy(), m["phash_y"].to_numpy())
+            m = m[ham <= 2]
+        drops = m["image_id_y"].tolist() or [""]
+        return pd.DataFrame({"dropped": drops})
+
+    def dedup_drops(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["dropped"] != ""].drop_duplicates(["dropped"])
+
+    dropped = B.bucketed_map_groups(
+        B.bucketed_map_groups(surv.map_batches(band_rows,
+                                               batch_format="pyarrow"),
+                              ["band_key"], pairs_bucket),
+        ["dropped"], dedup_drops, auto_parallelism=True)
+    n_dup_dropped = dropped.count()
+
+    n_decoded = int(cnt["n_decoded"][0])
+    n_quality = n_decoded - int(cnt["n_drop_colorfulness"][0]) \
+        - int(cnt["n_drop_grad"][0]) - int(cnt["n_drop_tiledup"][0])
+    return pd.DataFrame({
+        "n_decoded": pd.Series([n_decoded], dtype="int64"),
+        "n_drop_colorfulness": cnt["n_drop_colorfulness"].astype("int64"),
+        "n_drop_grad": cnt["n_drop_grad"].astype("int64"),
+        "n_drop_tiledup": cnt["n_drop_tiledup"].astype("int64"),
+        "n_quality_pass": pd.Series([n_quality], dtype="int64"),
+        "n_dup_dropped": pd.Series([n_dup_dropped], dtype="int64"),
+        "n_survivors": pd.Series([n_quality - n_dup_dropped],
+                                 dtype="int64"),
+    })

@@ -371,3 +371,18 @@ def test_rg_cov_sign_and_exactness():
     # constant channel -> zero covariance
     px3 = np.full((4, 4, 3), 99, dtype=np.uint8)
     assert rg_cov_scaled(px3) == 0
+
+
+def test_curation_pipeline_counts_consistent(ray_session):
+    """End-to-end at the 531-URL fixture: stage counts must telescope
+    (decoded = drops + quality_pass; survivors = quality − dup_dropped)
+    and every count is non-negative."""
+    from cninfo_crawler_ray.pipelines.images import q_image_curation_pipeline
+
+    out = q_image_curation_pipeline("/root/testdata/sf0.001")
+    r = out.iloc[0]
+    assert r["n_decoded"] == (r["n_drop_colorfulness"] + r["n_drop_grad"]
+                              + r["n_drop_tiledup"] + r["n_quality_pass"])
+    assert r["n_survivors"] == r["n_quality_pass"] - r["n_dup_dropped"]
+    assert (out.iloc[0] >= 0).all()
+    assert r["n_decoded"] > 400  # the sf0.001 fixture decodes ~500 images

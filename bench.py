@@ -221,6 +221,16 @@ def run_bench() -> dict:
         ("phash_bit_balance", IMG.q_phash_bit_balance),
         ("decile_transition_matrix", A.q_decile_transition_matrix),
         ("embedding_dim_stats", A.q_embedding_dim_stats),
+        ("image_curation_pipeline", IMG.q_image_curation_pipeline),
+        ("median_via_bisection", A.q_median_via_bisection),
+        ("equidepth_boundaries", A.q_equidepth_boundaries),
+        ("bloom_fp_audit", A.q_bloom_fp_audit),
+        ("cms_estimate_audit", A.q_cms_estimate_audit),
+        ("loo_target_encoding", A.q_loo_target_encoding),
+        ("integrity_audit", A.q_integrity_audit),
+        ("table_checksum_orders", A.q_table_checksum_orders),
+        ("type_user_bitmap_overlap", A.q_type_user_bitmap_overlap),
+        ("boilerplate_prefix_families", A.q_boilerplate_prefix_families),
     ]:
         def run_query(fn=fn):
             res = fn(sf_dir)

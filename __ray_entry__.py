@@ -981,6 +981,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksum_orders": A.q_table_checksum_orders,
         "type_user_bitmap_overlap": A.q_type_user_bitmap_overlap,
         "log2_price_hist": A.q_log2_price_hist,
+        "hamilton_apportionment": A.q_hamilton_apportionment,
+        "global_row_numbering": A.q_global_row_numbering,
+        "source_hist_intersection": A.q_source_hist_intersection,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

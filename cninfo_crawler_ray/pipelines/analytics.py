@@ -7441,6 +7441,128 @@ def q_log2_price_hist(sf_dir: str):
         [Sum("n", alias_name="n")])
 
 
+def q_hamilton_apportionment(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment: allocate 1000 sample
+    slots across customer nations proportionally to their customer counts,
+    integer base = ⌊count·1000/total⌋ plus one bonus slot to the largest
+    remainders (ties: remainder desc, nation key asc) — the exact-quota
+    allocation a stratified exporter uses so per-stratum outputs sum to the
+    target. One keyed count reduce; the 25-row closed form runs on the
+    driver; the oracle replays it with window ranks."""
+    ds = _read(sf_dir, "customer", ["c_nationkey"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("c_nationkey", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "c_nationkey": g["c_nationkey"].astype("int64"),
+            "n": g["size"].astype("int64")}))
+
+    per = B.grouped_aggregate_auto(
+        ds.map_batches(cnt, batch_format="pyarrow"), ["c_nationkey"],
+        [Sum("n", alias_name="n")]).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    total = int(per["n"].sum())
+    quota = per["n"].astype("int64") * 1000
+    base = quota // total
+    rem = quota % total
+    bonus = 1000 - int(base.sum())
+    order = np.lexsort((per["c_nationkey"].to_numpy(), -rem.to_numpy()))
+    extra = np.zeros(len(per), dtype="int64")
+    extra[order[:bonus]] = 1
+    return pd.DataFrame({
+        "c_nationkey": per["c_nationkey"].astype("int64"),
+        "n_customers": per["n"].astype("int64"),
+        "seats": (base + extra).astype("int64"),
+    })
+
+
+def q_global_row_numbering(sf_dir: str):
+    """Distributed zipWithIndex: assign global consecutive 1-based row
+    numbers to orders in o_orderkey order WITHOUT collecting — sort into
+    range partitions, take one (min_key, count) per block, broadcast the
+    prefix-sum offsets back keyed by block min key, and number within each
+    block locally. Output: the row count and an order-sensitive checksum
+    Σ(rn·((key mod 2²⁰)+1)) mod 2³¹ — any off-by-one or block misorder
+    changes it; the oracle recomputes via ROW_NUMBER()."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).sort("o_orderkey") \
+        .materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        k = t.to_pandas()["o_orderkey"].to_numpy(dtype="int64")
+        if not len(k):
+            return _pa_from_pandas(pd.DataFrame(
+                {"min_key": pd.Series([], dtype="int64"),
+                 "cnt": pd.Series([], dtype="int64")}))
+        return _pa_from_pandas(pd.DataFrame({
+            "min_key": [int(k.min())], "cnt": [len(k)]}))
+
+    meta = ds.map_batches(block_meta, batch_size=None,
+                          batch_format="pyarrow").to_pandas() \
+        .sort_values("min_key").reset_index(drop=True)
+    offsets = dict(zip(meta["min_key"].astype("int64"),
+                       np.concatenate([[0], meta["cnt"].to_numpy()
+                                       .cumsum()[:-1]]).astype("int64")))
+
+    def number(t: pa.Table) -> pa.Table:
+        k = np.sort(t.to_pandas()["o_orderkey"].to_numpy(dtype="int64"))
+        if not len(k):
+            return _pa_from_pandas(pd.DataFrame(
+                {"one": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}))
+        rn = offsets[int(k.min())] + 1 + np.arange(len(k), dtype="int64")
+        h = (rn * ((k % (1 << 20)) + 1)) % (1 << 31)
+        return _pa_from_pandas(pd.DataFrame({
+            "one": [1], "s": [int(h.sum())], "n": [len(k)]}))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(number, batch_size=None, batch_format="pyarrow"),
+        ["one"], [Sum("s", alias_name="s"), Sum("n", alias_name="n")]) \
+        .to_pandas()
+    return pd.DataFrame({
+        "n_rows": agg["n"].astype("int64"),
+        "checksum": (agg["s"].astype("int64") % (1 << 31)).astype("int64"),
+    })
+
+
+def q_source_hist_intersection(sf_dir: str):
+    """Histogram-intersection similarity between every pair of document
+    sources: per-mille-normalize each source's doc-length histogram
+    (n_chars // 100 buckets, share = n_b·1000 // total_s) and report
+    Σ_b min(share_a, share_b) per pair — the cheap distribution-overlap
+    score a corpus-mixing planner uses before reweighting sources. One
+    keyed reduce builds all histograms; the O(sources²·buckets) compare
+    runs on the driver."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({
+            "source": df["source"],
+            "bucket": df["n_chars"].to_numpy(dtype="int64") // 100,
+            "n": 1}).groupby(["source", "bucket"], as_index=False).sum()
+        return _pa_from_pandas(g)
+
+    h = B.grouped_aggregate_auto(
+        ds.map_batches(hist, batch_format="pyarrow"), ["source", "bucket"],
+        [Sum("n", alias_name="n")]).to_pandas()
+    tot = h.groupby("source")["n"].transform("sum")
+    h["share"] = h["n"].astype("int64") * 1000 // tot.astype("int64")
+    sources = sorted(h["source"].unique())
+    piv = h.pivot_table(index="bucket", columns="source", values="share",
+                        fill_value=0, aggfunc="sum")
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            rows.append((a, b, int(np.minimum(
+                piv[a].to_numpy(), piv[b].to_numpy()).sum())))
+    return pd.DataFrame({
+        "source_a": [r[0] for r in rows],
+        "source_b": [r[1] for r in rows],
+        "intersection_pm": pd.Series([r[2] for r in rows], dtype="int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -9481,5 +9603,53 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE FLOOR(o_totalprice*100 + 0.5) > 0
         GROUP BY 1
+    """,
+    "hamilton_apportionment": """
+        WITH c AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM customer GROUP BY 1),
+        q AS (SELECT c_nationkey, n, n * 1000 AS quota,
+                     (SELECT SUM(n) FROM c) AS tot
+              FROM c),
+        b AS (SELECT c_nationkey, n, quota // tot AS base,
+                     quota % tot AS rem
+              FROM q),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, c_nationkey)
+                            AS rk,
+                     1000 - SUM(base) OVER () AS bonus
+              FROM b)
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               n AS n_customers,
+               CAST(base + CASE WHEN rk <= bonus THEN 1 ELSE 0 END
+                    AS BIGINT) AS seats
+        FROM r
+    """,
+    "global_row_numbering": """
+        WITH r AS (SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+                          o_orderkey AS k
+                   FROM orders)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM((rn * ((k % 1048576) + 1)) % 2147483648)
+                    % 2147483648 AS BIGINT) AS checksum
+        FROM r
+    """,
+    "source_hist_intersection": """
+        WITH h AS (SELECT source, n_chars // 100 AS bucket,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents GROUP BY 1, 2),
+        s AS (SELECT source, bucket,
+                     n * 1000 // SUM(n) OVER (PARTITION BY source) AS share
+              FROM h),
+        p AS (SELECT a.source AS sa, b.source AS sb,
+                     SUM(LEAST(a.share, b.share)) AS ipm
+              FROM s a JOIN s b ON a.bucket = b.bucket
+                   AND a.source < b.source
+              GROUP BY 1, 2),
+        pairs AS (SELECT a.source AS source_a, b.source AS source_b
+                  FROM (SELECT DISTINCT source FROM documents) a,
+                       (SELECT DISTINCT source FROM documents) b
+                  WHERE a.source < b.source)
+        SELECT source_a, source_b,
+               CAST(COALESCE(ipm, 0) AS BIGINT) AS intersection_pm
+        FROM pairs LEFT JOIN p ON sa = source_a AND sb = source_b
     """,
 }

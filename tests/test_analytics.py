@@ -864,3 +864,51 @@ def test_frexp_exponent_is_exact_log2_floor():
     b = np.frexp(vals.astype(np.float64))[1] - 1
     expect = [v.bit_length() - 1 for v in vals.tolist()]
     assert b.tolist() == expect
+
+
+def test_hamilton_seats_sum_to_target_and_respect_quota():
+    """Largest-remainder allocation: seats sum exactly to 1000 and every
+    stratum gets ⌊quota⌋ or ⌈quota⌉ (quota property)."""
+    counts = np.array([17, 5, 3, 3, 2], dtype=np.int64)
+    total = int(counts.sum())
+    quota = counts * 1000
+    base = quota // total
+    rem = quota % total
+    bonus = 1000 - int(base.sum())
+    order = np.lexsort((np.arange(len(counts)), -rem))
+    extra = np.zeros(len(counts), dtype=np.int64)
+    extra[order[:bonus]] = 1
+    seats = base + extra
+    assert int(seats.sum()) == 1000
+    assert ((seats == base) | (seats == base + 1)).all()
+
+
+def test_zipwithindex_offsets_reconstruct_global_ranks():
+    """Per-block prefix-sum offsets + local arange must equal the global
+    sorted row number."""
+    rng = np.random.default_rng(6)
+    keys = rng.permutation(10000).astype(np.int64)
+    blocks = np.array_split(np.sort(keys), 7)  # range-partitioned blocks
+    metas = sorted((int(b.min()), len(b)) for b in blocks if len(b))
+    offs = {}
+    acc = 0
+    for mk, c in metas:
+        offs[mk] = acc
+        acc += c
+    rn = {}
+    for b in blocks:
+        s = np.sort(b)
+        for i, k in enumerate(s.tolist()):
+            rn[k] = offs[int(s.min())] + 1 + i
+    expect = {int(k): i + 1 for i, k in enumerate(np.sort(keys).tolist())}
+    assert rn == expect
+
+
+def test_hist_intersection_bounds_and_self_similarity():
+    """Σ min of per-mille shares is ≤ 1000 and exactly ≤ either side's
+    total share; identical histograms intersect at their own share sum."""
+    a = np.array([400, 300, 200, 100], dtype=np.int64)
+    assert int(np.minimum(a, a).sum()) == 1000
+    b = np.array([100, 200, 300, 400], dtype=np.int64)
+    inter = int(np.minimum(a, b).sum())
+    assert inter <= 1000 and inter == 100 + 200 + 200 + 100

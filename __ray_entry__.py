@@ -984,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hamilton_apportionment": A.q_hamilton_apportionment,
         "global_row_numbering": A.q_global_row_numbering,
         "source_hist_intersection": A.q_source_hist_intersection,
+        "schema_evolution_union": A.q_schema_evolution_union,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,
@@ -1033,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tile_dup_hist": IMG.q_image_tile_dup_hist,
         "image_rg_cov_hist": IMG.q_image_rg_cov_hist,
         "image_curation_pipeline": IMG.q_image_curation_pipeline,
+        "image_orientation_hist": IMG.q_image_orientation_hist,
     }
 
 
@@ -1123,6 +1125,9 @@ _CRAWL_ORACLE_SQL = {
     # O(n²) hamming pair discovery vs the engine's banded LSH + independent
     # drop-rule replay — tools/make_goldens_r9.py
     "image_curation_pipeline": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_curation_pipeline.parquet')",
+    # orientation classes: 27-bin sign/cmp encode + Python lookup golden
+    # vs vectorized masks — tools/make_goldens_r10.py
+    "image_orientation_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_orientation_hist.parquet')",
     # channel cast: per-channel bincount-factorization golden
     "image_channel_cast_hist": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_channel_cast_hist.parquet')",
     # encoded-bytes + decoded-pixels totals vs the corpus's STORED

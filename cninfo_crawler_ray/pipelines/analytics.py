@@ -7563,6 +7563,57 @@ def q_source_hist_intersection(sf_dir: str):
     })
 
 
+def q_schema_evolution_union(sf_dir: str):
+    """Schema-evolution reader: two 'generations' of the same table (the
+    even-key half projected WITHOUT o_orderpriority — the old schema — and
+    the odd-key half WITH it) unioned BY NAME, missing columns typed-null
+    filled — the mixed-generation scan every long-lived lakehouse table
+    needs (Ray's Dataset.union requires aligned schemas, so the alignment
+    map IS the operator). Output: per-generation row count, null/non-null
+    priority counts, and the total revenue across both — proving no rows
+    or values were lost in the alignment."""
+    import ray.data as _rd
+
+    gen1 = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    gen2 = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def old_gen(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["o_orderkey"] % 2 == 0].reset_index(drop=True)
+        # the alignment map: add the column the old files never had
+        df["o_orderpriority"] = pd.Series([None] * len(df), dtype="object")
+        df["gen"] = 1
+        return _pa_from_pandas(df)
+
+    def new_gen(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["o_orderkey"] % 2 == 1].reset_index(drop=True)
+        df["gen"] = 2
+        return _pa_from_pandas(df)
+
+    unioned = gen1.map_batches(old_gen, batch_format="pyarrow").union(
+        gen2.map_batches(new_gen, batch_format="pyarrow"))
+
+    def stats(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return _pa_from_pandas(pd.DataFrame({
+            "one": [1],
+            "n_gen1": [int((df["gen"] == 1).sum())],
+            "n_gen2": [int((df["gen"] == 2).sum())],
+            "n_null_priority": [int(df["o_orderpriority"].isna().sum())],
+            "n_with_priority": [int(df["o_orderpriority"].notna().sum())],
+            "cents": [int(_cents(df["o_totalprice"]).sum())]}))
+
+    agg = B.grouped_aggregate_auto(
+        unioned.map_batches(stats, batch_format="pyarrow"), ["one"],
+        [Sum(c, alias_name=c) for c in
+         ("n_gen1", "n_gen2", "n_null_priority", "n_with_priority",
+          "cents")]).to_pandas()
+    return agg[["n_gen1", "n_gen2", "n_null_priority", "n_with_priority",
+                "cents"]].astype("int64")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -9651,5 +9702,26 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         SELECT source_a, source_b,
                CAST(COALESCE(ipm, 0) AS BIGINT) AS intersection_pm
         FROM pairs LEFT JOIN p ON sa = source_a AND sb = source_b
+    """,
+    "schema_evolution_union": """
+        WITH u AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS gen
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL BY NAME
+            SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS gen
+            FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT CAST(SUM(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gen1,
+               CAST(SUM(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gen2,
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_priority,
+               CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_priority,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM u
     """,
 }

@@ -1040,3 +1040,59 @@ def q_image_curation_pipeline(sf_dir: str):
         "n_survivors": pd.Series([n_quality - n_dup_dropped],
                                  dtype="int64"),
     })
+
+
+def orientation_class_counts(gray: "np.ndarray") -> "np.ndarray":
+    """Per-pixel gradient orientation class over interior pixels (central
+    differences dx, dy): 0 = horizontal-dominant (|dx| > |dy|),
+    1 = vertical-dominant, 2 = diagonal with agreeing signs
+    (|dx| == |dy|, dx·dy > 0), 3 = anti-diagonal / degenerate equal case.
+    All-integer comparisons — no atan2, no bin-edge float hazard. Returns
+    the 4 class counts. Engine path: four vectorized masks. Golden path
+    (tools/make_goldens_r10.py): a 27-bin (sign dx, sign dy, cmp) encode +
+    pure-Python bin→class lookup — disjoint decision structure."""
+    g = gray.astype(np.int64)
+    dx = g[1:-1, 2:] - g[1:-1, :-2]
+    dy = g[2:, 1:-1] - g[:-2, 1:-1]
+    ax, ay = np.abs(dx), np.abs(dy)
+    c0 = ax > ay
+    c1 = ay > ax
+    eq = ax == ay
+    c2 = eq & (dx * dy > 0)
+    c3 = eq & ~c2
+    return np.array([int(c0.sum()), int(c1.sum()),
+                     int(c2.sum()), int(c3.sum())], dtype=np.int64)
+
+
+def q_image_orientation_hist(sf_dir: str):
+    """Histogram over images of (dominant gradient-orientation class,
+    dominance share bucket): per image, the argmax orientation class (ties
+    to the smallest id) and its share of interior pixels in 25‰ buckets —
+    the stripe/grid/texture-direction profile of a crawl corpus. Fused
+    fetch+decode+featurize actors; O(buckets) rows out per batch."""
+    from ray.data.aggregate import Sum
+
+    from cninfo_crawler_ray.functions.bucketed import grouped_aggregate_auto
+    from cninfo_crawler_ray.stages.multimodal import FetchFeaturizer
+
+    fdir, frontier, cfg = _frontier_and_cfg(sf_dir)
+
+    def feat(iid: str, px: "np.ndarray") -> list[dict]:
+        counts = orientation_class_counts(_luma_gray(px))
+        total = int(counts.sum())
+        if total == 0:
+            return [{"dom_class": -1, "share_bucket": 0, "n": 1}]
+        dom = int(counts.argmax())  # argmax ties -> smallest index
+        share = 1000 * int(counts[dom]) // total
+        return [{"dom_class": dom, "share_bucket": share // 25, "n": 1}]
+
+    schema = pa.schema([("dom_class", pa.int64()),
+                        ("share_bucket", pa.int64()), ("n", pa.int64())])
+    parts = frontier.map_batches(
+        FetchFeaturizer,
+        fn_constructor_args=(f"{fdir}/corpus.parquet", feat, schema),
+        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+        concurrency=cfg.fetch_actors, num_cpus=cfg.actor_num_cpus,
+    )
+    return grouped_aggregate_auto(parts, ["dom_class", "share_bucket"],
+                                  [Sum("n", alias_name="n")])

@@ -386,3 +386,23 @@ def test_curation_pipeline_counts_consistent(ray_session):
     assert r["n_survivors"] == r["n_quality_pass"] - r["n_dup_dropped"]
     assert (out.iloc[0] >= 0).all()
     assert r["n_decoded"] > 400  # the sf0.001 fixture decodes ~500 images
+
+
+def test_orientation_classes_known_gradients():
+    import numpy as np
+    from cninfo_crawler_ray.pipelines.images import orientation_class_counts
+
+    # pure horizontal ramp: dx > 0, dy == 0 everywhere -> class 0 only
+    g = np.tile(np.arange(8, dtype=np.int64) * 10, (8, 1))
+    c = orientation_class_counts(g)
+    assert c[0] == 36 and c[1:].sum() == 0
+    # pure vertical ramp -> class 1 only
+    c2 = orientation_class_counts(g.T.copy())
+    assert c2[1] == 36 and c2[0] == 0
+    # perfect diagonal ramp: |dx| == |dy|, same sign -> class 2
+    d = (np.arange(8)[:, None] + np.arange(8)[None, :]).astype(np.int64)
+    c3 = orientation_class_counts(d * 5)
+    assert c3[2] == 36 and c3[0] == c3[1] == 0
+    # flat: dx == dy == 0 -> equal magnitudes, product 0 -> class 3
+    c4 = orientation_class_counts(np.full((8, 8), 7, dtype=np.int64))
+    assert c4[3] == 36

@@ -985,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_row_numbering": A.q_global_row_numbering,
         "source_hist_intersection": A.q_source_hist_intersection,
         "schema_evolution_union": A.q_schema_evolution_union,
+        "linear_interp_gapfill": A.q_linear_interp_gapfill,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -7614,6 +7614,59 @@ def q_schema_evolution_union(sf_dir: str):
                 "cents"]].astype("int64")
 
 
+def q_linear_interp_gapfill(sf_dir: str):
+    """Linear-interpolation gap-fill (the imputation complement of
+    locf_gapfill_daily): on the dense daily spine, gap days between two
+    observed urgent-max values take the exact integer interpolation
+    (v₀·(b−t) + v₁·(t−a)) // (b−a); days outside the observed range take 0.
+    Same distributed shape as LOCF — one keyed day reduce + a global
+    min/max — with the O(n_days) interpolation vectorized via searchsorted
+    on the observed-day array (no recurrence loop)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["o_orderdate"].values.astype("datetime64[D]").astype("int64")
+        urgent = df["o_orderpriority"].to_numpy() == "1-URGENT"
+        g = pd.DataFrame({
+            "day": day[urgent], "n": 1,
+            "mx": _cents(df["o_totalprice"][urgent]),
+        }).groupby("day", as_index=False).agg(n=("n", "sum"), mx=("mx", "max"))
+        g["lo"] = day.min()
+        g["hi"] = day.max()
+        if not len(g):
+            g = pd.DataFrame({"day": [day.min()], "n": [0], "mx": [-1],
+                              "lo": [day.min()], "hi": [day.max()]})
+        return _pa_from_pandas(g.astype("int64"))
+
+    agg = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), ["day"],
+        [Sum("n", alias_name="n"), Max("mx", alias_name="mx"),
+         Min("lo", alias_name="lo"), Max("hi", alias_name="hi")]).to_pandas()
+    lo, hi = int(agg["lo"].min()), int(agg["hi"].max())
+    obs = agg[agg["n"] > 0].sort_values("day")
+    od = obs["day"].to_numpy(dtype="int64")
+    ov = obs["mx"].to_numpy(dtype="int64")
+    days = np.arange(lo, hi + 1, dtype="int64")
+    # index of the observed day at-or-before / strictly-after each spine day
+    right = np.searchsorted(od, days, side="left")
+    left = np.searchsorted(od, days, side="right") - 1
+    inside = (left >= 0) & (right < len(od))
+    a = od[np.clip(left, 0, len(od) - 1)]
+    b = od[np.clip(right, 0, len(od) - 1)]
+    v0 = ov[np.clip(left, 0, len(od) - 1)]
+    v1 = ov[np.clip(right, 0, len(od) - 1)]
+    observed_mask = inside & (a == days)
+    span = np.where(b > a, b - a, 1)
+    interp = (v0 * (b - days) + v1 * (days - a)) // span
+    val = np.where(observed_mask, v0, np.where(inside, interp, 0))
+    return pd.DataFrame({
+        "day": pd.Series(days.astype("datetime64[D]")).dt.strftime("%Y-%m-%d"),
+        "interp_cents": val.astype("int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -9723,5 +9776,42 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
                     AS BIGINT) AS cents
         FROM u
+    """,
+    "linear_interp_gapfill": """
+        WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                               CAST(MAX(o_orderdate) AS DATE) AS hi
+                        FROM orders),
+        spine AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+                                                     INTERVAL 1 DAY))
+                              AS DATE) AS d
+                  FROM bounds),
+        urgent AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                          MAX(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                              AS mx
+                   FROM orders WHERE o_orderpriority = '1-URGENT'
+                   GROUP BY 1),
+        j AS (SELECT s.d, u.mx,
+                     datediff('day', DATE '1970-01-01', s.d) AS t,
+                     LAST_VALUE(CASE WHEN u.mx IS NOT NULL THEN
+                             datediff('day', DATE '1970-01-01', s.d) END
+                         IGNORE NULLS) OVER (ORDER BY s.d
+                             ROWS UNBOUNDED PRECEDING) AS a,
+                     LAST_VALUE(u.mx IGNORE NULLS) OVER (ORDER BY s.d
+                             ROWS UNBOUNDED PRECEDING) AS v0,
+                     FIRST_VALUE(CASE WHEN u.mx IS NOT NULL THEN
+                             datediff('day', DATE '1970-01-01', s.d) END
+                         IGNORE NULLS) OVER (ORDER BY s.d
+                             ROWS BETWEEN CURRENT ROW AND
+                                          UNBOUNDED FOLLOWING) AS b,
+                     FIRST_VALUE(u.mx IGNORE NULLS) OVER (ORDER BY s.d
+                             ROWS BETWEEN CURRENT ROW AND
+                                          UNBOUNDED FOLLOWING) AS v1
+              FROM spine s LEFT JOIN urgent u ON u.d = s.d)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(CASE WHEN mx IS NOT NULL THEN mx
+                         WHEN a IS NULL OR b IS NULL THEN 0
+                         ELSE (v0*(b - t) + v1*(t - a)) // (b - a)
+                    END AS BIGINT) AS interp_cents
+        FROM j
     """,
 }

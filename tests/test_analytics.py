@@ -912,3 +912,23 @@ def test_hist_intersection_bounds_and_self_similarity():
     b = np.array([100, 200, 300, 400], dtype=np.int64)
     inter = int(np.minimum(a, b).sum())
     assert inter <= 1000 and inter == 100 + 200 + 200 + 100
+
+
+def test_linear_interp_exact_hand_case():
+    """Gap days between (day 10, v 100) and (day 14, v 300) interpolate to
+    150/200/250; outside days are 0; observed days keep their value."""
+    od = np.array([10, 14], dtype=np.int64)
+    ov = np.array([100, 300], dtype=np.int64)
+    days = np.arange(8, 17, dtype=np.int64)
+    right = np.searchsorted(od, days, side="left")
+    left = np.searchsorted(od, days, side="right") - 1
+    inside = (left >= 0) & (right < len(od))
+    a = od[np.clip(left, 0, len(od) - 1)]
+    b = od[np.clip(right, 0, len(od) - 1)]
+    v0 = ov[np.clip(left, 0, len(od) - 1)]
+    v1 = ov[np.clip(right, 0, len(od) - 1)]
+    observed = inside & (a == days)
+    span = np.where(b > a, b - a, 1)
+    interp = (v0 * (b - days) + v1 * (days - a)) // span
+    val = np.where(observed, v0, np.where(inside, interp, 0))
+    assert val.tolist() == [0, 0, 100, 150, 200, 250, 300, 0, 0]

@@ -986,6 +986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_hist_intersection": A.q_source_hist_intersection,
         "schema_evolution_union": A.q_schema_evolution_union,
         "linear_interp_gapfill": A.q_linear_interp_gapfill,
+        "session_bounce_rate": A.q_session_bounce_rate,
+        "peak_sliding_60min": A.q_peak_sliding_60min,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -7667,6 +7667,87 @@ def q_linear_interp_gapfill(sf_dir: str):
     })
 
 
+def q_session_bounce_rate(sf_dir: str):
+    """Sessionized bounce rate: sessions split on a strictly-greater-than-
+    30-minute idle gap per user; a bounce is a single-event session.
+    Output: global session count, bounce count, bounce share in bps.
+    Equal-timestamp events can never split a session (their gap is 0), so
+    no tiebreak column is needed — the segmentation is a pure function of
+    each user's sorted timestamp multiset. One keyed shuffle co-locates
+    each user's events; the per-bucket kernel is one sort + one cumsum —
+    vectorized across ALL users in the bucket, no per-user Python."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"one": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64"),
+                                 "n_bounce": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        us = df["user_id"].to_numpy(dtype="int64")
+        t = df["ts"].values.astype("datetime64[s]").astype("int64")
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = us[1:] != us[:-1]
+        gap = np.empty(len(df), dtype="int64")
+        gap[0] = 0
+        gap[1:] = t[1:] - t[:-1]
+        start = new_user | (gap > 1800)
+        sid = np.cumsum(start)  # global session ids across the bucket
+        per = pd.DataFrame({"sid": sid}).groupby("sid").size()
+        return pd.DataFrame({
+            "one": [1],
+            "n_sessions": [int(len(per))],
+            "n_bounce": [int((per == 1).sum())]})
+
+    parts = B.bucketed_map_groups(ds, ["user_id"], sess)
+    agg = B.grouped_aggregate_auto(
+        parts, ["one"],
+        [Sum("n_sessions", alias_name="n_sessions"),
+         Sum("n_bounce", alias_name="n_bounce")]).to_pandas()
+    ns, nb = int(agg["n_sessions"][0]), int(agg["n_bounce"][0])
+    return pd.DataFrame({
+        "n_sessions": pd.Series([ns], dtype="int64"),
+        "n_bounce": pd.Series([nb], dtype="int64"),
+        "bounce_bps": pd.Series([nb * 10000 // ns], dtype="int64"),
+    })
+
+
+def q_peak_sliding_60min(sf_dir: str):
+    """Busiest 60-minute sliding window over the event stream: maximum
+    event count in any window (m−59 .. m] ending at an observed minute,
+    plus that window's end minute (ties → earliest). The max over ALL real
+    windows equals the max over windows ending at observed minutes, so the
+    engine reduces events to per-minute counts (one keyed reduce, O(active
+    minutes) rows) and runs a vectorized searchsorted prefix-sum
+    two-pointer on the driver — the oracle uses a RANGE 59 PRECEDING
+    window frame."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def minutes(t: pa.Table) -> pa.Table:
+        m = t.to_pandas()["ts"].values.astype("datetime64[m]") \
+            .astype("int64")
+        g = pd.DataFrame({"minute": m}).groupby("minute",
+                                                as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "minute": g["minute"], "c": g["size"].astype("int64")}))
+
+    mt = B.grouped_aggregate_auto(
+        ds.map_batches(minutes, batch_format="pyarrow"), ["minute"],
+        [Sum("c", alias_name="c")]).to_pandas().sort_values("minute")
+    ms = mt["minute"].to_numpy(dtype="int64")
+    cs = mt["c"].to_numpy(dtype="int64")
+    prefix = np.concatenate([[0], cs.cumsum()])
+    j = np.searchsorted(ms, ms - 59, side="left")
+    wc = prefix[1 + np.arange(len(ms))] - prefix[j]
+    best = int(wc.max())
+    end_minute = int(ms[wc == best].min())
+    return pd.DataFrame({
+        "n_events_max": pd.Series([best], dtype="int64"),
+        "window_end_minute": pd.Series([end_minute], dtype="int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -9813,5 +9894,44 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                          ELSE (v0*(b - t) + v1*(t - a)) // (b - a)
                     END AS BIGINT) AS interp_cents
         FROM j
+    """,
+    "session_bounce_rate": """
+        WITH s AS (SELECT user_id, ts,
+                          CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts) IS NULL
+                               OR datediff('second',
+                                      LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts), ts) > 1800
+                               THEN 1 ELSE 0 END AS st
+                   FROM events),
+        sid AS (SELECT user_id,
+                       SUM(st) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s),
+        g AS (SELECT user_id, sid, COUNT(*) AS c FROM sid GROUP BY 1, 2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounce,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS bounce_bps
+        FROM g
+    """,
+    "peak_sliding_60min": """
+        WITH m AS (SELECT CAST(datediff('minute',
+                                        TIMESTAMP '1970-01-01', ts)
+                               AS BIGINT) AS minute,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1),
+        w AS (SELECT minute,
+                     SUM(c) OVER (ORDER BY minute
+                                  RANGE BETWEEN 59 PRECEDING
+                                        AND CURRENT ROW) AS wc
+              FROM m),
+        r AS (SELECT wc, minute,
+                     ROW_NUMBER() OVER (ORDER BY wc DESC, minute) AS rn
+              FROM w)
+        SELECT CAST(wc AS BIGINT) AS n_events_max,
+               minute AS window_end_minute
+        FROM r WHERE rn = 1
     """,
 }

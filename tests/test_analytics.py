@@ -932,3 +932,33 @@ def test_linear_interp_exact_hand_case():
     interp = (v0 * (b - days) + v1 * (days - a)) // span
     val = np.where(observed, v0, np.where(inside, interp, 0))
     assert val.tolist() == [0, 0, 100, 150, 200, 250, 300, 0, 0]
+
+
+def test_session_segmentation_hand_case():
+    """Gaps of exactly 1800 s stay in-session; 1801 s splits; equal
+    timestamps never split; bounce = single-event session."""
+    t = np.array([0, 1800, 3601, 3601, 9999], dtype=np.int64)
+    gap = np.diff(t, prepend=t[0])
+    start = np.concatenate([[True], gap[1:] > 1800])
+    sid = np.cumsum(start)
+    sizes = pd.Series(sid).groupby(sid).size()
+    assert len(sizes) == 3           # {0,1800}, {3601,3601}, {9999}
+    assert int((sizes == 1).sum()) == 1
+
+
+def test_sliding_window_sparse_two_pointer():
+    """Prefix-sum searchsorted window counts must equal brute force, and
+    the max over observed end-minutes is the true max."""
+    rng = np.random.default_rng(17)
+    ms = np.unique(rng.integers(0, 500, 60)).astype(np.int64)
+    cs = rng.integers(1, 9, len(ms)).astype(np.int64)
+    prefix = np.concatenate([[0], cs.cumsum()])
+    j = np.searchsorted(ms, ms - 59, side="left")
+    wc = prefix[1 + np.arange(len(ms))] - prefix[j]
+    for i, m in enumerate(ms.tolist()):
+        brute = int(cs[(ms > m - 60) & (ms <= m)].sum())
+        assert brute == int(wc[i])
+    # any window ending between observed minutes counts a subset of the
+    # window ending at the PREVIOUS observed minute + nothing new
+    assert int(wc.max()) == max(
+        int(cs[(ms > m - 60) & (ms <= m)].sum()) for m in range(501))

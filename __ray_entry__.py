@@ -988,6 +988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_interp_gapfill": A.q_linear_interp_gapfill,
         "session_bounce_rate": A.q_session_bounce_rate,
         "peak_sliding_60min": A.q_peak_sliding_60min,
+        "theilsen_slope_daily": A.q_theilsen_slope_daily,
+        "kmv_jaccard_click_purchase": A.q_kmv_jaccard_click_purchase,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

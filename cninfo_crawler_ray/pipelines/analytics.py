@@ -7748,6 +7748,91 @@ def q_peak_sliding_60min(sf_dir: str):
     })
 
 
+def q_theilsen_slope_daily(sf_dir: str):
+    """Theil–Sen robust trend of the daily order-count series: the median
+    of all pairwise slopes (xⱼ−xᵢ)/(dⱼ−dᵢ), reported as the exact integer
+    ⌊dy·10⁶/dx⌋ of the median PAIR (PERCENTILE_DISC pick over slopes
+    ordered by (value, dy, dx)). Ordering by the float64 ratio is exact
+    here: distinct small-integer fractions differ by ≥ 1/(dx_max²) ≈ 2e-7,
+    nine orders above double rounding — and the OUTPUT is computed from
+    the chosen pair's integers, never from the float. Distributed work is
+    the day-count reduce; the O(n_days²) pair median runs vectorized on
+    the driver (the daily series is calendar-bounded, not data-bounded)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.to_pandas()["o_orderdate"].values
+               .astype("datetime64[D]").astype("int64"))
+        g = pd.DataFrame({"day": day}).groupby("day", as_index=False).size()
+        return _pa_from_pandas(pd.DataFrame({
+            "day": g["day"].astype("int64"),
+            "x": g["size"].astype("int64")}))
+
+    daily = B.grouped_aggregate_auto(
+        ds.map_batches(partial, batch_format="pyarrow"), ["day"],
+        [Sum("x", alias_name="x")]).to_pandas().sort_values("day")
+    d = daily["day"].to_numpy(dtype="int64")
+    x = daily["x"].to_numpy(dtype="int64")
+    i, j = np.triu_indices(len(d), k=1)
+    dy = x[j] - x[i]
+    dx = d[j] - d[i]
+    ratio = dy / dx
+    order = np.lexsort((dx, dy, ratio))
+    n_pairs = len(dy)
+    sel = order[(n_pairs + 1) // 2 - 1]  # ceil(n/2)-th smallest, 0-based
+    slope_micro = int(dy[sel]) * 10**6 // int(dx[sel])
+    return pd.DataFrame({
+        "slope_micro": pd.Series([slope_micro], dtype="int64"),
+        "n_pairs": pd.Series([n_pairs], dtype="int64"),
+    })
+
+
+def q_kmv_jaccard_click_purchase(sf_dir: str):
+    """Set-similarity from mergeable sketches: estimate the Jaccard overlap
+    of click-users vs purchase-users from their KMV k-minimum-value
+    sketches (k = 64, same injective Knuth hash as kmv_distinct_users) —
+    Ĵ = |U ∩ A ∩ B| / k with U the k smallest hashes of A ∪ B — next to
+    the EXACT Jaccard, both in bps. Fully oracle-exact: the SQL rebuilds
+    the same hash sets with ORDER BY/LIMIT. Distributed shape: per-batch
+    distinct (user, is_click, is_purchase) partials, one keyed reduce, and
+    O(k) driver math — at 100 TB each side's sketch is 64 integers no
+    matter the user count."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    k = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df["event_type"].isin(("click", "purchase"))
+        g = pd.DataFrame({
+            "user_id": df["user_id"][m].astype("int64"),
+            "a": (df["event_type"][m] == "click").astype("int64"),
+            "b": (df["event_type"][m] == "purchase").astype("int64"),
+        }).groupby("user_id", as_index=False).max()
+        return _pa_from_pandas(g)
+
+    users = B.grouped_aggregate_auto(
+        ds.map_batches(tag, batch_format="pyarrow"), ["user_id"],
+        [Max("a", alias_name="a"), Max("b", alias_name="b")]).to_pandas()
+    h = ((users["user_id"].to_numpy(dtype="int64").astype(np.uint64)
+          * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    in_a = users["a"].to_numpy() > 0
+    in_b = users["b"].to_numpy() > 0
+    ha = np.unique(h[in_a])
+    hb = np.unique(h[in_b])
+    union = np.unique(np.concatenate([ha, hb]))[:k]
+    both = np.intersect1d(ha, hb)
+    j_est = len(np.intersect1d(union, both)) * 10000 // min(k, len(union))
+    inter_exact = len(both)
+    union_exact = len(ha) + len(hb) - inter_exact
+    return pd.DataFrame({
+        "j_est_bps": pd.Series([j_est], dtype="int64"),
+        "j_exact_bps": pd.Series([inter_exact * 10000 // union_exact],
+                                 dtype="int64"),
+        "n_click_users": pd.Series([len(ha)], dtype="int64"),
+        "n_purchase_users": pd.Series([len(hb)], dtype="int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -9933,5 +10018,47 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
         SELECT CAST(wc AS BIGINT) AS n_events_max,
                minute AS window_end_minute
         FROM r WHERE rn = 1
+    """,
+    # median pairwise slope; floor-consistent remainder trick because
+    # DuckDB // truncates toward zero while Python floors and dy can be
+    # negative (same device as autocorr_daily_orders)
+    "theilsen_slope_daily": """
+        WITH daily AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+                                            CAST(o_orderdate AS DATE))
+                                   AS BIGINT) AS d,
+                              CAST(COUNT(*) AS BIGINT) AS x
+                       FROM orders GROUP BY 1),
+        p AS (SELECT b.x - a.x AS dy, b.d - a.d AS dx
+              FROM daily a JOIN daily b ON b.d > a.d),
+        r AS (SELECT dy, dx,
+                     ROW_NUMBER() OVER (ORDER BY CAST(dy AS DOUBLE)/dx,
+                                        dy, dx) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM p)
+        SELECT CAST((dy*1000000 - (((dy*1000000 % dx) + dx) % dx)) // dx
+                    AS BIGINT) AS slope_micro,
+               CAST(n AS BIGINT) AS n_pairs
+        FROM r WHERE rn = (n + 1) // 2
+    """,
+    "kmv_jaccard_click_purchase": """
+        WITH a AS (SELECT DISTINCT (user_id*2654435761) % 4294967296 AS h
+                   FROM events WHERE event_type = 'click'),
+        b AS (SELECT DISTINCT (user_id*2654435761) % 4294967296 AS h
+              FROM events WHERE event_type = 'purchase'),
+        uni AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+                ORDER BY h LIMIT 64),
+        bo AS (SELECT h FROM a INTERSECT SELECT h FROM b),
+        c AS (SELECT
+                  (SELECT COUNT(*) FROM uni JOIN bo USING (h)) AS m,
+                  (SELECT LEAST(64, COUNT(*)) FROM
+                      (SELECT h FROM a UNION SELECT h FROM b)) AS kk,
+                  (SELECT COUNT(*) FROM a) AS na,
+                  (SELECT COUNT(*) FROM b) AS nb,
+                  (SELECT COUNT(*) FROM bo) AS ib)
+        SELECT CAST(m*10000 // kk AS BIGINT) AS j_est_bps,
+               CAST(ib*10000 // (na + nb - ib) AS BIGINT) AS j_exact_bps,
+               CAST(na AS BIGINT) AS n_click_users,
+               CAST(nb AS BIGINT) AS n_purchase_users
+        FROM c
     """,
 }

@@ -962,3 +962,39 @@ def test_sliding_window_sparse_two_pointer():
     # window ending at the PREVIOUS observed minute + nothing new
     assert int(wc.max()) == max(
         int(cs[(ms > m - 60) & (ms <= m)].sum()) for m in range(501))
+
+
+def test_theilsen_float_ordering_is_exact_for_small_fractions():
+    """Distinct fractions dy/dx with |dy| < 2^20, 0 < dx < 4096 can never
+    collide in float64, so the sort is exact."""
+    rng = np.random.default_rng(31)
+    dy = rng.integers(-1000, 1000, 5000).astype(np.int64)
+    dx = rng.integers(1, 4096, 5000).astype(np.int64)
+    r = dy / dx
+    order = np.lexsort((dx, dy, r))
+    rs = r[order]
+    # equal floats must be equal fractions (cross-multiplication check)
+    eq = np.nonzero(np.diff(rs) == 0)[0]
+    a, b = order[eq], order[eq + 1]
+    assert (dy[a] * dx[b] == dy[b] * dx[a]).all()
+    # Theil-Sen on a clean line recovers the slope exactly
+    d = np.arange(50, dtype=np.int64)
+    x = 3 * d + 7
+    i, j = np.triu_indices(50, k=1)
+    s = (x[j] - x[i]) * 10**6 // (d[j] - d[i])
+    assert int(np.median(s)) == 3_000_000
+
+
+def test_kmv_jaccard_estimator_on_known_sets():
+    """Ĵ = |U ∩ A ∩ B| / k is exact when both sets fit inside k."""
+    a = np.arange(0, 40, dtype=np.int64)
+    b = np.arange(20, 60, dtype=np.int64)
+    h = lambda v: ((v.astype(np.uint64) * np.uint64(2654435761))
+                   & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    ha, hb = np.unique(h(a)), np.unique(h(b))
+    union = np.unique(np.concatenate([ha, hb]))[:64]
+    both = np.intersect1d(ha, hb)
+    k_eff = min(64, len(union))
+    j_est = len(np.intersect1d(union, both)) * 10000 // k_eff
+    j_exact = len(both) * 10000 // (len(ha) + len(hb) - len(both))
+    assert j_est == j_exact == 20 * 10000 // 60

@@ -990,6 +990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_sliding_60min": A.q_peak_sliding_60min,
         "theilsen_slope_daily": A.q_theilsen_slope_daily,
         "kmv_jaccard_click_purchase": A.q_kmv_jaccard_click_purchase,
+        "equidepth_by_type": A.q_equidepth_by_type,
+        "parts_per_order_hist": A.q_parts_per_order_hist,
         # sort / limit / set ops
         "top_orders": Q.q_top_orders,
         "union_custkeys": Q.q_union_custkeys,

@@ -7833,6 +7833,71 @@ def q_kmv_jaccard_click_purchase(sf_dir: str):
     })
 
 
+def q_equidepth_by_type(sf_dir: str):
+    """Per-group equi-depth boundaries: the quartile cut points
+    (PERCENTILE_DISC at 1/4, 2/4, 3/4 — boundary k = the ⌈k·n/4⌉-th
+    smallest) of the event value per event type, in exact micro-units.
+    The grouped variant of equidepth_boundaries: one (type, value)
+    count reduce, then an O(distinct values) cumulative scan per group —
+    never a per-group sort of raw rows."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        v = np.floor(df["value"].to_numpy(dtype="float64") * 1e6 + 0.5) \
+            .astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "v": v,
+                          "cnt": 1}).groupby(["event_type", "v"],
+                                             as_index=False).sum()
+        return _pa_from_pandas(g)
+
+    counts = B.grouped_aggregate_auto(
+        ds.map_batches(vc, batch_format="pyarrow"), ["event_type", "v"],
+        [Sum("cnt", alias_name="cnt")]).to_pandas() \
+        .sort_values(["event_type", "v"])
+    rows = []
+    for etype, grp in counts.groupby("event_type", sort=True):
+        cum = grp["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        vals = grp["v"].to_numpy()
+        for k in (1, 2, 3):
+            target = (k * n + 3) // 4
+            rows.append((etype, k,
+                         int(vals[np.searchsorted(cum, target, "left")])))
+    return pd.DataFrame({
+        "event_type": [r[0] for r in rows],
+        "k": pd.Series([r[1] for r in rows], dtype="int64"),
+        "boundary_micro": pd.Series([r[2] for r in rows], dtype="int64"),
+    })
+
+
+def q_parts_per_order_hist(sf_dir: str):
+    """Histogram of per-order DISTINCT part counts — the basket-width
+    profile behind every market-basket operator's cost model. Two-level
+    exact distinct: per-batch (order, part) dedup, one keyed pair reduce,
+    a per-order count reduce, then the O(widths) histogram."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()[["l_orderkey", "l_partkey"]].drop_duplicates()
+        g["c"] = 1
+        return _pa_from_pandas(g.astype("int64"))
+
+    dedup = B.grouped_aggregate_auto(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["l_orderkey", "l_partkey"], [Max("c", alias_name="c")])
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["c"].sum()
+        h = g.groupby("c", as_index=False).size()
+        return pd.DataFrame({"n_parts": h["c"].astype("int64"),
+                             "n_orders": h["size"].astype("int64")})
+
+    return B.grouped_aggregate_auto(
+        B.bucketed_map_groups(dedup, ["l_orderkey"], per_order),
+        ["n_parts"], [Sum("n_orders", alias_name="n_orders")])
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names match 1:1; counts/sums cast to BIGINT)
 # ---------------------------------------------------------------------------
@@ -10060,5 +10125,25 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                CAST(na AS BIGINT) AS n_click_users,
                CAST(nb AS BIGINT) AS n_purchase_users
         FROM c
+    """,
+    "equidepth_by_type": """
+        WITH v AS (SELECT event_type,
+                          CAST(FLOOR(value*1000000 + 0.5) AS BIGINT) AS mv
+                   FROM events),
+        q AS (SELECT event_type,
+                     quantile_disc(mv, [0.25, 0.5, 0.75]) AS qs
+              FROM v GROUP BY 1),
+        ks AS (SELECT UNNEST(range(1, 4)) AS k)
+        SELECT event_type, CAST(k AS BIGINT) AS k,
+               CAST(qs[CAST(k AS INTEGER)] AS BIGINT) AS boundary_micro
+        FROM q CROSS JOIN ks
+    """,
+    "parts_per_order_hist": """
+        WITH d AS (SELECT l_orderkey,
+                          COUNT(DISTINCT l_partkey) AS n_parts
+                   FROM lineitem GROUP BY 1)
+        SELECT CAST(n_parts AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM d GROUP BY 1
     """,
 }

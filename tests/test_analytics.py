@@ -998,3 +998,26 @@ def test_kmv_jaccard_estimator_on_known_sets():
     j_est = len(np.intersect1d(union, both)) * 10000 // k_eff
     j_exact = len(both) * 10000 // (len(ha) + len(hb) - len(both))
     assert j_est == j_exact == 20 * 10000 // 60
+
+
+def test_grouped_equidepth_quartiles_hand_case():
+    """Per-group ceil(k·n/4) cut must match sorted-rank selection."""
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    srt = sorted(vals)
+    n = len(vals)
+    cuts = [srt[(k * n + 3) // 4 - 1] for k in (1, 2, 3)]
+    assert cuts == [1, 3, 5]
+
+
+def test_two_level_distinct_count_survives_rebatching():
+    """Per-batch dedup + keyed Max + per-key Sum equals COUNT(DISTINCT)."""
+    rng = np.random.default_rng(12)
+    ok = rng.integers(0, 50, 400).astype(np.int64)
+    pk = rng.integers(0, 30, 400).astype(np.int64)
+    df = pd.DataFrame({"o": ok, "p": pk})
+    truth = df.groupby("o")["p"].nunique()
+    batches = np.array_split(np.arange(400), 5)
+    pairs = pd.concat([df.iloc[b].drop_duplicates() for b in batches])
+    dedup = pairs.drop_duplicates()
+    mine = dedup.groupby("o")["p"].size()
+    assert mine.to_dict() == truth.to_dict()

@@ -6743,9 +6743,12 @@ def q_loo_target_encoding(sf_dir: str):
         c = _cents(df["o_totalprice"])
         s = df["o_orderpriority"].map(s_by).to_numpy(dtype="int64")
         n = df["o_orderpriority"].map(n_by).to_numpy(dtype="int64")
+        # singleton groups have no leave-one-out peers: skip them (mirrored
+        # by WHERE g.n > 1 in the oracle) instead of dividing by zero
+        keep = n > 1
         return _pa_from_pandas(pd.DataFrame({
-            "o_orderkey": df["o_orderkey"].astype("int64"),
-            "loo_milli": (1000 * (s - c)) // (n - 1),
+            "o_orderkey": df["o_orderkey"].to_numpy(dtype="int64")[keep],
+            "loo_milli": (1000 * (s[keep] - c[keep])) // (n[keep] - 1),
         }))
 
     return ds.map_batches(encode, batch_format="pyarrow")
@@ -6933,7 +6936,9 @@ def q_bloom_fp_audit(sf_dir: str):
     test, not just its answers. Distributed shape: ONE keyed reduce tags
     every part key (in_build, in_probe); build-side bits then flow as
     ≤65536 distinct bit rows to the driver, broadcast back into a
-    vectorized probe map. int64-exact for partkey < 2³². FP rate here is
+    vectorized probe map. int64-exact for partkey < 2⁶³/2654435761
+    (≈3.47e9 — k·2654435761 must not overflow int64; numpy would wrap
+    silently while DuckDB BIGINT raises). FP rate here is
     the real thing: bits ≈ 2·|build| set of 65536."""
     ds = _read(sf_dir, "lineitem",
                ["l_partkey", "l_shipdate", "l_discount"])
@@ -7048,7 +7053,8 @@ def q_cms_estimate_audit(sf_dir: str):
     per batch, never per key) → tiny cell reduce broadcast into the
     estimate map; the top-10 flows as mergeable per-batch partial top-10s,
     so no stage materializes the key domain. int64-exact for
-    partkey < 2³²."""
+    partkey < 2⁶³/2654435761 (≈3.47e9 — the hash product must not
+    overflow int64 on either side)."""
     ds = _read(sf_dir, "lineitem", ["l_partkey"])
 
     def kc(t: pa.Table) -> pa.Table:
@@ -7478,50 +7484,53 @@ def q_hamilton_apportionment(sf_dir: str):
 
 def q_global_row_numbering(sf_dir: str):
     """Distributed zipWithIndex: assign global consecutive 1-based row
-    numbers to orders in o_orderkey order WITHOUT collecting — sort into
-    range partitions, take one (min_key, count) per block, broadcast the
-    prefix-sum offsets back keyed by block min key, and number within each
-    block locally. Output: the row count and an order-sensitive checksum
-    Σ(rn·((key mod 2²⁰)+1)) mod 2³¹ — any off-by-one or block misorder
-    changes it; the oracle recomputes via ROW_NUMBER()."""
-    ds = _read(sf_dir, "orders", ["o_orderkey"]).sort("o_orderkey") \
-        .materialize()
+    numbers to orders in o_orderkey order WITHOUT collecting. ONE pass
+    (ADVICE r03 — the old two-pass variant assumed Ray re-chunks the
+    materialized sorted dataset identically between passes): sort into
+    range partitions, then each block emits a 4-number summary
+    (min_key, cnt, Σw mod 2³¹, Σ(local_rank·w) mod 2³¹) with
+    w = (key mod 2²⁰)+1 and local_rank 1-based within the block. Because
+    Σ(rn·w) = Σ_blocks (offset·Σw + Σ(local_rank·w)) and sort makes block
+    key ranges disjoint, the driver prefix-sums the tiny per-block meta
+    table (one row per block, ordered by min_key) and combines the modular
+    partials in exact Python ints — the data is never touched again, so no
+    block-boundary identity assumption exists. Output: the row count and
+    the order-sensitive checksum Σ(rn·w) mod 2³¹ — any off-by-one or block
+    misorder changes it; the oracle recomputes via ROW_NUMBER()."""
+    M = 1 << 31
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).sort("o_orderkey")
 
-    def block_meta(t: pa.Table) -> pa.Table:
-        k = t.to_pandas()["o_orderkey"].to_numpy(dtype="int64")
-        if not len(k):
-            return _pa_from_pandas(pd.DataFrame(
-                {"min_key": pd.Series([], dtype="int64"),
-                 "cnt": pd.Series([], dtype="int64")}))
-        return _pa_from_pandas(pd.DataFrame({
-            "min_key": [int(k.min())], "cnt": [len(k)]}))
-
-    meta = ds.map_batches(block_meta, batch_size=None,
-                          batch_format="pyarrow").to_pandas() \
-        .sort_values("min_key").reset_index(drop=True)
-    offsets = dict(zip(meta["min_key"].astype("int64"),
-                       np.concatenate([[0], meta["cnt"].to_numpy()
-                                       .cumsum()[:-1]]).astype("int64")))
-
-    def number(t: pa.Table) -> pa.Table:
+    def block_part(t: pa.Table) -> pa.Table:
         k = np.sort(t.to_pandas()["o_orderkey"].to_numpy(dtype="int64"))
         if not len(k):
             return _pa_from_pandas(pd.DataFrame(
-                {"one": pd.Series([], dtype="int64"),
-                 "s": pd.Series([], dtype="int64"),
-                 "n": pd.Series([], dtype="int64")}))
-        rn = offsets[int(k.min())] + 1 + np.arange(len(k), dtype="int64")
-        h = (rn * ((k % (1 << 20)) + 1)) % (1 << 31)
+                {"min_key": pd.Series([], dtype="int64"),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "sum_w": pd.Series([], dtype="int64"),
+                 "local_part": pd.Series([], dtype="int64")}))
+        w = (k % (1 << 20)) + 1
+        # chunked modular accumulation keeps every intermediate < 2⁶³ for
+        # arbitrarily large blocks (rank·w ≤ chunk ceiling · 2²⁰ per row)
+        local = 0
+        for lo in range(0, len(k), 1 << 20):
+            hi = min(lo + (1 << 20), len(k))
+            ranks = np.arange(lo + 1, hi + 1, dtype="int64")
+            local = (local + int(((ranks % M) * w[lo:hi]).sum())) % M
         return _pa_from_pandas(pd.DataFrame({
-            "one": [1], "s": [int(h.sum())], "n": [len(k)]}))
+            "min_key": [int(k[0])], "cnt": [len(k)],
+            "sum_w": [int(w.sum()) % M], "local_part": [local]}))
 
-    agg = B.grouped_aggregate_auto(
-        ds.map_batches(number, batch_size=None, batch_format="pyarrow"),
-        ["one"], [Sum("s", alias_name="s"), Sum("n", alias_name="n")]) \
-        .to_pandas()
+    meta = ds.map_batches(block_part, batch_size=None,
+                          batch_format="pyarrow").to_pandas() \
+        .sort_values("min_key").reset_index(drop=True)
+    offsets = np.concatenate(
+        [[0], meta["cnt"].to_numpy().cumsum()[:-1]]).astype("int64")
+    total = 0
+    for off, sw, lp in zip(offsets, meta["sum_w"], meta["local_part"]):
+        total = (total + int(off) % M * int(sw) + int(lp)) % M
     return pd.DataFrame({
-        "n_rows": agg["n"].astype("int64"),
-        "checksum": (agg["s"].astype("int64") % (1 << 31)).astype("int64"),
+        "n_rows": pd.Series([int(meta["cnt"].sum())], dtype="int64"),
+        "checksum": pd.Series([total], dtype="int64"),
     })
 
 
@@ -7715,7 +7724,8 @@ def q_session_bounce_rate(sf_dir: str):
 
 def q_peak_sliding_60min(sf_dir: str):
     """Busiest 60-minute sliding window over the event stream: maximum
-    event count in any window (m−59 .. m] ending at an observed minute,
+    event count in any closed window [m−59, m] (60 minutes, matching the
+    oracle's RANGE 59 PRECEDING frame) ending at an observed minute,
     plus that window's end minute (ties → earliest). The max over ALL real
     windows equals the max over windows ending at observed minutes, so the
     engine reduces events to per-minute counts (one keyed reduce, O(active
@@ -9717,6 +9727,7 @@ ANALYTICS_ORACLE_SQL: dict[str, str] = {
                                         AS BIGINT))) // (g.n - 1)
                     AS BIGINT) AS loo_milli
         FROM orders JOIN g USING (o_orderpriority)
+        WHERE g.n > 1
     """,
     "integrity_audit": """
         SELECT * FROM (

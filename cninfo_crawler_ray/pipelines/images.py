@@ -931,8 +931,10 @@ def q_image_curation_pipeline(sf_dir: str):
     attribution in the fixed order colorfulness → gradient → tile-dup);
     the survivors flow into banded phash LSH (4×16-bit bands — pigeonhole
     guarantees every hamming ≤ 3 pair shares a band) with vectorized
-    hamming ≤ 2 verify, and the larger image of every verified pair is
-    dropped. Output: one summary row with every stage's counts. Golden
+    hamming ≤ 2 verify, and the pair member with the lexicographically
+    larger image_id is dropped (image_id_x < image_id_y — an id-order
+    rule, not an image-size rule; the golden replays the same rule).
+    Output: one summary row with every stage's counts. Golden
     (tools/make_goldens_r9.py): independent per-image kernels for all
     three gates, BRUTE-FORCE O(n²) hamming pair discovery instead of
     banding, and an independent drop-rule replay."""

@@ -72,6 +72,12 @@ class CrawlConfig:
     #: streaming executor (each pool pre-reserves min_actors × num_cpus);
     #: autoscaling grows pools into idle CPUs when a stage is the bottleneck.
     actor_num_cpus: float = 0.5
+    #: fault-injection hook (tests only): while a file exists at this path,
+    #: every FetchDecode batch raises — simulating a worker dying mid-stream
+    #: so stream-close-on-error + resume-after-error semantics are testable
+    #: deterministically (tests/test_scheduler.py). The path travels to the
+    #: actor via its constructor args, so it works across worker processes.
+    fault_inject_path: str | None = None
 
     # --- report-type config (J2; cninfo_report_crawler.py:24-29) ---
     report_type: str = "ndbg"

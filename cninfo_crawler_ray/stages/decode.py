@@ -43,13 +43,22 @@ class FetchDecode:
     in-process (report_info_collection.py:250-296 does fetch→parse in one
     function for the same reason)."""
 
-    def __init__(self, corpus_path: str, compute_phash: bool = True):
+    def __init__(self, corpus_path: str, compute_phash: bool = True,
+                 fault_inject_path: str | None = None):
         from ..sources.store import CorpusStore
 
         self.store = CorpusStore(corpus_path)
         self._decode = Decoder(compute_phash)
+        self._fault_path = fault_inject_path
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._fault_path is not None:
+            import os as _os
+
+            if _os.path.exists(self._fault_path):
+                raise RuntimeError(
+                    "fault-injection: fetch worker failing mid-stream "
+                    f"(marker {self._fault_path} present)")
         # zero-copy fused path: payloads are memoryview slices into the
         # store's row-group read buffers — never copied into an Arrow
         # column or Python bytes between GET and decode (``keep`` pins the

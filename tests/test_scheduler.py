@@ -197,6 +197,57 @@ def test_kill_resume_byte_identical(fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(resumed["wide"], full["wide"])
 
 
+def test_stream_error_midrun_then_resume_byte_identical(fixture_dir,
+                                                        tmp_path):
+    """Stream-close-on-error (VERDICT r03 request): a fetch worker that
+    RAISES mid-stream — not a cooperative kill — must (a) propagate the
+    error out of the streaming execution instead of hanging, (b) leave the
+    checkpoint uncorrupted (only fully committed rounds; a partial .tmp is
+    GC'd on resume), and (c) let a rerun with the same ckpt_dir finish
+    byte-identically to an uninterrupted run."""
+    import os
+
+    cfg = CrawlConfig()
+    full = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1
+    )
+    ck = str(tmp_path / "ck")
+    # phase 1: clean partial run commits 2 rounds
+    part = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1,
+        ckpt_dir=ck, max_rounds=2
+    )
+    assert part["counters"]["rounds"] == 2
+    rounds_dir = os.path.join(ck, "rounds")
+    committed = sorted(d for d in os.listdir(rounds_dir)
+                       if not d.endswith(".tmp"))
+    # phase 2: resume with the fault marker present — round 3's fetch stage
+    # raises inside a map_batches worker; the stream must close with the
+    # injected error, not hang or swallow it
+    marker = str(tmp_path / "fault_marker")
+    open(marker, "w").close()
+    fcfg = CrawlConfig(fault_inject_path=marker)
+    with pytest.raises(Exception, match="fault-injection"):
+        scheduler.run_scheduled_crawl(
+            fixture_dir, fcfg, wave_size=97, use_actors=False, concurrency=1,
+            ckpt_dir=ck
+        )
+    # checkpoint integrity: no new COMMITTED round appeared during the
+    # failed attempt (a .tmp partial is allowed — resume GCs it)
+    after = sorted(d for d in os.listdir(rounds_dir)
+                   if not d.endswith(".tmp"))
+    assert after == committed
+    # phase 3: clear the fault, resume, finish — byte-identical
+    os.remove(marker)
+    resumed = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1,
+        ckpt_dir=ck
+    )
+    assert resumed["counters"]["rounds"] > 2
+    pd.testing.assert_frame_equal(resumed["long"], full["long"])
+    pd.testing.assert_frame_equal(resumed["wide"], full["wide"])
+
+
 def test_scheduled_equals_batch_pipeline(fixture_dir):
     """The round-based scheduler must produce byte-identical long/wide
     tables to the batch path, at a wave size that forces many rounds.
@@ -443,7 +494,8 @@ def test_batch_enforce_schedule_equals_scheduler(fixture_dir):
         N, cfg, use_state_actors=True, concurrency=1,
         politeness="enforce", gate_overrides=overrides,
     )
-    schedule = batch["schedule"]
+    schedule = batch["schedule"].to_pandas()  # Dataset over worker-written
+    # parquet shards — pandas only here, at smoke scale, for assertions
     per_tick = (schedule.groupby("grant_tick")["order_key"].count()
                 .sort_index())
     assert list(per_tick.index) == sched["counters"]["round_ticks"]

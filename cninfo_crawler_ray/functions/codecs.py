@@ -34,16 +34,57 @@ MAGIC_QLOSSY = b"QL01"
 MAGIC_PPM = b"P6\n"
 META_MARK = b"META"
 
+MAGIC_JPEG = b"\xff\xd8\xff"
+MAGIC_PNG = b"\x89PNG\r\n\x1a\n"
+
 LOSSLESS_FMTS = {"raw", "ppm"}
 ALL_FMTS = ("raw", "ppm", "qlossy")
+#: real-world formats behind the import-gated Pillow branch (VERDICT r03
+#: item 3). Deliberately NOT in ALL_FMTS: fixture generation and the
+#: synthetic-codec goldens never emit them, so adding the branch cannot
+#: perturb any existing oracle or golden.
+REAL_FMTS = ("jpeg", "png")
 
 #: fmt → leading magic bytes (the "content-type" of the payload).
-FMT_MAGIC = {"raw": MAGIC_RAW, "ppm": MAGIC_PPM, "qlossy": MAGIC_QLOSSY}
+FMT_MAGIC = {"raw": MAGIC_RAW, "ppm": MAGIC_PPM, "qlossy": MAGIC_QLOSSY,
+             "jpeg": MAGIC_JPEG, "png": MAGIC_PNG}
 
 
 def _meta_trailer(meta: dict | None) -> bytes:
     blob = json.dumps(meta or {}, ensure_ascii=False, sort_keys=True).encode("utf-8")
     return META_MARK + struct.pack("<I", len(blob)) + blob
+
+
+def _split_meta_tail(data) -> dict:
+    """Meta trailer for real-format payloads, located from the END of the
+    buffer (a JPEG/PNG decoder gives no body_end offset; decoders stop at
+    EOI/IEND so trailing bytes are ignored by Pillow). Accepts the trailer
+    only when its length field lands exactly on the buffer end — a META
+    byte sequence inside the compressed stream cannot false-positive."""
+    buf = data if isinstance(data, bytes) else bytes(data)
+    m = buf.rfind(META_MARK)
+    if m < 0 or m + 8 > len(buf):
+        return {}
+    (n,) = struct.unpack_from("<I", buf, m + 4)
+    if m + 8 + n != len(buf):
+        return {}
+    return json.loads(buf[m + 8 : m + 8 + n].decode("utf-8"))
+
+
+def _pillow(fmt: str):
+    """Import-gated real-codec hook (VERDICT r03 item 3; the reference's
+    analog is the pdfplumber decode, report_info_collection.py:151). The
+    sandbox ships no Pillow wheel, so this raises NotImplementedError there;
+    when the wheel exists the jpeg/png branches below are fully live and
+    tests/test_codecs.py::test_real_jpeg_psnr_invariant activates."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — the import IS the gate
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"real {fmt} payload but Pillow is not installed; the synthetic "
+            "containers (raw/ppm/qlossy) carry the test corpus — install "
+            "Pillow to activate the real-codec branch") from exc
+    return Image
 
 
 def _split_meta(data, body_end: int) -> dict:
@@ -68,6 +109,19 @@ def encode_image(pixels: np.ndarray, fmt: str, meta: dict | None = None) -> byte
         quant = (pixels >> 2).astype(np.uint8)  # keep top 6 bits
         comp = zlib.compress(quant.tobytes(), level=1)
         body = MAGIC_QLOSSY + struct.pack("<III", w, h, len(comp)) + comp
+    elif fmt in REAL_FMTS:
+        import io
+
+        Image = _pillow(fmt)
+        buf = io.BytesIO()
+        im = Image.fromarray(pixels, mode="RGB")
+        if fmt == "jpeg":
+            # quality 95 keeps PSNR comfortably above the ≥ 40 dB gate on
+            # natural images (the same invariant qlossy guarantees at ~47 dB)
+            im.save(buf, format="JPEG", quality=95, subsampling=0)
+        else:
+            im.save(buf, format="PNG")
+        body = buf.getvalue()
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
     return body + _meta_trailer(meta)
@@ -77,13 +131,17 @@ def sniff_fmt(data) -> str | None:
     """Magic-byte sniff — the validation gate's GET-fallback analog
     (cninfo_report_crawler.py:149-150 ``chunk.startswith(b'%PDF')``).
     Accepts bytes or any buffer (memoryview of an Arrow payload slice)."""
-    head = data[:4] if isinstance(data, bytes) else bytes(data[:4])
-    if head == MAGIC_RAW:
+    head = data[:8] if isinstance(data, bytes) else bytes(data[:8])
+    if head[:4] == MAGIC_RAW:
         return "raw"
-    if head == MAGIC_QLOSSY:
+    if head[:4] == MAGIC_QLOSSY:
         return "qlossy"
     if head[:3] == MAGIC_PPM:
         return "ppm"
+    if head[:3] == MAGIC_JPEG:
+        return "jpeg"
+    if head == MAGIC_PNG:
+        return "png"
     return None
 
 
@@ -125,6 +183,16 @@ def decode_image(data) -> tuple[np.ndarray, str, dict]:
         # << allocates the one writable output; += runs in place on it.
         px = quant << 2
         px += 2
+    elif fmt in REAL_FMTS:
+        import io
+
+        Image = _pillow(fmt)
+        buf = data if isinstance(data, bytes) else bytes(data)
+        with Image.open(io.BytesIO(buf)) as im:
+            px = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        # a real decoder gives no body_end offset — the meta trailer is
+        # located from the buffer tail instead (decoders stop at EOI/IEND)
+        return px, fmt, _split_meta_tail(data)
     else:
         raise ValueError("unrecognized payload magic")
     return px, fmt, _split_meta(data, body_end)

@@ -88,3 +88,61 @@ def test_fixture_cache(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(d1, "corpus.parquet"))
     assert os.path.exists(os.path.join(d1, "announcements.parquet"))
     assert os.path.exists(os.path.join(d1, "seeds.parquet"))
+
+
+# --- real-codec swap seam (VERDICT r03 item 3) -------------------------------
+
+def test_real_magic_sniff_without_pillow():
+    """Magic sniffing of real formats needs no codec library — a crawler
+    classifies content-type before it ever decodes (the reference's %PDF
+    check, cninfo_report_crawler.py:149-150, is exactly this)."""
+    assert codecs.sniff_fmt(b"\xff\xd8\xff\xe0" + b"\x00" * 16) == "jpeg"
+    assert codecs.sniff_fmt(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) == "png"
+    # memoryview input (the zero-copy fetch path) sniffs identically
+    assert codecs.sniff_fmt(memoryview(b"\xff\xd8\xff\xdbXX")) == "jpeg"
+
+
+def test_real_decode_gate_raises_without_pillow():
+    """When Pillow is absent the jpeg/png branch must fail CLOSED with
+    NotImplementedError (the documented import gate), never a confusing
+    AttributeError or a silent wrong decode."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed — gate is open; covered by the "
+                    "conformance test below")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        codecs.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        codecs.encode_image(C.gen_pixels("img_g", 16, 16), "jpeg")
+
+
+def test_real_jpeg_psnr_invariant():
+    """Conformance test for the real-codec branch — ACTIVATES when Pillow is
+    present (skips otherwise): a real JPEG at quality 95 must decode through
+    the same decode_image() entry point and hold the PSNR ≥ 40 dB per-row
+    invariant the synthetic qlossy codec guarantees; PNG must round-trip
+    losslessly; the META trailer must survive both."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    # smooth gradient image — natural-image-like, where q95 JPEG sits well
+    # above 40 dB (white noise is the adversarial case no crawler corpus hits)
+    y, x = np.mgrid[0:96, 0:128]
+    px = np.stack([(x * 2) % 256, (y * 2) % 256, ((x + y)) % 256],
+                  axis=2).astype(np.uint8)
+    meta = {"caption": "real-codec conformance", "pages": []}
+    jb = codecs.encode_image(px, "jpeg", meta)
+    dec, fmt, m = codecs.decode_image(jb)
+    assert fmt == "jpeg" and m == meta
+    assert codecs.psnr(px, dec) >= 40.0
+    pb = codecs.encode_image(px, "png", meta)
+    dec2, fmt2, m2 = codecs.decode_image(pb)
+    assert fmt2 == "png" and m2 == meta
+    assert np.array_equal(dec2, px)
+    # memoryview (zero-copy fetch path) decodes identically
+    dec3, _, _ = codecs.decode_image(memoryview(jb))
+    assert np.array_equal(dec3, dec)

@@ -197,6 +197,47 @@ def test_kill_resume_byte_identical(fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(resumed["wide"], full["wide"])
 
 
+def test_kill_resume_through_fsspec_storage(fixture_dir, tmp_path):
+    """VERDICT r03 item 5: the checkpoint dir routed through the fsspec
+    storage backend (``file://`` URL → FsspecStorage, the generic
+    no-atomic-rename protocol with _COMMITTED marker objects) must give the
+    same kill/resume byte-identity as the POSIX backend — the shared-FS
+    requirement is a code path, not a comment."""
+    import os
+
+    from cninfo_crawler_ray.state.storage import FsspecStorage, storage_for
+
+    cfg = CrawlConfig()
+    full = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1
+    )
+    ck_local = tmp_path / "ck_fs"
+    ck = f"file://{ck_local}"
+    assert isinstance(storage_for(ck), FsspecStorage)
+    killed = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1,
+        ckpt_dir=ck, max_rounds=3
+    )
+    assert killed["counters"]["rounds"] == 3
+    rounds_dir = ck_local / "rounds"
+    committed = sorted(os.listdir(rounds_dir))
+    assert committed == [f"round_{r:05d}" for r in (1, 2, 3)]
+    for d in committed:  # marker-object commit protocol, not dir rename
+        assert (rounds_dir / d / "_COMMITTED").exists()
+    # plant an uncommitted partial round (what a kill mid-write leaves on an
+    # object store) — resume must GC it and recompute
+    partial = rounds_dir / "round_00004"
+    partial.mkdir()
+    (partial / "garbage.parquet").write_bytes(b"not parquet")
+    resumed = scheduler.run_scheduled_crawl(
+        fixture_dir, cfg, wave_size=97, use_actors=False, concurrency=1,
+        ckpt_dir=ck
+    )
+    assert resumed["counters"]["rounds"] > 3
+    pd.testing.assert_frame_equal(resumed["long"], full["long"])
+    pd.testing.assert_frame_equal(resumed["wide"], full["wide"])
+
+
 def test_stream_error_midrun_then_resume_byte_identical(fixture_dir,
                                                         tmp_path):
     """Stream-close-on-error (VERDICT r03 request): a fetch worker that

@@ -504,6 +504,44 @@ _FLAGSHIP = [
 ]
 
 
+def _prev_delta(report: dict) -> dict | None:
+    """Compare this run's per-query seconds to the previous round's full
+    report (``BENCH_prev.json``, committed at each round close — VERDICT r03
+    item 1 asked for a machine-readable round-over-round comparison). The
+    full per-query delta table goes into the sidecar file; the stdout line
+    carries only the summary."""
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_prev.json")
+    qs = report.get("queries") or {}
+    if not os.path.exists(prev_path) or not qs:
+        return None
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    pq = prev.get("queries") or {}
+    if prev.get("sf") != report.get("sf"):
+        return {"note": f"prev round ran at sf={prev.get('sf')!r}, "
+                        f"this run at {report.get('sf')!r} — not comparable"}
+    common = sorted(set(qs) & set(pq))
+    per_query = {k: {"prev": pq[k], "cur": qs[k],
+                     "delta_pct": round(100.0 * (qs[k] - pq[k]) / pq[k], 1)
+                     if pq[k] else None} for k in common}
+    deltas = sorted(v["delta_pct"] for v in per_query.values()
+                    if v["delta_pct"] is not None)
+    return {
+        "n_common": len(common),
+        "n_new": len(set(qs) - set(pq)),
+        "n_faster": sum(1 for d in deltas if d < 0),
+        "n_slower": sum(1 for d in deltas if d > 0),
+        "median_delta_pct": deltas[len(deltas) // 2] if deltas else None,
+        "total_sec_prev": round(sum(pq[k] for k in common), 2),
+        "total_sec_cur": round(sum(qs[k] for k in common), 2),
+        "per_query": per_query,
+    }
+
+
 def _emit(report: dict) -> None:
     """Write the FULL report to a sidecar file and print a compact
     (<1,900-char) JSON line. The round driver records only the LAST 2,000
@@ -511,6 +549,9 @@ def _emit(report: dict) -> None:
     mid-JSON and left BENCH_r03.parsed null (VERDICT r03 item 1). The
     printed line keeps every top-level metric plus the flagship queries and
     the slowest stragglers, and points at the full per-query file."""
+    delta = _prev_delta(report)
+    if delta is not None:
+        report = {**report, "bench_prev_delta": delta}
     out_path = os.environ.get(
         "GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -531,10 +572,14 @@ def _emit(report: dict) -> None:
         if len(keep) >= 20:
             break
         keep[k] = v
-    compact = {**{k: v for k, v in report.items() if k != "queries"},
+    compact = {**{k: v for k, v in report.items()
+                  if k not in ("queries", "bench_prev_delta")},
                "queries": keep,
                "n_queries_timed": len(qs),
                "queries_full_path": out_path}
+    if delta is not None:
+        compact["bench_prev_delta"] = {k: v for k, v in delta.items()
+                                       if k != "per_query"}
     print(json.dumps(compact))
 
 

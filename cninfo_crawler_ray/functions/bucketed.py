@@ -49,6 +49,34 @@ def add_bucket_column(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -
     return df
 
 
+def _add_bucket_arrow(t: pa.Table, key_cols: list[str],
+                      num_buckets: int) -> pa.Table | None:
+    """Arrow-native bucket column for ALL-INTEGER key columns (VERDICT r03
+    item 7): a Knuth multiply-mix per column, combined with the usual
+    31-style fold — zero pandas conversions, zero row copies (append_column
+    reuses the existing buffers). Returns None when any key column is
+    non-integer (caller falls back to the pandas hash). The hash VALUE
+    differs from the pandas path by design — buckets only co-locate equal
+    keys, every bucket_fn reduces by key internally, so bucket identity is
+    invisible in results (asserted by the full oracle gate)."""
+    import numpy as np
+
+    h = None
+    for c in key_cols:
+        col = t.column(c)
+        if not pa.types.is_integer(col.type):
+            return None
+        if col.null_count:
+            return None  # null keys keep the pandas semantics
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = (v * np.uint64(2654435761)) ^ (v >> np.uint64(16))
+        h = m if h is None else (h * np.uint64(1000003)) ^ m
+    if h is None:
+        return None
+    bucket = (h % np.uint64(num_buckets * BUCKET_FANOUT)).astype(np.int32)
+    return t.append_column(BUCKET_COL, pa.array(bucket))
+
+
 def reduce_parallelism(num_buckets: int, key_domain: int | None) -> int:
     """Sort-based reduces must not make more range partitions than distinct
     key values — the surplus partitions come out EMPTY and schema-less
@@ -118,8 +146,14 @@ def bucketed_map_groups(
     key_domain: int | None = None,
     auto_parallelism: bool = False,
     rows_per_block: int = 8192,
+    arrow_fn: bool = False,
 ) -> rd.Dataset:
     """Keyed reduction via hash buckets.
+
+    ``arrow_fn=True`` (opt-in, VERDICT r03 item 7) hands ``bucket_fn`` the
+    partition as a ``pa.Table`` instead of a DataFrame — for kernels that
+    go straight to numpy (``.column(c).to_numpy()``) the pandas round-trip
+    per partition is pure copy tax. The fn may return a Table or DataFrame.
 
     ``bucket_fn`` receives one sort PARTITION as a DataFrame containing ALL
     rows of every key whose hash bucket landed in it (the ``_bucket`` column
@@ -139,17 +173,24 @@ def bucketed_map_groups(
     count risks empty schema-less sort partitions at small scale."""
 
     def _add(t: pa.Table) -> pa.Table:
+        out = _add_bucket_arrow(t, key_cols, num_buckets)
+        if out is not None:
+            return out  # integer keys: no pandas round-trip
         return _pa_from_pandas(add_bucket_column(t.to_pandas(), key_cols, num_buckets))
 
-    def _apply_block(b: pd.DataFrame):
-        if BUCKET_COL not in b.columns:
+    def _apply_block(b):
+        cols = b.column_names if isinstance(b, pa.Table) else b.columns
+        if BUCKET_COL not in cols:
             # a schema-less empty batch: pass it through, the typed peers
             # carry the real schema. (Defensive only — Ray's map operator
             # short-circuits all-empty tasks without calling the UDF, see
             # map_transformer.py BlocksToBatches, so typing the output here
             # cannot fix the empty-bundle warning; partition sizing does.)
             return pa.table({})
-        out = bucket_fn(b.drop(columns=[BUCKET_COL]))
+        if isinstance(b, pa.Table):
+            out = bucket_fn(b.drop_columns([BUCKET_COL]))
+        else:
+            out = bucket_fn(b.drop(columns=[BUCKET_COL]))
         # emit arrow so every block of the stage carries one metadata-free
         # schema (mixed pandas/arrow blocks trip Ray's schema-divergence check)
         return _pa_from_pandas(out) if isinstance(out, pd.DataFrame) else out
@@ -179,7 +220,8 @@ def bucketed_map_groups(
     # sort + whole-block map ≡ groupby().map_groups (same exchange, same
     # key co-location guarantee) minus the per-group UDF dispatch
     return (bucketed.repartition(npart).sort(BUCKET_COL)
-            .map_batches(_apply_block, batch_size=None, batch_format="pandas"))
+            .map_batches(_apply_block, batch_size=None,
+                         batch_format="pyarrow" if arrow_fn else "pandas"))
 
 
 def bucketed_attach(

@@ -2624,20 +2624,21 @@ def q_copurchase_triangles(sf_dir: str):
     # the pair base is consumed three times (degrees, orientation, closure)
     # and is already reduced to O(edges) — materialize it once rather than
     # re-running the lineitem pair explosion per consumer
-    edges_base = _copurchase_pair_counts(sf_dir).map_batches(
-        lambda df: df[["part_a", "part_b"]].astype("int64"),
-        batch_format="pandas").materialize()
+    edges_base = (_copurchase_pair_counts(sf_dir)
+                  .select_columns(["part_a", "part_b"]).materialize())
 
     # vertex degrees → broadcast (deg, id) rank; rank = deg·2³² + id packs
     # the orientation key into one int64 (assumes ids < 2³², the engine's
     # documented key-width envelope)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v, d = np.unique(np.concatenate([t.column("part_a").to_numpy(),
+                                         t.column("part_b").to_numpy()]),
+                         return_counts=True)
+        return pa.table({"v": pa.array(v.astype(np.int64)),
+                         "d": pa.array(d.astype(np.int64))})
+
     deg = B.grouped_aggregate_auto(
-        edges_base.map_batches(
-            lambda df: pd.DataFrame({
-                "v": np.concatenate([df["part_a"].to_numpy(),
-                                     df["part_b"].to_numpy()]),
-                "d": np.int64(1)}).groupby("v", as_index=False).sum(),
-            batch_format="pandas"),
+        edges_base.map_batches(deg_partial, batch_format="pyarrow"),
         "v", [Sum("d", alias_name="d")]).to_pandas()
     vs = deg["v"].to_numpy().astype("int64")
     order = np.argsort(vs, kind="stable")
@@ -2645,17 +2646,19 @@ def q_copurchase_triangles(sf_dir: str):
     rank_sorted = (deg["d"].to_numpy().astype("int64")[order] << np.int64(32)) | vs_sorted
     side = ray.put((vs_sorted, rank_sorted))
 
-    def orient(df: pd.DataFrame) -> pa.Table:
+    def orient(t: pa.Table) -> pa.Table:
         vv, rr = ray.get(side)
-        ra = rr[np.searchsorted(vv, df["part_a"].to_numpy())]
-        rb = rr[np.searchsorted(vv, df["part_b"].to_numpy())]
+        a = t.column("part_a").to_numpy()
+        b = t.column("part_b").to_numpy()
+        ra = rr[np.searchsorted(vv, a)]
+        rb = rr[np.searchsorted(vv, b)]
         fwd = ra < rb
-        return _pa_from_pandas(pd.DataFrame({
-            "src": np.where(fwd, df["part_a"], df["part_b"]).astype("int64"),
-            "x": np.where(fwd, df["part_b"], df["part_a"]).astype("int64"),
-            "xr": np.where(fwd, rb, ra).astype("int64")}))
+        return pa.table({
+            "src": pa.array(np.where(fwd, a, b).astype(np.int64)),
+            "x": pa.array(np.where(fwd, b, a).astype(np.int64)),
+            "xr": pa.array(np.where(fwd, rb, ra).astype(np.int64))})
 
-    edges = edges_base.map_batches(orient, batch_format="pandas").materialize()
+    edges = edges_base.map_batches(orient, batch_format="pyarrow").materialize()
 
     n_edges = edges.count()
     if n_edges <= B.BROADCAST_ROW_LIMIT:
@@ -2665,42 +2668,48 @@ def q_copurchase_triangles(sf_dir: str):
         # out-neighbor pairs and membership-tests them with ONE
         # searchsorted — the 41M-row wedge aggregate + closure join that
         # dominated the keyed plan (measured 84 s) never materializes.
-        ekeys = edges.map_batches(
-            lambda df: pd.DataFrame({
-                "k": (df["src"].to_numpy().astype("int64") << np.int64(32))
-                     | df["x"].to_numpy().astype("int64")}),
-            batch_format="pandas").to_pandas()["k"].to_numpy()
+        def pack_edge(t: pa.Table) -> pa.Table:
+            k = ((t.column("src").to_numpy() << np.int64(32))
+                 | t.column("x").to_numpy())
+            return pa.table({"k": pa.array(k.astype(np.int64))})
+
+        ekeys = (edges.map_batches(pack_edge, batch_format="pyarrow")
+                 .to_pandas()["k"].to_numpy())
         ekeys = np.sort(ekeys)
         eref = ray.put(ekeys)
 
-        def wedge_close_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        def wedge_close_bucket(b: pa.Table) -> pa.Table:
             # out-neighbor pairs by direct index arithmetic (i<j within
             # each src group, rank-sorted) — a pandas self-merge builds the
             # full d² cross product first (2× the rows, 6 columns); this
             # builds exactly the Σd(d-1)/2 pairs as two int index arrays
             ek = ray.get(eref)
-            if len(b) == 0 or len(ek) == 0:
-                return pd.DataFrame({"_g": [np.int64(0)], "n": [np.int64(0)]})
-            b = b.sort_values(["src", "xr"], kind="stable")
-            x = b["x"].to_numpy().astype("int64")
-            src = b["src"].to_numpy()
+            zero = pa.table({"_g": pa.array([0], pa.int64()),
+                             "n": pa.array([0], pa.int64())})
+            if b.num_rows == 0 or len(ek) == 0:
+                return zero
+            src0 = b.column("src").to_numpy()
+            order = np.lexsort((b.column("xr").to_numpy(), src0))
+            src = src0[order]
+            x = b.column("x").to_numpy()[order].astype(np.int64)
             change = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
             sizes = np.diff(np.r_[change, len(src)])
             within = np.arange(len(src)) - np.repeat(change, sizes)
             rep = np.repeat(sizes, sizes) - 1 - within
             total = int(rep.sum())
             if total == 0:
-                return pd.DataFrame({"_g": [np.int64(0)], "n": [np.int64(0)]})
+                return zero
             li = np.repeat(np.arange(len(src)), rep)
             starts = np.cumsum(rep) - rep
             ri = np.arange(total) - np.repeat(starts, rep) + li + 1
             cand = (x[li] << np.int64(32)) | x[ri]
             pos = np.clip(np.searchsorted(ek, cand), 0, len(ek) - 1)
             n = int((ek[pos] == cand).sum())
-            return pd.DataFrame({"_g": [np.int64(0)], "n": [np.int64(n)]})
+            return pa.table({"_g": pa.array([0], pa.int64()),
+                             "n": pa.array([n], pa.int64())})
 
         part = B.bucketed_map_groups(edges, ["src"], wedge_close_bucket,
-                                     auto_parallelism=True)
+                                     auto_parallelism=True, arrow_fn=True)
     else:
         # cluster-scale fallback: keyed wedge aggregate + bucketed closure
         # join on the rank-ordered pair (the all-shuffle plan)
@@ -3643,30 +3652,42 @@ def q_copurchase_lift(sf_dir: str, min_orders: int = 3, k: int = 20):
 
     from .queries import _copurchase_pair_counts
 
+    from .queries import _distinct_order_part
+
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def dedup_partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates()
-        return _pa_from_pandas(df.astype({"l_orderkey": "int64",
-                                          "l_partkey": "int64"}))
+    def bucket_dedup(b: pa.Table) -> pa.Table:
+        # packed-uint64 global dedup within the order-keyed bucket (same
+        # kernel as the shared pair base — VERDICT r03 item 7)
+        ok = b.column("l_orderkey").to_numpy().astype(np.uint64)
+        pk = b.column("l_partkey").to_numpy().astype(np.uint64)
+        key = np.unique((ok << np.uint64(32)) | pk)
+        return pa.table({
+            "l_orderkey": pa.array((key >> np.uint64(32)).astype(np.int64)),
+            "l_partkey": pa.array(
+                (key & np.uint64(0xFFFFFFFF)).astype(np.int64))})
 
     distinct = B.bucketed_map_groups(
-        ds.map_batches(dedup_partial, batch_format="pyarrow"),
-        ["l_orderkey"], lambda b: b.drop_duplicates(),
-        auto_parallelism=True).materialize()
+        ds.map_batches(_distinct_order_part, batch_format="pyarrow"),
+        ["l_orderkey"], bucket_dedup, auto_parallelism=True,
+        arrow_fn=True).materialize()
+
+    def part_freq_partial(t: pa.Table) -> pa.Table:
+        pk, n = np.unique(t.column("l_partkey").to_numpy(),
+                          return_counts=True)
+        return pa.table({"l_partkey": pa.array(pk.astype(np.int64)),
+                         "n_p": pa.array(n.astype(np.int64))})
+
+    def order_ids_partial(t: pa.Table) -> pa.Table:
+        ok = np.unique(t.column("l_orderkey").to_numpy())
+        return pa.table({"l_orderkey": pa.array(ok.astype(np.int64)),
+                         "n": pa.array(np.ones(len(ok), dtype=np.int64))})
 
     pf = B.grouped_aggregate_auto(
-        distinct.map_batches(
-            lambda df: (df.groupby("l_partkey", as_index=False).size()
-                        .rename(columns={"size": "n_p"})
-                        .astype({"n_p": "int64"})),
-            batch_format="pandas"),
+        distinct.map_batches(part_freq_partial, batch_format="pyarrow"),
         "l_partkey", [Sum("n_p", alias_name="n_p")]).to_pandas()
     n_orders = int(B.grouped_aggregate_auto(
-        distinct.map_batches(
-            lambda df: df[["l_orderkey"]].drop_duplicates().assign(
-                n=np.int64(1)).groupby("l_orderkey", as_index=False).max(),
-            batch_format="pandas"),
+        distinct.map_batches(order_ids_partial, batch_format="pyarrow"),
         "l_orderkey", [Max("n", alias_name="n")]).count())
 
     keys = pf["l_partkey"].to_numpy().astype("int64")

@@ -905,6 +905,20 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Arrow list column → (rows × dim) float64 matrix via the flat values
+    buffer — one buffer copy for the astype, zero per-row Python (VERDICT
+    r03 item 7; ``np.stack(df[col].to_numpy())`` builds an object array and
+    converts row by row). Embeddings are uniform-length by the table
+    contract (TESTDATA.md), enforced by the reshape."""
+    c = t[col].combine_chunks()
+    n = len(c)
+    flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0:
+        return flat.reshape(0, 0)
+    return flat.reshape(n, -1)
+
+
 def _ivf_centroids(emb: rd.Dataset, n_cells: int, seed: int = 13,
                    sample_n: int = 2048) -> np.ndarray:
     """Seeded spherical k-means on a driver-side sample (the coarse
@@ -1075,17 +1089,17 @@ def q_ann_topk(sf_dir: str, k: int = 10):
         def __init__(self):
             self.q = ray.get(q_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize_rows(_emb_matrix(t))
             s = m @ self.q
-            ids = df["vec_id"].to_numpy()
+            ids = t["vec_id"].to_numpy()
             keep = ids != 0
             s, ids = s[keep], ids[keep]
             top = np.argsort(-s)[:k]
-            return pd.DataFrame({"vec_id": ids[top], "cos": s[top]})
+            return pa.table({"vec_id": pa.array(ids[top].astype(np.int64)),
+                             "cos": pa.array(s[top])})
 
-    part = emb.map_batches(TopK, batch_format="pandas", batch_size=4096,
+    part = emb.map_batches(TopK, batch_format="pyarrow", batch_size=4096,
                            concurrency=(1, 4), num_cpus=0.5)
     final = part.to_pandas().sort_values("cos", ascending=False).head(k)
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
@@ -1109,22 +1123,24 @@ def q_ann_multi_topk(sf_dir: str, k: int = 10, n_queries: int = 8):
         def __init__(self):
             self.Q = ray.get(q_ref)  # (n_queries, dim), broadcast once
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize_rows(_emb_matrix(t))
             s = m @ self.Q.T  # (batch, n_queries) — one GEMM for all queries
-            ids = df["vec_id"].to_numpy()
-            parts = []
+            ids = t["vec_id"].to_numpy()
+            qids, vids, coss = [], [], []
             for qi in range(self.Q.shape[0]):
                 keep = ids != qi  # a query is not its own neighbor
                 sq, idq = s[keep, qi], ids[keep]
                 top = np.argsort(-sq)[:k]
-                parts.append(pd.DataFrame({
-                    "query_id": np.full(len(top), qi, np.int64),
-                    "vec_id": idq[top], "cos": sq[top]}))
-            return pd.concat(parts, ignore_index=True)
+                qids.append(np.full(len(top), qi, np.int64))
+                vids.append(idq[top])
+                coss.append(sq[top])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(qids)),
+                "vec_id": pa.array(np.concatenate(vids).astype(np.int64)),
+                "cos": pa.array(np.concatenate(coss))})
 
-    part = emb.map_batches(MultiTopK, batch_format="pandas", batch_size=4096,
+    part = emb.map_batches(MultiTopK, batch_format="pyarrow", batch_size=4096,
                            concurrency=(1, 4), num_cpus=0.5)
     final = (part.to_pandas()
              .sort_values(["query_id", "cos", "vec_id"],
@@ -1152,21 +1168,22 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 10, planes: int = 12):
         def __init__(self):
             self.H, self.q, self.qsig = ray.get(refs)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mn = _normalize_rows(_emb_matrix(t))
             sig = (mn @ self.H > 0).astype(np.uint8)
             dist = (sig != self.qsig[None, :]).sum(axis=1)
-            mask = (dist <= 2) & (df["vec_id"].to_numpy() != 0)
+            ids = t["vec_id"].to_numpy()
+            mask = (dist <= 2) & (ids != 0)
             if not mask.any():
-                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                                     "cos": pd.Series([], dtype="float64")})
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
             s = mn[mask] @ self.q
-            ids = df["vec_id"].to_numpy()[mask]
             top = np.argsort(-s)[:k]
-            return pd.DataFrame({"vec_id": ids[top], "cos": s[top]})
+            return pa.table({
+                "vec_id": pa.array(ids[mask][top].astype(np.int64)),
+                "cos": pa.array(s[top])})
 
-    part = emb.map_batches(Bucketed, batch_format="pandas", batch_size=4096,
+    part = emb.map_batches(Bucketed, batch_format="pyarrow", batch_size=4096,
                            concurrency=(1, 4), num_cpus=0.5)
     final = part.to_pandas().sort_values("cos", ascending=False).head(k)
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
@@ -1345,24 +1362,24 @@ def q_group_centroids(sf_dir: str, n_groups: int = 16):
     driver's hash can check."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)  # zero-copy flatten, no per-row object array
         q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
-        g = (df["vec_id"].to_numpy().astype(np.int64)) % n_groups
+        g = (t["vec_id"].to_numpy().astype(np.int64)) % n_groups
         dim = q.shape[1]
         acc = np.zeros((n_groups, dim), dtype=np.int64)
         np.add.at(acc, g, q)
         cnt = np.bincount(g, minlength=n_groups).astype(np.int64)
         seen = cnt > 0
         gi = np.nonzero(seen)[0]
-        return pd.DataFrame({
-            "grp": np.repeat(gi, dim),
-            "dim": np.tile(np.arange(dim, dtype=np.int64), len(gi)),
-            "n_vecs": np.repeat(cnt[gi], dim),
-            "sum_q": acc[gi].ravel(),
+        return pa.table({
+            "grp": pa.array(np.repeat(gi, dim).astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(gi))),
+            "n_vecs": pa.array(np.repeat(cnt[gi], dim)),
+            "sum_q": pa.array(acc[gi].ravel()),
         })
 
-    return (emb.map_batches(partial, batch_format="pandas", batch_size=4096)
+    return (emb.map_batches(partial, batch_format="pyarrow", batch_size=4096)
             .groupby(["grp", "dim"])
             .aggregate(Sum("n_vecs", alias_name="n_vecs"),
                        Sum("sum_q", alias_name="sum_q")))
@@ -1386,13 +1403,14 @@ def q_embed_clusters(sf_dir: str, n_cells: int = 16):
         def __init__(self):
             self.C = ray.get(ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mn = _normalize_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mn = _normalize_rows(_emb_matrix(t))
             cell = np.argmax(mn @ self.C.T, axis=1)
-            return pd.DataFrame({"vec_id": df["vec_id"].astype("int64").to_numpy(),
-                                 "cluster_id": cell.astype(np.int64)})
+            return pa.table({
+                "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64)),
+                "cluster_id": pa.array(cell.astype(np.int64))})
 
-    return emb.map_batches(Assign, batch_format="pandas", batch_size=4096,
+    return emb.map_batches(Assign, batch_format="pyarrow", batch_size=4096,
                            concurrency=(1, 4), num_cpus=0.5)
 
 
@@ -1745,32 +1763,69 @@ def q_revenue_share_bps(sf_dir: str):
     return base[["nation", "revenue_cents", "share_bps"]]
 
 
+def _distinct_order_part(t: pa.Table) -> pa.Table:
+    """Arrow-in/arrow-out distinct (l_orderkey, l_partkey) partial: one
+    packed-uint64 np.unique instead of a pandas hash drop_duplicates —
+    no DataFrame is ever built (VERDICT r03 item 7, the copurchase family
+    was the bench tail). Envelope: both ids < 2³² and non-negative (the
+    engine's documented key-width envelope, same packing as the triangle
+    counter's orientation rank)."""
+    ok = t.column("l_orderkey").to_numpy().astype(np.uint64)
+    pk = t.column("l_partkey").to_numpy().astype(np.uint64)
+    key = np.unique((ok << np.uint64(32)) | pk)
+    return pa.table({
+        "l_orderkey": pa.array((key >> np.uint64(32)).astype(np.int64)),
+        "l_partkey": pa.array((key & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+    })
+
+
 def _copurchase_pair_counts(sf_dir: str):
     """Distinct co-purchased part pairs with their order co-occurrence
-    counts — the shared base of q_copurchase_pairs (HAVING filter) and
-    q_copurchase_degree_hist (graph degrees). The pair explosion runs inside
-    an order-keyed bucketed reduce (orders have ≤7 lineitems, so ≤21 pairs
-    per order — bounded by construction, the analog of ngram_jaccard's stop
-    cap); pair partial counts then reduce under an auto-sized aggregate."""
+    counts — the shared base of q_copurchase_pairs (HAVING filter),
+    q_copurchase_degree_hist (graph degrees), q_copurchase_triangles and
+    q_copurchase_lift. The pair explosion runs inside an order-keyed
+    bucketed reduce (orders have ≤7 lineitems, so ≤21 pairs per order —
+    bounded by construction); pair partial counts then reduce under an
+    auto-sized aggregate.
+
+    The bucket kernel is pure index arithmetic (VERDICT r03 item 7 — the
+    former pandas self-merge built the full d² cross product with 6
+    columns and a hash groupby): one packed-uint64 np.unique sorts+dedups
+    the (order, part) rows, np.repeat/cumsum generate exactly the
+    Σd(d−1)/2 (i<j) index pairs, and a second packed np.unique counts
+    pair occurrences — no DataFrame ops in the hot path."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates()
-        return _pa_from_pandas(df.astype({"l_orderkey": "int64",
-                                          "l_partkey": "int64"}))
-
-    def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.drop_duplicates()
-        m = b.merge(b, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        g = (m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
-             .rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b",
-                              "size": "n"}))
-        return g.astype({"n": "int64"})
+    def pairs_bucket(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy().astype(np.uint64)
+        pk = b.column("l_partkey").to_numpy().astype(np.uint64)
+        # sorted dedup in one pass; within an order, partkeys come out
+        # strictly ascending, so pk[li] < pk[ri] holds by construction
+        key = np.unique((ok << np.uint64(32)) | pk)
+        ok_s = key >> np.uint64(32)
+        starts = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok_s)])
+        within = np.arange(len(ok_s)) - np.repeat(starts, sizes)
+        rep = np.repeat(sizes, sizes) - 1 - within  # partners after row i
+        total = int(rep.sum())
+        if total == 0:
+            return pa.table({"part_a": pa.array([], pa.int64()),
+                             "part_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        pk_s = key & np.uint64(0xFFFFFFFF)
+        li = np.repeat(np.arange(len(ok_s)), rep)
+        rstarts = np.cumsum(rep) - rep
+        ri = np.arange(total) - np.repeat(rstarts, rep) + li + 1
+        pair, counts = np.unique((pk_s[li] << np.uint64(32)) | pk_s[ri],
+                                 return_counts=True)
+        return pa.table({
+            "part_a": pa.array((pair >> np.uint64(32)).astype(np.int64)),
+            "part_b": pa.array((pair & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64))})
 
     part = B.bucketed_map_groups(
-        ds.map_batches(prep, batch_format="pyarrow"), ["l_orderkey"],
-        pairs_bucket)
+        ds.map_batches(_distinct_order_part, batch_format="pyarrow"),
+        ["l_orderkey"], pairs_bucket, arrow_fn=True)
     return B.grouped_aggregate_auto(part, ["part_a", "part_b"],
                                     [Sum("n", alias_name="n_orders")])
 
@@ -1795,15 +1850,15 @@ def q_copurchase_degree_hist(sf_dir: str):
     profiles at scale: nothing materializes but the pair list partials."""
     agg = _copurchase_pair_counts(sf_dir)
 
-    def explode(df: pd.DataFrame) -> pa.Table:
-        both = pd.DataFrame({
-            "part": np.concatenate([df["part_a"].to_numpy(),
-                                    df["part_b"].to_numpy()]).astype("int64")})
-        both["one"] = np.int64(1)
-        return _pa_from_pandas(both.groupby("part", as_index=False).sum())
+    def explode(t: pa.Table) -> pa.Table:
+        part, n = np.unique(np.concatenate([t.column("part_a").to_numpy(),
+                                            t.column("part_b").to_numpy()]),
+                            return_counts=True)
+        return pa.table({"part": pa.array(part.astype(np.int64)),
+                         "one": pa.array(n.astype(np.int64))})
 
     deg = B.grouped_aggregate_auto(
-        agg.map_batches(explode, batch_format="pandas"),
+        agg.map_batches(explode, batch_format="pyarrow"),
         "part", [Sum("one", alias_name="degree")])
 
     def to_hist(df: pd.DataFrame) -> pa.Table:

@@ -30,6 +30,7 @@ if _HERE not in sys.path:
 
 from cninfo_crawler_ray.pipelines import analytics as A
 from cninfo_crawler_ray.pipelines import images as IMG
+from cninfo_crawler_ray.pipelines import media as MED
 from cninfo_crawler_ray.pipelines import queries as Q
 
 
@@ -1028,6 +1029,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_channel_cast_hist": IMG.q_image_channel_cast_hist,
         "caption_token_stats": IMG.q_caption_token_stats,
         "caption_dup_groups": IMG.q_caption_dup_groups,
+        # video/audio media axis (synthetic VID0/AUD0 containers,
+        # golden-parquet oracles — pipelines/media.py)
+        "video_frame_stats": MED.q_video_frame_stats,
+        "audio_clip_stats": MED.q_audio_clip_stats,
         "phash_bit_balance": IMG.q_phash_bit_balance,
         "image_otsu_hist": IMG.q_image_otsu_hist,
         "image_rle_ratio_hist": IMG.q_image_rle_ratio_hist,
@@ -1090,6 +1095,8 @@ _CRAWL_ORACLE_SQL = {
     # luma: channel-sum factorization golden; dominant color: unique+counts
     # with explicit min-over-maxima tie rule (tools/make_goldens.py)
     "image_luma_histogram": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_luma_histogram.parquet')",
+    "video_frame_stats": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/video_frame_stats.parquet') ORDER BY video_id",
+    "audio_clip_stats": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/audio_clip_stats.parquet') ORDER BY clip_id",
     "image_dominant_color": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_dominant_color.parquet')",
     # whole−interior / summed-area / algebraic factorizations
     # (tools/make_goldens_r4.py) — independent decompositions per docstring

@@ -102,9 +102,9 @@ class _FormatSizeProbe:
     pixels. Emits O(formats) partials per batch."""
 
     def __init__(self, corpus_path: str):
-        from cninfo_crawler_ray.sources.store import CorpusStore
+        from cninfo_crawler_ray.sources.http_store import open_store
 
-        self.store = CorpusStore(corpus_path)
+        self.store = open_store(corpus_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from cninfo_crawler_ray.functions import codecs
@@ -233,9 +233,9 @@ class _CaptionProbe:
     sources, and a codec that drops or mangles the trailer fails the gate."""
 
     def __init__(self, corpus_path: str):
-        from cninfo_crawler_ray.sources.store import CorpusStore
+        from cninfo_crawler_ray.sources.http_store import open_store
 
-        self.store = CorpusStore(corpus_path)
+        self.store = open_store(corpus_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from cninfo_crawler_ray.functions import codecs

@@ -250,9 +250,9 @@ class _PayloadExporter:
     it writes the payload files its rows name and reports what it did."""
 
     def __init__(self, corpus_path: str, out_dir: str):
-        from ..sources.store import CorpusStore
+        from ..sources.http_store import open_store
 
-        self.store = CorpusStore(corpus_path)
+        self.store = open_store(corpus_path)
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
 

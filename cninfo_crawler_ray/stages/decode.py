@@ -45,9 +45,9 @@ class FetchDecode:
 
     def __init__(self, corpus_path: str, compute_phash: bool = True,
                  fault_inject_path: str | None = None):
-        from ..sources.store import CorpusStore
+        from ..sources.http_store import open_store
 
-        self.store = CorpusStore(corpus_path)
+        self.store = open_store(corpus_path)
         self._decode = Decoder(compute_phash)
         self._fault_path = fault_inject_path
 

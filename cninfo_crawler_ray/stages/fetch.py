@@ -16,7 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.store import CorpusStore, ext_of_url
+from ..sources.http_store import open_store
+from ..sources.store import ext_of_url
 
 
 class Prober:
@@ -36,7 +37,7 @@ class Prober:
     is the reference's primary path and the conformance-oracle default."""
 
     def __init__(self, corpus_path: str, sniff_magic: bool = False):
-        self.store = CorpusStore(corpus_path)
+        self.store = open_store(corpus_path)
         self.sniff_magic = sniff_magic
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -72,7 +73,7 @@ class Fetcher:
     order — so resumes and reruns agree (SURVEY.md §0.1.5 spec decision)."""
 
     def __init__(self, corpus_path: str):
-        self.store = CorpusStore(corpus_path)
+        self.store = open_store(corpus_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["PDF链接"].to_pylist()

@@ -142,9 +142,9 @@ class FetchFeaturizer:
     batches stay typed (no schema-less RefBundles)."""
 
     def __init__(self, corpus_path: str, features_fn, schema: pa.Schema):
-        from ..sources.store import CorpusStore
+        from ..sources.http_store import open_store
 
-        self.store = CorpusStore(corpus_path)
+        self.store = open_store(corpus_path)
         self.features_fn = features_fn
         self.schema = schema
 

@@ -103,7 +103,9 @@ def grouped_aggregate_small(ds: rd.Dataset, keys, aggs: list,
 _PANDAS_OPS = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "size"}
 
 
-def grouped_aggregate_auto(ds: rd.Dataset, keys, aggs: list) -> rd.Dataset:
+def grouped_aggregate_auto(ds: rd.Dataset, keys, aggs: list,
+                           rows_per_block: int = 8192,
+                           nrows_hint: int | None = None) -> rd.Dataset:
     """groupby().aggregate() for DATA-DEPENDENT key domains (pair dedup,
     label propagation, vocab counts). Two things are wrong with feeding
     these straight to Ray's sort-based Aggregate: (1) it makes ~one output
@@ -135,7 +137,10 @@ def grouped_aggregate_auto(ds: rd.Dataset, keys, aggs: list) -> rd.Dataset:
                 out[alias] = getattr(g[col], op)()[col].to_numpy()
         return out
 
-    return bucketed_map_groups(ds, keys, reduce_bucket, auto_parallelism=True)
+    return bucketed_map_groups(ds, keys, reduce_bucket,
+                               auto_parallelism=nrows_hint is None,
+                               rows_per_block=rows_per_block,
+                               nrows_hint=nrows_hint)
 
 
 def bucketed_map_groups(
@@ -147,6 +152,7 @@ def bucketed_map_groups(
     auto_parallelism: bool = False,
     rows_per_block: int = 8192,
     arrow_fn: bool = False,
+    nrows_hint: int | None = None,
 ) -> rd.Dataset:
     """Keyed reduction via hash buckets.
 
@@ -203,7 +209,14 @@ def bucketed_map_groups(
     # empty). Partition count follows the key domain (reduce_parallelism);
     # the repartition is a local split/merge, not a shuffle — the sort right
     # after is the real exchange.
-    if auto_parallelism:
+    if nrows_hint is not None and not auto_parallelism:
+        # caller already knows (or can bound) the input row count — size the
+        # reduce like auto_parallelism but WITHOUT the extra materialize +
+        # count pass (one whole-pipeline execution saved; a hint that
+        # overshoots just yields a few more small sorted partitions)
+        npart = max(1, min(nrows_hint // rows_per_block + 1,
+                           num_buckets * BUCKET_FANOUT // 4))
+    elif auto_parallelism:
         bucketed = bucketed.materialize()
         # partition count from the actual row count: tiny inputs get ONE
         # partition (which cannot be empty), big inputs parallelize at

@@ -2637,9 +2637,11 @@ def q_copurchase_triangles(sf_dir: str):
         return pa.table({"v": pa.array(v.astype(np.int64)),
                          "d": pa.array(d.astype(np.int64))})
 
+    n_base = edges_base.count()  # materialized → metadata read
     deg = B.grouped_aggregate_auto(
         edges_base.map_batches(deg_partial, batch_format="pyarrow"),
-        "v", [Sum("d", alias_name="d")]).to_pandas()
+        "v", [Sum("d", alias_name="d")],
+        nrows_hint=2 * n_base, rows_per_block=65536).to_pandas()
     vs = deg["v"].to_numpy().astype("int64")
     order = np.argsort(vs, kind="stable")
     vs_sorted = vs[order]
@@ -2647,16 +2649,23 @@ def q_copurchase_triangles(sf_dir: str):
     side = ray.put((vs_sorted, rank_sorted))
 
     def orient(t: pa.Table) -> pa.Table:
+        # fused orient + edge-key pack: one pass emits the oriented wedge
+        # columns AND the packed src·2³²|dst membership key the broadcast
+        # closure needs (the former separate pack_edge map re-read every
+        # edge block just to pack two columns it already had in cache)
         vv, rr = ray.get(side)
         a = t.column("part_a").to_numpy()
         b = t.column("part_b").to_numpy()
         ra = rr[np.searchsorted(vv, a)]
         rb = rr[np.searchsorted(vv, b)]
         fwd = ra < rb
+        src = np.where(fwd, a, b).astype(np.int64)
+        x = np.where(fwd, b, a).astype(np.int64)
         return pa.table({
-            "src": pa.array(np.where(fwd, a, b).astype(np.int64)),
-            "x": pa.array(np.where(fwd, b, a).astype(np.int64)),
-            "xr": pa.array(np.where(fwd, rb, ra).astype(np.int64))})
+            "src": pa.array(src),
+            "x": pa.array(x),
+            "xr": pa.array(np.where(fwd, rb, ra).astype(np.int64)),
+            "k": pa.array((src << np.int64(32)) | x)})
 
     edges = edges_base.map_batches(orient, batch_format="pyarrow").materialize()
 
@@ -2668,14 +2677,8 @@ def q_copurchase_triangles(sf_dir: str):
         # out-neighbor pairs and membership-tests them with ONE
         # searchsorted — the 41M-row wedge aggregate + closure join that
         # dominated the keyed plan (measured 84 s) never materializes.
-        def pack_edge(t: pa.Table) -> pa.Table:
-            k = ((t.column("src").to_numpy() << np.int64(32))
-                 | t.column("x").to_numpy())
-            return pa.table({"k": pa.array(k.astype(np.int64))})
-
-        ekeys = (edges.map_batches(pack_edge, batch_format="pyarrow")
-                 .to_pandas()["k"].to_numpy())
-        ekeys = np.sort(ekeys)
+        ekeys = np.sort(
+            edges.select_columns(["k"]).to_pandas()["k"].to_numpy())
         eref = ray.put(ekeys)
 
         def wedge_close_bucket(b: pa.Table) -> pa.Table:
@@ -2708,8 +2711,10 @@ def q_copurchase_triangles(sf_dir: str):
             return pa.table({"_g": pa.array([0], pa.int64()),
                              "n": pa.array([n], pa.int64())})
 
-        part = B.bucketed_map_groups(edges, ["src"], wedge_close_bucket,
-                                     auto_parallelism=True, arrow_fn=True)
+        part = B.bucketed_map_groups(
+            edges.select_columns(["src", "x", "xr"]), ["src"],
+            wedge_close_bucket, arrow_fn=True,
+            nrows_hint=n_edges, rows_per_block=65536)
     else:
         # cluster-scale fallback: keyed wedge aggregate + bucketed closure
         # join on the rank-ordered pair (the all-shuffle plan)
@@ -2721,8 +2726,9 @@ def q_copurchase_triangles(sf_dir: str):
                                   "size": "n_wedges"}))
             return g.astype({"a": "int64", "c": "int64", "n_wedges": "int64"})
 
-        wedges = B.bucketed_map_groups(edges, ["src"], wedge_bucket,
-                                       auto_parallelism=True)
+        wedges = B.bucketed_map_groups(
+            edges.select_columns(["src", "x", "xr"]), ["src"], wedge_bucket,
+            nrows_hint=n_edges, rows_per_block=65536)
         oedges = edges.map_batches(
             lambda df: pd.DataFrame({"part_a": df["src"].astype("int64"),
                                      "part_b": df["x"].astype("int64")}),
@@ -3650,27 +3656,14 @@ def q_copurchase_lift(sf_dir: str, min_orders: int = 3, k: int = 20):
     (part_a, part_b) for determinism."""
     import ray
 
-    from .queries import _copurchase_pair_counts
+    from .queries import _grouped_order_part, _pair_counts_from_grouped
 
-    from .queries import _distinct_order_part
-
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def bucket_dedup(b: pa.Table) -> pa.Table:
-        # packed-uint64 global dedup within the order-keyed bucket (same
-        # kernel as the shared pair base — VERDICT r03 item 7)
-        ok = b.column("l_orderkey").to_numpy().astype(np.uint64)
-        pk = b.column("l_partkey").to_numpy().astype(np.uint64)
-        key = np.unique((ok << np.uint64(32)) | pk)
-        return pa.table({
-            "l_orderkey": pa.array((key >> np.uint64(32)).astype(np.int64)),
-            "l_partkey": pa.array(
-                (key & np.uint64(0xFFFFFFFF)).astype(np.int64))})
-
-    distinct = B.bucketed_map_groups(
-        ds.map_batches(_distinct_order_part, batch_format="pyarrow"),
-        ["l_orderkey"], bucket_dedup, auto_parallelism=True,
-        arrow_fn=True).materialize()
+    # ONE order-keyed exchange feeds everything: pair counts, per-part
+    # frequencies AND the distinct-order count all derive from the shared
+    # grouped-distinct base (the former plan ran a second full lineitem
+    # exchange just for the frequency side)
+    grouped, nrows_li = _grouped_order_part(sf_dir)
+    distinct = grouped.materialize()  # consumed by three derivations
 
     def part_freq_partial(t: pa.Table) -> pa.Table:
         pk, n = np.unique(t.column("l_partkey").to_numpy(),
@@ -3678,17 +3671,20 @@ def q_copurchase_lift(sf_dir: str, min_orders: int = 3, k: int = 20):
         return pa.table({"l_partkey": pa.array(pk.astype(np.int64)),
                          "n_p": pa.array(n.astype(np.int64))})
 
-    def order_ids_partial(t: pa.Table) -> pa.Table:
-        ok = np.unique(t.column("l_orderkey").to_numpy())
-        return pa.table({"l_orderkey": pa.array(ok.astype(np.int64)),
-                         "n": pa.array(np.ones(len(ok), dtype=np.int64))})
+    def order_count_partial(t: pa.Table) -> pa.Table:
+        # blocks hold whole orders (one block per order-bucket partition),
+        # so per-block distinct orderkey counts are disjoint — the global
+        # distinct-order count is their plain sum, NO keyed exchange
+        c = int(len(np.unique(t.column("l_orderkey").to_numpy())))
+        return pa.table({"c": pa.array([c], pa.int64())})
 
     pf = B.grouped_aggregate_auto(
         distinct.map_batches(part_freq_partial, batch_format="pyarrow"),
-        "l_partkey", [Sum("n_p", alias_name="n_p")]).to_pandas()
-    n_orders = int(B.grouped_aggregate_auto(
-        distinct.map_batches(order_ids_partial, batch_format="pyarrow"),
-        "l_orderkey", [Max("n", alias_name="n")]).count())
+        "l_partkey", [Sum("n_p", alias_name="n_p")],
+        nrows_hint=nrows_li, rows_per_block=65536).to_pandas()
+    n_orders = int(distinct.map_batches(
+        order_count_partial, batch_size=None,
+        batch_format="pyarrow").sum("c"))
 
     keys = pf["l_partkey"].to_numpy().astype("int64")
     order = np.argsort(keys, kind="stable")
@@ -3714,7 +3710,7 @@ def q_copurchase_lift(sf_dir: str, min_orders: int = 3, k: int = 20):
         return out.sort_values(["lift_ppm", "part_a", "part_b"],
                                ascending=[False, True, True]).head(k)
 
-    part = _copurchase_pair_counts(sf_dir).map_batches(
+    part = _pair_counts_from_grouped(distinct, nrows_li).map_batches(
         lift_partial, batch_format="pandas").to_pandas()
     return (part.sort_values(["lift_ppm", "part_a", "part_b"],
                              ascending=[False, True, True]).head(k)

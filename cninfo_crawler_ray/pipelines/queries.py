@@ -1793,41 +1793,106 @@ def _copurchase_pair_counts(sf_dir: str):
     columns and a hash groupby): one packed-uint64 np.unique sorts+dedups
     the (order, part) rows, np.repeat/cumsum generate exactly the
     Σd(d−1)/2 (i<j) index pairs, and a second packed np.unique counts
-    pair occurrences — no DataFrame ops in the hot path."""
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pair occurrences — no DataFrame ops in the hot path.
 
-    def pairs_bucket(b: pa.Table) -> pa.Table:
+    The pair partials then stay PACKED (one int64 ``pair`` column, not
+    (part_a, part_b)) through the count aggregate — half the key bytes in
+    the shuffle and a single-key numpy sort+reduceat reduce instead of a
+    pandas two-key hash groupby — and the reduce's partition count comes
+    from the lineitem footer row count (pairs ≤ 3.5× lineitems at ≤7
+    lines/order), skipping the auto-parallelism materialize+count pass.
+    Unpacking to (part_a, part_b) happens once, on the O(distinct-pairs)
+    output."""
+    grouped, nrows_li = _grouped_order_part(sf_dir)
+    return _pair_counts_from_grouped(grouped, nrows_li)
+
+
+def _grouped_order_part(sf_dir: str):
+    """Distinct (l_orderkey, l_partkey) rows, order-bucketed so every
+    output BLOCK holds whole orders, sorted by (order, part) — the shared
+    exchange of the co-purchase family (_pair_counts_from_grouped explodes
+    pairs from it; q_copurchase_lift also derives part frequencies and the
+    distinct-order count from the very same blocks instead of running its
+    own second keyed exchange over lineitem). Returns (ds, lineitem_rows);
+    the row count comes from the parquet footer, not a count() pass."""
+    import pyarrow.parquet as _pq
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nrows_li = _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+
+    def dedup_bucket(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey").to_numpy().astype(np.uint64)
         pk = b.column("l_partkey").to_numpy().astype(np.uint64)
-        # sorted dedup in one pass; within an order, partkeys come out
-        # strictly ascending, so pk[li] < pk[ri] holds by construction
         key = np.unique((ok << np.uint64(32)) | pk)
-        ok_s = key >> np.uint64(32)
+        return pa.table({
+            "l_orderkey": pa.array((key >> np.uint64(32)).astype(np.int64)),
+            "l_partkey": pa.array(
+                (key & np.uint64(0xFFFFFFFF)).astype(np.int64))})
+
+    return B.bucketed_map_groups(
+        ds.map_batches(_distinct_order_part, batch_format="pyarrow"),
+        ["l_orderkey"], dedup_bucket, arrow_fn=True), nrows_li
+
+
+def _pair_counts_from_grouped(grouped, nrows_li: int):
+    """Pair explosion + packed-key count over the shared grouped-distinct
+    base. Runs ``pairs_block`` per BLOCK (batch_size=None): a bucketed
+    reduce emits one block per sort partition, so whole orders never split
+    across the map calls (blocks would only split past Ray's 128 MB
+    dynamic-block threshold — ~8M of these 16 B rows, two orders of
+    magnitude above the ~19k-row partitions this stage produces)."""
+
+    def pairs_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # rows arrive distinct and (order, part)-sorted from dedup_bucket;
+        # within an order partkeys ascend, so pk[li] < pk[ri] holds by
+        # construction — no re-sort, no re-unique
+        ok_s = b.column("l_orderkey").to_numpy().astype(np.uint64)
+        pk_s = b.column("l_partkey").to_numpy().astype(np.uint64)
         starts = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
         sizes = np.diff(np.r_[starts, len(ok_s)])
         within = np.arange(len(ok_s)) - np.repeat(starts, sizes)
         rep = np.repeat(sizes, sizes) - 1 - within  # partners after row i
         total = int(rep.sum())
         if total == 0:
-            return pa.table({"part_a": pa.array([], pa.int64()),
-                             "part_b": pa.array([], pa.int64()),
+            return pa.table({"pair": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        pk_s = key & np.uint64(0xFFFFFFFF)
         li = np.repeat(np.arange(len(ok_s)), rep)
         rstarts = np.cumsum(rep) - rep
         ri = np.arange(total) - np.repeat(rstarts, rep) + li + 1
         pair, counts = np.unique((pk_s[li] << np.uint64(32)) | pk_s[ri],
                                  return_counts=True)
         return pa.table({
-            "part_a": pa.array((pair >> np.uint64(32)).astype(np.int64)),
-            "part_b": pa.array((pair & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "pair": pa.array(pair.view(np.int64)),
             "n": pa.array(counts.astype(np.int64))})
 
-    part = B.bucketed_map_groups(
-        ds.map_batches(_distinct_order_part, batch_format="pyarrow"),
-        ["l_orderkey"], pairs_bucket, arrow_fn=True)
-    return B.grouped_aggregate_auto(part, ["part_a", "part_b"],
-                                    [Sum("n", alias_name="n_orders")])
+    def reduce_pairs(t: pa.Table) -> pa.Table:
+        k = t.column("pair").to_numpy()
+        n = t.column("n").to_numpy()
+        if len(k) == 0:
+            return pa.table({"part_a": pa.array([], pa.int64()),
+                             "part_b": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        n = n[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ku = k[starts].view(np.uint64)
+        return pa.table({
+            "part_a": pa.array((ku >> np.uint64(32)).astype(np.int64)),
+            "part_b": pa.array((ku & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "n_orders": pa.array(np.add.reduceat(n, starts).astype(np.int64))})
+
+    part = grouped.map_batches(pairs_block, batch_size=None,
+                               batch_format="pyarrow")
+    # 64 Ki rows/reduce task: at ~16 B/row a task still holds <2 MB, and the
+    # previous 8 Ki sizing made 257 sub-10 ms tasks whose scheduling cost 3×
+    # the whole reduce (measured 2.9 s → 0.92 s for the full base at sf0.1)
+    return B.bucketed_map_groups(part, ["pair"], reduce_pairs,
+                                 arrow_fn=True, nrows_hint=nrows_li * 7 // 2,
+                                 rows_per_block=65536)
 
 
 def q_copurchase_pairs(sf_dir: str, min_orders: int = 2):

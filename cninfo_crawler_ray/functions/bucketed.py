@@ -104,7 +104,7 @@ _PANDAS_OPS = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "size"}
 
 
 def grouped_aggregate_auto(ds: rd.Dataset, keys, aggs: list,
-                           rows_per_block: int = 8192,
+                           rows_per_block: int = 32768,
                            nrows_hint: int | None = None) -> rd.Dataset:
     """groupby().aggregate() for DATA-DEPENDENT key domains (pair dedup,
     label propagation, vocab counts). Two things are wrong with feeding
@@ -150,7 +150,7 @@ def bucketed_map_groups(
     num_buckets: int = 32,
     key_domain: int | None = None,
     auto_parallelism: bool = False,
-    rows_per_block: int = 8192,
+    rows_per_block: int = 32768,
     arrow_fn: bool = False,
     nrows_hint: int | None = None,
 ) -> rd.Dataset:

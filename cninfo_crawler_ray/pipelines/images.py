@@ -22,12 +22,22 @@ import pyarrow as pa
 
 
 def _frontier_and_cfg(sf_dir: str):
+    import ray
+
     from cninfo_crawler_ray.config import CrawlConfig
     from cninfo_crawler_ray.pipelines import stage1
     from cninfo_crawler_ray.sources.corpus import ensure_fixtures, scale_for_sf_dir
 
     fdir = ensure_fixtures(min(scale_for_sf_dir(sf_dir), 10_000))
-    return fdir, stage1.build_frontier(fdir), CrawlConfig()
+    # size the fused fetch+decode pool from the cluster: the stock (1, 8)
+    # pool spends most of a short query's wall autoscaling up from ONE
+    # actor; starting at ncpu/4 removes the ramp and capping at ncpu/2
+    # matches the bench headline's pool shape (actors reserve 0.5 CPU each,
+    # so even the min pool reservation stays far under the cluster)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cfg = CrawlConfig(fetch_actors=(max(2, ncpu // 4), max(8, ncpu // 2)),
+                      decode_actors=(max(2, ncpu // 4), max(8, ncpu // 2)))
+    return fdir, stage1.build_frontier(fdir), cfg
 
 
 def q_image_aspect_ratio_hist(sf_dir: str):

@@ -63,8 +63,12 @@ def run_bench() -> dict:
         lambda b: b, batch_format="pyarrow").materialize()
 
     cfg = CrawlConfig(
-        fetch_actors=(2, max(num_cpus // 2, 2)),
-        decode_actors=(2, max(num_cpus // 2, 2)),
+        # min pool = ncpu/4: the fused actors reserve 0.5 CPU each, so the
+        # floor costs little reservation but skips the 1-by-1 autoscaling
+        # ramp that dominated short timed sections (same sizing as the
+        # image-family queries)
+        fetch_actors=(max(2, num_cpus // 4), max(num_cpus // 2, 2)),
+        decode_actors=(max(2, num_cpus // 4), max(num_cpus // 2, 2)),
     )
     times: dict[str, float] = {}
     extra: dict[str, float] = {}

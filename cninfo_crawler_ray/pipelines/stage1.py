@@ -177,12 +177,22 @@ def build_frontier(
             lambda t, w=want: t.filter(pa.compute.is_in(t["date"], value_set=w)),
             batch_format="pyarrow",
         )
+    # pool floor from the cluster (same ramp fix as the fused fetch+decode
+    # pools): a (1, 8) pool spends the head of a short stage autoscaling up
+    # one actor at a time; floors reserve little (0.5 CPU per actor) and
+    # skip the ramp. Caps stay modest — listing parallelism is bounded by
+    # the (exchange, date) stream count anyway.
+    import ray as _ray
+
+    _ncpu = (int(_ray.cluster_resources().get("CPU", 8))
+             if _ray.is_initialized() else 8)
+    pool = concurrency or (max(2, _ncpu // 8), max(8, _ncpu // 4))
     anns = seeds.map_batches(
         ListingEnumerator,
         fn_constructor_args=(ann_path, cfg),
         batch_format="pyarrow",
         batch_size=cfg.listing_batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=pool,
         num_cpus=cfg.actor_num_cpus,
     )
     cands = anns.map_batches(
@@ -195,7 +205,7 @@ def build_frontier(
         fn_constructor_args=(corpus_path, cfg.probe_sniff_magic),
         batch_format="pyarrow",
         batch_size=cfg.probe_batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=pool,
         num_cpus=cfg.actor_num_cpus,
     )
     valid = probed.map_batches(

@@ -612,15 +612,24 @@ def minhash_lsh_pairs_ds(sf_dir: str, bands: int = 16,
 
     def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
         # band keys are hashed whole into one bucket → vectorized self-join
-        # per bucket produces every same-band pair (no per-key Python call)
+        # per bucket produces every same-band pair (no per-key Python call);
+        # pairs leave PACKED (doc_a·2³²|doc_b in one int64 — ids < 2³², the
+        # engine's documented key-width envelope) so the cross-band dedup
+        # shuffles one key column and reduces with a single np.unique
         m = b.merge(b, on="band_key")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
-        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        pk = ((m["doc_id_x"].to_numpy().astype(np.uint64) << np.uint64(32))
+              | m["doc_id_y"].to_numpy().astype(np.uint64))
+        return pd.DataFrame({"pk": np.unique(pk).view(np.int64)})
 
+    import ray as _ray
+
+    _ncpu = (int(_ray.cluster_resources().get("CPU", 8))
+             if _ray.is_initialized() else 8)
     cand = B.bucketed_map_groups(
         ds.map_batches(Sign, batch_format="pandas", batch_size=512,
-                       concurrency=(2, 12), num_cpus=0.5),
+                       concurrency=(max(2, _ncpu // 4), max(12, _ncpu // 2)),
+                       num_cpus=0.5),
         ["band_key"], pairs_bucket,
     )
 
@@ -632,9 +641,15 @@ def minhash_lsh_pairs_ds(sf_dir: str, bands: int = 16,
     # pruning — the same selective-read pattern as the fetch store,
     # sources/store.py): per-batch cost is O(batch), no corpus-wide shuffle
     # or broadcast at any scale. Only the verified output reaches the driver.
-    cand = (B.grouped_aggregate_auto(cand, ["doc_a", "doc_b"],
-                                     [Count(alias_name="_n")])
-            .select_columns(["doc_a", "doc_b"]))
+    def dedup_pairs_bucket(t: pa.Table) -> pa.Table:
+        ku = np.unique(t.column("pk").to_numpy()).view(np.uint64)
+        return pa.table({
+            "doc_a": pa.array((ku >> np.uint64(32)).astype(np.int64)),
+            "doc_b": pa.array(
+                (ku & np.uint64(0xFFFFFFFF)).astype(np.int64))})
+
+    cand = B.bucketed_map_groups(cand, ["pk"], dedup_pairs_bucket,
+                                 auto_parallelism=True, arrow_fn=True)
 
     class Verify:
         def __init__(self, path: str):
@@ -662,7 +677,8 @@ def minhash_lsh_pairs_ds(sf_dir: str, bands: int = 16,
 
     return cand.map_batches(Verify, fn_constructor_args=(f"{sf_dir}/documents.parquet",),
                             batch_format="pandas", batch_size=512,
-                            concurrency=(1, 4), num_cpus=0.5)
+                            concurrency=(max(1, _ncpu // 8), max(4, _ncpu // 4)),
+                            num_cpus=0.5)
 
 
 def q_minhash_lsh_dedup(sf_dir: str, bands: int = 16, threshold: float = 0.7):

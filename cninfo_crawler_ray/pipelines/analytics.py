@@ -22,6 +22,13 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+
+def _qpool(lo_div: int = 8, hi_div: int = 4):
+    """Cluster-derived actor-pool sizing (see queries._actor_pool)."""
+    from .queries import _actor_pool
+
+    return _actor_pool(lo_div, hi_div)
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import bucketed as B
@@ -5332,7 +5339,7 @@ def q_q22_idle_rich(sf_dir: str):
 
     return B.grouped_aggregate_auto(
         coded.map_batches(Filter, batch_format="pyarrow",
-                          concurrency=(1, 4), num_cpus=0.5),
+                          concurrency=_qpool(), num_cpus=0.5),
         "cntrycode",
         [Sum("numcust", alias_name="numcust"),
          Sum("totacctbal_cents", alias_name="totacctbal_cents")])

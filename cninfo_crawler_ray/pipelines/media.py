@@ -115,10 +115,12 @@ def q_video_frame_stats(sf_dir: str, stride: int = 2):
 
     videos = rd.range(n, override_num_blocks=max(8, n // 16)).map_batches(
         synth, batch_format="pyarrow", batch_size=16)
+    from .queries import _actor_pool
+
     frames = videos.map_batches(
         M.FrameSampler, fn_constructor_args=(stride,),
         batch_format="pyarrow", batch_size=16,
-        concurrency=(1, 4), num_cpus=0.5)
+        concurrency=_actor_pool(), num_cpus=0.5)
 
     def to_int(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -32,6 +32,18 @@ from ..functions import dedup as D
 from ..functions import text as T
 
 
+def _actor_pool(lo_div: int = 8, hi_div: int = 4,
+                lo_min: int = 1, hi_min: int = 4) -> tuple[int, int]:
+    """Cluster-derived (min, max) actor-pool sizing for the short stateful
+    stages in this module. A (1, 4) pool spends the head of a ~1-2 s stage
+    autoscaling up one actor at a time; flooring at ncpu/8 (0.5-CPU
+    reservations) removes the ramp for a trivial reservation cost — the
+    same fix measured on the fused fetch+decode pools (BASELINE.md round 5)."""
+    ncpu = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return (max(lo_min, ncpu // lo_div), max(hi_min, ncpu // hi_div))
+
+
 def _cents(x: np.ndarray) -> np.ndarray:
     """Order-independent money reduction: per-row floor(x*100+0.5) → int64."""
     return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
@@ -213,7 +225,7 @@ def q_nation_revenue(sf_dir: str):
 
     out = B.grouped_aggregate_small(
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(JoinOrders, batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5),
+        .map_batches(JoinOrders, batch_format="pyarrow", concurrency=_actor_pool(), num_cpus=0.5),
         "n_nationkey", [Sum("revenue_cents", alias_name="revenue_cents")],
         key_domain=25)
     return out.map_batches(
@@ -306,7 +318,7 @@ def q_customers_without_orders(sf_dir: str):
             return t.filter(mask).select(["c_custkey"])
 
     return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        AntiJoin, batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5
+        AntiJoin, batch_format="pyarrow", concurrency=_actor_pool(), num_cpus=0.5
     )
 
 
@@ -1032,7 +1044,7 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20, n_blocks: int = 8,
             return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(_EMPTY_PAIRS)
 
         assigned = emb.map_batches(AssignCells, batch_format="pandas", batch_size=1024,
-                                   concurrency=(1, 4), num_cpus=0.5)
+                                   concurrency=_actor_pool(), num_cpus=0.5)
         allp = B.bucketed_map_groups(assigned, ["cell"], cell_pairs)
     else:
         def replicate(df: pd.DataFrame) -> pd.DataFrame:
@@ -1116,7 +1128,7 @@ def q_ann_topk(sf_dir: str, k: int = 10):
                              "cos": pa.array(s[top])})
 
     part = emb.map_batches(TopK, batch_format="pyarrow", batch_size=4096,
-                           concurrency=(1, 4), num_cpus=0.5)
+                           concurrency=_actor_pool(), num_cpus=0.5)
     final = part.to_pandas().sort_values("cos", ascending=False).head(k)
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
@@ -1157,7 +1169,7 @@ def q_ann_multi_topk(sf_dir: str, k: int = 10, n_queries: int = 8):
                 "cos": pa.array(np.concatenate(coss))})
 
     part = emb.map_batches(MultiTopK, batch_format="pyarrow", batch_size=4096,
-                           concurrency=(1, 4), num_cpus=0.5)
+                           concurrency=_actor_pool(), num_cpus=0.5)
     final = (part.to_pandas()
              .sort_values(["query_id", "cos", "vec_id"],
                           ascending=[True, False, True], kind="stable")
@@ -1200,7 +1212,7 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 10, planes: int = 12):
                 "cos": pa.array(s[top])})
 
     part = emb.map_batches(Bucketed, batch_format="pyarrow", batch_size=4096,
-                           concurrency=(1, 4), num_cpus=0.5)
+                           concurrency=_actor_pool(), num_cpus=0.5)
     final = part.to_pandas().sort_values("cos", ascending=False).head(k)
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
@@ -1361,7 +1373,7 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
             return pd.DataFrame({"vec_id": ids[top], "cos": s[top]})
 
     part = emb.map_batches(IVFSearch, batch_format="pandas", batch_size=4096,
-                           concurrency=(1, 4), num_cpus=0.5)
+                           concurrency=_actor_pool(), num_cpus=0.5)
     final = part.to_pandas().sort_values("cos", ascending=False).head(k)
     return final[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
@@ -1427,7 +1439,7 @@ def q_embed_clusters(sf_dir: str, n_cells: int = 16):
                 "cluster_id": pa.array(cell.astype(np.int64))})
 
     return emb.map_batches(Assign, batch_format="pyarrow", batch_size=4096,
-                           concurrency=(1, 4), num_cpus=0.5)
+                           concurrency=_actor_pool(), num_cpus=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -1493,7 +1505,7 @@ def q_decontaminate_docs(sf_dir: str, n: int = 8, bench_source: str = "src0"):
                                  "n_shared": cnt.to_numpy().astype("int64")})
 
     return docs.map_batches(Flag, batch_format="pandas", batch_size=2048,
-                            concurrency=(1, 4), num_cpus=0.5)
+                            concurrency=_actor_pool(), num_cpus=0.5)
 
 
 def q_shuffle_shards(sf_dir: str, n_shards: int = 8):
@@ -1622,7 +1634,7 @@ def export_survivors(sf_dir: str, min_tokens: int = 30, n_shards: int = 8,
             })
 
     gated = ds.map_batches(Gate, batch_format="pandas", batch_size=2048,
-                           concurrency=(1, 4), num_cpus=0.5)
+                           concurrency=_actor_pool(), num_cpus=0.5)
 
     def dedup_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(["text_md5", "doc_id"], kind="stable")

@@ -131,6 +131,7 @@ def run_scheduled_crawl(
     ckpt_dir: str | None = None,
     gate_overrides: dict | None = None,
     robots: dict | None = None,
+    corpus_path: str | None = None,
 ):
     """Returns dict with long/wide frames + counters (rounds, admissions,
     politeness waits, dead letters). Ray must already be initialised by the
@@ -154,7 +155,11 @@ def run_scheduled_crawl(
     NFS, atomic-rename commits); a URL (``s3://…``, ``file://…``) routes
     through FsspecStorage (marker-object commits — see state/storage.py)."""
     cfg = cfg or CrawlConfig()
-    corpus_path = f"{fixture_dir}/corpus.parquet"
+    # corpus_path override selects the fetch transport (sources/http_store
+    # open_store dispatches by scheme): an http:// origin runs the whole
+    # scheduled crawl over real sockets — tests/test_http_transport.py
+    # asserts byte-identity with the columnar default
+    corpus_path = corpus_path or f"{fixture_dir}/corpus.parquet"
 
     gate = PolitenessGate(rate_per_second=cfg.host_rate, burst=cfg.host_burst,
                           ticks_per_second=cfg.ticks_per_second)

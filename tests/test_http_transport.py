@@ -122,3 +122,27 @@ def test_fetch_decode_over_http_byte_identical(ray_session, fixture_dir,
     got = run(server.base_url)
     assert len(want) > 50
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_scheduled_crawl_over_http_byte_identical(ray_session, fixture_dir,
+                                                  corpus_path, server):
+    """The PRODUCTION path over real sockets: the round-based scheduled
+    crawl (priority frontier shards, politeness gate, seen-set admission)
+    with its fetch transport pointed at the loopback origin must produce
+    byte-identical long/wide outputs and identical counters vs the
+    columnar transport."""
+    from cninfo_crawler_ray.pipelines.scheduler import run_scheduled_crawl
+
+    def run(path):
+        out = run_scheduled_crawl(fixture_dir, wave_size=256,
+                                  corpus_path=path)
+        long = out["long"].reset_index(drop=True)
+        wide = out["wide"].reset_index(drop=True)
+        return long, wide, out["counters"]
+
+    l_ref, w_ref, c_ref = run(corpus_path)
+    l_http, w_http, c_http = run(server.base_url)
+    assert len(l_ref) > 30
+    pd.testing.assert_frame_equal(l_http, l_ref)
+    pd.testing.assert_frame_equal(w_http, w_ref)
+    assert c_http == c_ref
